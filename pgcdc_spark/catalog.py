@@ -1,0 +1,62 @@
+"""Catalog: load the driver-provided parquet tables as DataFrames/views.
+
+Replaces the reference's snapshot path (SELECT * streamed row-by-row into a
+driver-side array, src/database/postgresql/PostgresOperation.ts:69-86) with
+distributed parquet scans that stay on executors — no collect anywhere.
+
+Scale notes (100 TB posture):
+- Scans are plain ``spark.read.parquet`` so Catalyst applies column pruning
+  and predicate pushdown into the parquet reader; callers filter/select on
+  the returned DataFrame and the scan narrows automatically.
+- ``events.ts`` is ns-precision int64 (Spark has no ns timestamp type).
+  We keep the exact int64 ``ts`` column and add ``ts_utc`` (us-precision
+  TIMESTAMP_NTZ) for window/date functions. Queries that must match the
+  DuckDB oracle bit-for-bit use the int64 form (oracle: ``epoch_ns(ts)``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import configure_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is int64 nanoseconds since epoch; derive a usable timestamp.
+        df = df.withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Load selected tables; ``t_orders, t_li = load(spark, d, "orders", "lineitem")``."""
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,79 @@
+"""Query registry — the driver-facing surface.
+
+Every operator from SURVEY.md §2 is exposed as a named query:
+``fn(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) a DuckDB
+oracle SQL string over the same parquet tables. ``__spark_entry__.py``
+re-exports this registry.
+
+Oracle-parity discipline (see SURVEY.md §5.2): driver hashes values, so
+results must be *bit-identical* to DuckDB's:
+
+- money/measure sums: SUM(CAST(x AS DECIMAL(18,4))) then CAST AS DOUBLE —
+  decimal summation is exact, so the final double is deterministic on both
+  engines regardless of partitioning / aggregation order;
+- averages: exact decimal sum divided by count, both as doubles;
+- never emit raw ns timestamps: emit int64 epoch-ns (oracle: epoch_ns(ts))
+  or truncated/formatted strings;
+- every computed column aliased identically on both sides;
+- any per-group "pick one row" uses an explicit total order (window +
+  row_number with unique tiebreaker), never dropDuplicates' arbitrary row.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "QueryDef"] = {}
+
+# Modules that define queries; imported lazily by all_queries().
+_MODULES = (
+    "relational",
+    "joins",
+    "aggregates",
+    "windows",
+    "setops",
+    "events_json",
+    "cdc_state",
+    "llm_text",
+    "llm_dedup",
+    "llm_similarity",
+)
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL; None -> driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for m in _MODULES:
+        try:
+            importlib.import_module(f"{__name__}.{m}")
+        except ModuleNotFoundError as e:
+            # Module not written yet (incremental build); only swallow our own.
+            if f"{__name__}.{m}" not in str(e):
+                raise
+
+
+def all_queries() -> dict[str, QueryDef]:
+    _load_all()
+    return dict(REGISTRY)

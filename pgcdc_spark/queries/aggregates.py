@@ -1,0 +1,276 @@
+"""Aggregation queries (SURVEY.md §2.2): hash agg, distinct, rollup/cube,
+filtered agg, collect, percentiles, stable stddev, approx-distinct.
+
+All sums go through exact decimal arithmetic and are emitted as doubles so
+results are independent of partitioning / aggregation order (the parity
+discipline in queries/__init__.py). Partial aggregation (map-side combine)
+is automatic under Tungsten for every groupBy here.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from . import query
+
+
+def _dsum(col, prec: str = "18,4"):
+    return F.sum(col.cast(f"decimal({prec})")).cast("double")
+
+
+# --- distinct counts + min/max/count per group -----------------------------
+
+_DISTINCT_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_cust,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+  CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("agg_distinct_stats", oracle=_DISTINCT_ORACLE, tags=("agg",))
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            _dsum(F.col("c_acctbal")).alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- rollup -----------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  COALESCE(r_name, 'ALL') AS region_name,
+  COALESCE(n_name, 'ALL') AS nation_name,
+  COUNT(*) AS n_cust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = load(spark, sf_dir, "customer", "nation", "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), _dsum(F.col("c_acctbal")).alias("sum_bal"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "n_cust",
+            "sum_bal",
+        )
+    )
+
+
+# --- cube -------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+# --- filtered / conditional aggregation (manual pivot) ----------------------
+
+_FILTERED_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS open_value,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_filtered_pivot", oracle=_FILTERED_ORACLE, tags=("agg", "pivot"))
+def agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    dec0 = F.lit(0).cast("decimal(18,4)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O", F.col("o_totalprice").cast("decimal(18,4)")
+                ).otherwise(dec0)
+            )
+            .cast("double")
+            .alias("open_value"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("long")
+            .alias("n_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- collect_list / collect_set (canonicalized as sorted joined string) -----
+
+_COLLECT_ORACLE = """
+SELECT
+  n_regionkey AS regionkey,
+  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n_name)), ',') AS nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("agg_collect_set", oracle=_COLLECT_ORACLE, tags=("agg", "collect"))
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = load(spark, sf_dir, "nation")
+    return nation.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+    )
+
+
+# --- exact percentiles ------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT
+  l_returnflag,
+  QUANTILE_CONT(l_quantity, 0.25) AS q25,
+  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+  QUANTILE_CONT(l_quantity, 0.75) AS q75,
+  QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=_PCT_ORACLE, tags=("agg", "percentile"))
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- stable stddev/variance via exact decimal sums --------------------------
+# Spark's stddev/var aggregate is merge-order dependent on doubles, so a
+# direct comparison to DuckDB is flaky; both sides compute the textbook
+# (n*sum(x^2) - sum(x)^2) / (n*(n-1)) from EXACT decimal sums instead.
+
+_STDDEV_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n,
+  SQRT(GREATEST(
+    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+      - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE))
+    / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)), 0.0)) AS stddev_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("agg_stddev_stable", oracle=_STDDEV_ORACLE, tags=("agg", "stats"))
+def agg_stddev_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = load(spark, sf_dir, "customer")
+    n = F.count(F.lit(1)).cast("double")
+    sum_x = F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+    sum_x2 = F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(30,8)")).cast("double")
+    var = (n * sum_x2 - sum_x * sum_x) / (n * (n - F.lit(1.0)))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- global aggregation (no grouping) ---------------------------------------
+
+_GLOBAL_ORACLE = """
+SELECT
+  COUNT(*) AS n_lines,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+  CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+  CAST(MAX(l_shipdate) AS DATE) AS last_ship
+FROM lineitem
+"""
+
+
+@query("agg_global", oracle=_GLOBAL_ORACLE, tags=("agg",))
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        _dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.min("l_shipdate").cast("date").alias("first_ship"),
+        F.max("l_shipdate").cast("date").alias("last_ship"),
+    )
+
+
+# --- approx count distinct (HLL++) — engines' sketches differ, so the
+# driver records a rows-only check (no oracle). The exact twin above
+# (agg_distinct_stats / agg_global) is the correctness anchor.
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )

@@ -1,0 +1,125 @@
+"""JSON + event-time queries over the `events` table (SURVEY.md §2.2).
+
+`events.props` plays the role of the CDC envelope payload (the reference
+parses wal2json-shaped messages, src/database/postgresql/
+PostgresLogicalPg.ts:21); here the JSON functions are exercised batch-side.
+`events.ts` is exact int64 nanoseconds (see catalog.py) — time buckets are
+computed with integer arithmetic so Spark and the ns-native oracle agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from . import query
+
+# --- JSON extraction --------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_id,
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+"""
+
+
+@query("events_json_extract", oracle=_JSON_ORACLE, tags=("json",))
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_id", "event_type", k.alias("k"), "value")
+        .filter(F.col("k") >= 50)
+    )
+
+
+# --- from_json with explicit schema (checked parse — R7 done right) ---------
+
+_FROM_JSON_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("events_from_json_agg", oracle=_FROM_JSON_ORACLE, tags=("json", "agg"))
+def events_from_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema (vs the reference's unchecked
+    `as Student` cast, src/mapping/customMapper.ts:22): mismatches become
+    NULL instead of corrupt rows."""
+    (events,) = load(spark, sf_dir, "events")
+    parsed = events.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("p.k")).cast("long").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+# --- integer-exact hourly rollup -------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT
+  epoch_ns(ts) // 3600000000000 AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_hourly_rollup", oracle=_HOURLY_ORACLE, tags=("agg", "time"))
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.expr("ts div 3600000000000").alias("hour_bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --- tumbling window via F.window (batch twin of the streaming agg) ---------
+
+_TUMBLING_ORACLE = """
+SELECT
+  strftime(make_timestamp((epoch_ns(ts) // 21600000000000) * 21600000000),
+           '%Y-%m-%d %H:%M:%S') AS window_start,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_window_tumbling", oracle=_TUMBLING_ORACLE, tags=("window", "time"))
+def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts_utc", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -1,0 +1,287 @@
+"""Join queries (SURVEY.md §2.2): equi (broadcast + shuffle), semi/anti,
+outer, range/theta, multi-hop star, as-of.
+
+Scale notes baked into each plan:
+- dims (region, nation, supplier, part at low SF) are broadcast — no
+  shuffle of the fact side;
+- fact-fact joins (lineitem x orders) shuffle on the join key once; AQE
+  picks SMJ/SHJ and splits skewed partitions;
+- the as-of join uses the union+window pattern (see operators/asof.py)
+  instead of an O(n*m) range join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..operators.asof import asof_join
+from . import query
+
+
+def _dsum(col, prec: str = "22,6"):
+    return F.sum(col.cast(f"decimal({prec})")).cast("double")
+
+
+# --- Q3-style: 3-way join + agg + deterministic top-k ----------------------
+
+_Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS order_date,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "agg", "topk"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- Q5-style: 6-way star join through dims, broadcast the small side ------
+
+_Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "agg", "broadcast"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nation, region = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        cust.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --- semi / anti ------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
+@query("join_semi", oracle=_SEMI_ORACLE, tags=("join", "semi"))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti", oracle=_ANTI_ORACLE, tags=("join", "anti"))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --- outer joins (null-producing, coalesce handling) -----------------------
+
+_LEFT_ORACLE = """
+SELECT
+  c_custkey,
+  COALESCE(cnt, 0) AS order_count,
+  COALESCE(total, 0.0) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+) o ON o_custkey = c_custkey
+"""
+
+
+@query("join_left_outer_agg", oracle=_LEFT_ORACLE, tags=("join", "outer"))
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    return cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("order_count"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total_spend"),
+    )
+
+
+_FULL_ORACLE = """
+SELECT
+  COALESCE(c.nk, s.nk) AS nationkey,
+  COALESCE(c.n_cust, 0) AS n_cust,
+  COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.nk = s.nk
+"""
+
+
+@query("join_full_outer", oracle=_FULL_ORACLE, tags=("join", "outer"))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = load(spark, sf_dir, "customer", "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("c_nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = supp.groupBy(F.col("s_nationkey").alias("s_nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return c.join(s, F.col("c_nk") == F.col("s_nk"), "full").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+# --- range / theta join -----------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT
+  l_orderkey, l_linenumber, p_partkey, p_size,
+  l_quantity
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+         AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+WHERE p_size >= 40
+"""
+
+
+@query("join_equi_plus_range", oracle=_RANGE_ORACLE, tags=("join", "range"))
+def join_equi_plus_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    p = part.filter(F.col("p_size") >= 40)
+    return li.join(
+        F.broadcast(p),
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & F.col("l_quantity").between(F.col("p_size") - 2, F.col("p_size") + 2),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
+
+
+_THETA_ORACLE = """
+SELECT n_nationkey, r_regionkey, n_name, r_name
+FROM nation CROSS JOIN region
+WHERE n_regionkey <> r_regionkey AND n_nationkey < 5
+"""
+
+
+@query("join_theta_cross", oracle=_THETA_ORACLE, tags=("join", "theta"))
+def join_theta_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, region = load(spark, sf_dir, "nation", "region")
+    return (
+        nation.filter(F.col("n_nationkey") < 5)
+        .crossJoin(F.broadcast(region))
+        .filter(F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("n_nationkey", "r_regionkey", "n_name", "r_name")
+    )
+
+
+# --- as-of join (engine helper) --------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  (
+    SELECT c.event_id FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+  ) AS click_event_id
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+@query("join_asof_events", oracle=_ASOF_ORACLE, tags=("join", "asof", "custom"))
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent prior click per purchase. Cites reference semantics: the
+    reference has no joins at all (SURVEY.md §2.1); this is the engine's
+    as-of extension for event-stream enrichment."""
+    (events,) = load(spark, sf_dir, "events")
+    # us precision on both sides: DuckDB truncates the ns timestamps to us.
+    ev = events.withColumn("ts_us", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts_us"), F.col("event_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_payload=["event_id"],
+        tiebreak="event_id",
+    )
+    return joined.select("event_id", "user_id", F.col("event_id_asof").alias("click_event_id"))

@@ -1,0 +1,246 @@
+"""Text-analysis operators over `documents` (BASELINE.json north star):
+token stats, language profiling, heuristic language-ID, quality scoring,
+document fingerprinting.
+
+All token work uses built-in split/explode/higher-order functions —
+JVM-side, no UDFs. Per-doc operators are embarrassingly parallel (no
+shuffle); rollups shuffle only |groups| after map-side combine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from . import query
+
+# --- per-doc token statistics ----------------------------------------------
+
+_TOKSTATS_ORACLE = """
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_tok_len,
+  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len,
+  n_chars
+FROM documents
+"""
+
+
+@query("docs_token_stats", oracle=_TOKSTATS_ORACLE, tags=("llm", "text"))
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    d = docs.withColumn("w", w)
+    sum_len = F.expr("aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)")
+    return d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_unique"),
+        sum_len.cast("long").alias("sum_tok_len"),
+        (sum_len.cast("double") / F.size("w").cast("double")).alias("avg_tok_len"),
+        "n_chars",
+    )
+
+
+# --- corpus rollup by language ---------------------------------------------
+
+_LANGPROF_ORACLE = """
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT source) AS n_sources,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("docs_lang_profile", oracle=_LANGPROF_ORACLE, tags=("llm", "text", "agg"))
+def docs_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.withColumn("ntok", ntok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            (F.sum("ntok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- heuristic language-ID (stopword overlap) ------------------------------
+# n-gram/stopword-hit language ID: score = |distinct tokens ∩ stoplist|,
+# argmax with a fixed tie order. Deterministic by construction.
+
+_STOPLISTS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "en"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "les", "des", "et", "un"),
+}
+
+
+def _lang_case_sql() -> str:
+    return """
+  CASE
+    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+    WHEN s_fr > 0 THEN 'fr'
+    ELSE 'und'
+  END"""
+
+
+def _stop_score_sql(code: str) -> str:
+    lst = ", ".join(f"'{t}'" for t in _STOPLISTS[code])
+    return (
+        f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [{lst}])) AS BIGINT)"
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT
+    doc_id,
+    lang,
+    {_stop_score_sql('en')} AS s_en,
+    {_stop_score_sql('es')} AS s_es,
+    {_stop_score_sql('de')} AS s_de,
+    {_stop_score_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_es, s_de, s_fr, {_lang_case_sql()} AS predicted_lang
+FROM scored
+"""
+
+
+@query("docs_lang_id", oracle=_LANGID_ORACLE, tags=("llm", "text", "langid"))
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    wd = F.array_distinct(F.split("text", " "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.array_intersect(wd, F.array(*[F.lit(t) for t in _STOPLISTS[c]])))
+            .cast("long")
+            .alias(f"s_{c}")
+            for c in ("en", "es", "de", "fr")
+        ],
+    )
+    s = {c: F.col(f"s_{c}") for c in ("en", "es", "de", "fr")}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+# --- quality scoring --------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH feat AS (
+  SELECT
+    doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+    CAST(len(list_filter(string_split(text, ' '), x -> length(x) <= 2)) AS DOUBLE) AS n_short,
+    CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT
+  doc_id,
+  n_uniq / n_tok AS distinct_ratio,
+  n_short / n_tok AS short_ratio,
+  n_stop / n_tok AS stopword_ratio,
+  0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_short / n_tok) + 0.3 * (1.0 - n_stop / n_tok)
+    AS quality_score,
+  CASE
+    WHEN 0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_short / n_tok) + 0.3 * (1.0 - n_stop / n_tok) >= 0.75
+      THEN 'high'
+    WHEN 0.4 * (n_uniq / n_tok) + 0.3 * (1.0 - n_short / n_tok) + 0.3 * (1.0 - n_stop / n_tok) >= 0.6
+      THEN 'mid'
+    ELSE 'low'
+  END AS quality_band
+FROM feat
+"""
+
+
+@query("docs_quality_score", oracle=_QUALITY_ORACLE, tags=("llm", "text", "quality"))
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.split("text", " "))
+    n_tok = F.size("w").cast("double")
+    n_uniq = F.size(F.array_distinct("w")).cast("double")
+    n_short = F.size(F.expr("filter(w, x -> length(x) <= 2)")).cast("double")
+    n_stop = F.size(
+        F.expr("filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to'))")
+    ).cast("double")
+    score = (
+        F.lit(0.4) * (n_uniq / n_tok)
+        + F.lit(0.3) * (F.lit(1.0) - n_short / n_tok)
+        + F.lit(0.3) * (F.lit(1.0) - n_stop / n_tok)
+    )
+    return d.select(
+        "doc_id",
+        (n_uniq / n_tok).alias("distinct_ratio"),
+        (n_short / n_tok).alias("short_ratio"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.75, "high").when(score >= 0.6, "mid").otherwise("low").alias(
+            "quality_band"
+        ),
+    )
+
+
+# --- fingerprinting (head hash + min-of-windows rolling hash) ---------------
+
+_FP_ORACLE = """
+SELECT
+  doc_id,
+  md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS head_fp,
+  list_aggregate(
+    list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 6, 2)),
+      i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))
+    ), 'min') AS winnow_fp
+FROM documents
+"""
+
+
+@query("docs_fingerprint", oracle=_FP_ORACLE, tags=("llm", "text", "fingerprint"))
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over all 8-token windows (plus a
+    16-token head hash). Shift-resistant dedup key, computed without UDFs."""
+    (docs,) = load(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.split("text", " "))
+    head = F.md5(F.array_join(F.slice("w", 1, 16), " ").cast("binary"))
+    winnow = F.array_min(
+        F.expr(
+            "transform(sequence(1, greatest(size(w) - 7, 1)),"
+            " i -> md5(cast(concat_ws(' ', slice(w, i, 8)) as binary)))"
+        )
+    )
+    return d.select("doc_id", head.alias("head_fp"), winnow.alias("winnow_fp"))

@@ -1,0 +1,67 @@
+"""CDC transform pipeline: filter -> extract -> checked image, with real
+I/U/D semantics.
+
+Re-expresses the reference's mapper (src/mapping/customMapper.ts):
+- R4 filter (ts :12-13): drop transaction-control/metadata tags
+  (`begin`, `commit`, `relation`);
+- R5 extraction (ts :19-23): the reference takes Option(new) and thereby
+  SILENTLY DROPS deletes (they carry only `old`). Here deletes are kept:
+  op = I/U/D and the image is `new` for I/U, `old` for D;
+- R6 transformer registry (ts :27-29): `DataFrame.transform`-chainable
+  pure functions, the Spark-native extension point.
+
+The same functions run batch and streaming (Structured Streaming executes
+the identical logical plan per micro-batch) — one code path, two modes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+CONTROL_TAGS = ("begin", "commit", "relation")
+
+Transformer = Callable[[DataFrame], DataFrame]
+
+
+def filter_control_messages(df: DataFrame) -> DataFrame:
+    """R4: keep only row-change messages."""
+    return df.filter(~F.col("tag").isin(*CONTROL_TAGS))
+
+
+def extract_images(df: DataFrame) -> DataFrame:
+    """R5 fixed: op column + the correct image per op (deletes preserved)."""
+    op = (
+        F.when(F.col("tag") == "insert", "I")
+        .when(F.col("tag") == "update", "U")
+        .when(F.col("tag") == "delete", "D")
+    )
+    image = F.when(F.col("tag") == "delete", F.col("old")).otherwise(F.col("new"))
+    return (
+        df.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .withColumn("image", image)
+        .filter(F.col("image").isNotNull())
+    )
+
+
+def flatten_image(df: DataFrame) -> DataFrame:
+    """Surface the image struct as top-level columns next to (lsn, op)."""
+    return df.select("lsn", "op", "image.*")
+
+
+DEFAULT_PIPELINE: tuple[Transformer, ...] = (
+    filter_control_messages,
+    extract_images,
+    flatten_image,
+)
+
+
+def apply_pipeline(df: DataFrame, transformers: tuple[Transformer, ...] = DEFAULT_PIPELINE) -> DataFrame:
+    """The reference's ordered Transformer list (customMapper.ts:27-29),
+    Spark-style: chained pure DataFrame -> DataFrame functions."""
+    for t in transformers:
+        df = df.transform(t)
+    return df

@@ -43,6 +43,7 @@ _MODULES = (
     "llm_text",
     "llm_dedup",
     "llm_similarity",
+    "multimodal",
 )
 
 

@@ -1,0 +1,142 @@
+"""Streaming semantics tests: the CDC file-stream -> foreachBatch upsert
+pipeline (same assertions as the batch golden test, through readStream),
+then watermark/window behavior on replayed event data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from pgcdc_spark.streaming.pipeline import read_envelope_stream, start_upsert_stream
+from pgcdc_spark.streaming.windows import (
+    session_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+from tests.test_cdc import EXPECTED, fixture_lines
+
+
+def _write_chunks(dirpath: str, lines: list[str], chunks: int = 3) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    per = max(1, len(lines) // chunks)
+    for i in range(0, len(lines), per):
+        with open(os.path.join(dirpath, f"chunk_{i:04d}.jsonl"), "w") as f:
+            f.write("\n".join(lines[i : i + per]))
+
+
+def test_stream_upsert_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_chunks(src, fixture_lines())
+
+    changes = read_envelope_stream(spark, src, max_files_per_trigger=1)
+    q = start_upsert_stream(changes, state_dir, ckpt, keys=["id"])
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(state_dir)
+    rows = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
+            for r in state.collect()}
+    assert rows == EXPECTED
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Sink-confirmed offsets: a second run over the same checkpoint must
+    not re-apply (or lose) anything; new files still get picked up."""
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    lines = fixture_lines()
+    _write_chunks(src, lines[:8])
+
+    q = start_upsert_stream(read_envelope_stream(spark, src), state_dir, ckpt, keys=["id"])
+    q.awaitTermination(120)
+
+    # "restart": new query, same checkpoint, remaining events arrive
+    with open(os.path.join(src, "late.jsonl"), "w") as f:
+        f.write("\n".join(lines[8:]))
+    q2 = start_upsert_stream(read_envelope_stream(spark, src), state_dir, ckpt, keys=["id"])
+    q2.awaitTermination(120)
+
+    state = spark.read.parquet(state_dir)
+    rows = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
+            for r in state.collect()}
+    assert rows == EXPECTED
+
+
+def _event_stream(spark, tmp_path, rows):
+    """rows: (event_id, iso_ts, user_id, event_type, value)"""
+    src = str(tmp_path / "events_src")
+    os.makedirs(src, exist_ok=True)
+    for i, chunk in enumerate([rows[: len(rows) // 2], rows[len(rows) // 2 :]]):
+        with open(os.path.join(src, f"ev_{i}.jsonl"), "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"event_id": r[0], "ts": r[1], "user_id": r[2],
+                                    "event_type": r[3], "value": r[4]}) + "\n")
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+    )
+
+
+EVENTS = [
+    (1, "2024-01-01 00:01:00", 1, "click", 1.0),
+    (2, "2024-01-01 00:04:00", 1, "click", 2.0),
+    (3, "2024-01-01 00:12:00", 2, "view", 3.0),
+    (4, "2024-01-01 00:13:00", 1, "click", 4.0),
+    (5, "2024-01-01 00:55:00", 2, "view", 5.0),   # new session for user 2
+    (6, "2024-01-01 01:02:00", 1, "click", 6.0),
+    (7, "2024-01-01 00:02:00", 3, "late", 7.0),    # late event within watermark
+]
+
+
+def _run_to_memory(df, name: str, output_mode: str):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_window_counts(spark, tmp_path):
+    ev = _event_stream(spark, tmp_path, EVENTS)
+    agg = tumbling_counts(ev, "ts_utc", "10 minutes", "2 hours")
+    _run_to_memory(agg, "tumbling_t", "complete")
+    got = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 3),  # events 1,2 + late event 7
+        ("2024-01-01 00:10:00", 2),
+        ("2024-01-01 00:50:00", 1),
+        ("2024-01-01 01:00:00", 1),
+    }
+
+
+def test_session_window_counts(spark, tmp_path):
+    ev = _event_stream(spark, tmp_path, EVENTS)
+    agg = session_counts(ev, "ts_utc", "30 minutes", "2 hours")
+    _run_to_memory(agg, "session_t", "complete")
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM session_t").collect()
+    }
+    # user 1: events at 00:01,00:04,00:13 one session; 01:02 second session
+    assert (1, 3) in got and (1, 1) in got
+    # user 2: 00:12 and 00:55 are separate sessions
+    assert got >= {(2, 1), (3, 1)}
+
+
+def test_streaming_dedup(spark, tmp_path):
+    doubled = EVENTS + EVENTS  # at-least-once duplication
+    ev = _event_stream(spark, tmp_path, doubled)
+    dd = streaming_dedup(ev, ["event_id"], "ts_utc", "2 hours")
+    _run_to_memory(dd, "dedup_t", "append")
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) c FROM dedup_t").collect()[0]["c"]
+    total = spark.sql("SELECT COUNT(*) c FROM dedup_t").collect()[0]["c"]
+    assert n == len(EVENTS)
+    assert total == len(EVENTS)

@@ -31,3 +31,25 @@ def cosine(a: Column, b: Column) -> Column:
     """dot / (sqrt(|a|^2) * sqrt(|b|^2)) — exact expression shape matters
     for cross-engine parity; keep in sync with oracle SQL."""
     return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+
+
+def dot_unrolled(a: Column, b: Column, dims: int) -> Column:
+    """Dot product unrolled to a static expression for a known fixed dim.
+
+    zip_with/aggregate lambdas are CodegenFallback (interpreted per element,
+    allocation-heavy — measurably GC-sensitive in long sessions); a
+    left-associated sum of element_at products compiles under whole-stage
+    codegen and evaluates in the same order as the sequential fold, so
+    results stay bit-identical to ``dot`` (and to DuckDB's
+    list_dot_product). Use on the hot path whenever the dimension is known.
+    """
+    ad, bd = as_double(a), as_double(b)
+    out = F.element_at(ad, 1) * F.element_at(bd, 1)
+    for i in range(2, dims + 1):
+        out = out + F.element_at(ad, i) * F.element_at(bd, i)
+    return out
+
+
+def norm_unrolled(a: Column, dims: int) -> Column:
+    """L2 norm via ``dot_unrolled`` — bit-identical to sqrt(norm_sq(a))."""
+    return F.sqrt(dot_unrolled(a, a, dims))

@@ -19,10 +19,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load
-from ..functions.vectors import cosine, norm_sq
+from ..functions.vectors import dot_unrolled, norm_sq, norm_unrolled
 from . import query
 
 _N_QUERIES = 8
+_DIMS = 64  # fixed embedding dimensionality (TESTDATA.md)
 _TOP_K = 10
 
 _COSINE_ORACLE = f"""
@@ -50,14 +51,29 @@ SELECT qid, vec_id AS neighbor_id, cosine, rank FROM r WHERE rank <= {_TOP_K}
 @query("emb_cosine_topk", oracle=_COSINE_ORACLE, tags=("llm", "similarity"))
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per vector before the join (not per pair):
+    # per pair only the dot product remains — 1 fold instead of 3. Same
+    # doubles as the oracle's per-pair sqrt(dot(x,x)) since the fold is
+    # identical, so the quotient stays bit-identical.
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm_unrolled(F.col("embedding"), _DIMS).alias("qn"),
     )
-    c = emb.select("vec_id", F.col("embedding").alias("e"))
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        norm_unrolled(F.col("embedding"), _DIMS).alias("n"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine(F.col("qe"), F.col("e")).alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot_unrolled(F.col("qe"), F.col("e"), _DIMS)
+             / (F.col("qn") * F.col("n"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -97,16 +113,29 @@ def _bucket_expr(dims: int) -> F.Column:
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     dims = 64
-    base = emb.select(
-        "vec_id", F.col("embedding").alias("e"), F.col("embedding").cast("array<double>").alias("ed")
-    ).withColumn("bucket", _bucket_expr(dims)).drop("ed")
+    base = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("e"),
+            F.col("embedding").cast("array<double>").alias("ed"),
+        )
+        .withColumn("bucket", _bucket_expr(dims))
+        .withColumn("n", norm_unrolled(F.col("e"), _DIMS))
+        .drop("ed")
+    )
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("bucket").alias("qbucket")
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"), F.col("n").alias("qn"),
     )
     scored = (
         base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine(F.col("qe"), F.col("e")).alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot_unrolled(F.col("qe"), F.col("e"), _DIMS)
+             / (F.col("qn") * F.col("n"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

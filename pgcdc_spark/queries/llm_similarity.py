@@ -84,51 +84,84 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- LSH-bucketed ANN (scale path; validated vs brute force in tests) -------
+#
+# Random-hyperplane LSH with OR-amplification: L tables of k planes each.
+# A pair is a candidate iff it lands in the same bucket in ANY table —
+# per-table collision prob for angle t is (1 - t/pi)^k, so L tables give
+# recall 1 - (1 - (1 - t/pi)^k)^L on near neighbors while the candidate
+# set stays ~L * n / 2^k per query instead of the n^2 cross product.
 
-_N_PLANES = 6  # 2^6 = 64 buckets
+_N_TABLES = 8
+_K_PLANES = 4  # 2^4 = 16 buckets per table
 
 
-def _plane_sign(plane: int, dim: int) -> int:
-    """Deterministic pseudo-random +-1 from a counter hash (no RNG: scripts
-    must be reproducible across runs and engines)."""
+def _plane_sign(table: int, plane: int, dim: int) -> int:
+    """Deterministic pseudo-random +-1 from a counter hash (no RNG: runs
+    must be reproducible across engines and sessions)."""
     import hashlib
 
-    h = hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()
+    h = hashlib.md5(f"{table}_{plane}_{dim}".encode()).hexdigest()
     return 1 if int(h[0], 16) % 2 == 0 else -1
 
 
-def _bucket_expr(dims: int) -> F.Column:
-    """Bit-pack the signs of <v, plane_p> into an int bucket id."""
-    bucket = F.lit(0)
-    for p in range(_N_PLANES):
-        terms = None
-        for d in range(dims):
-            t = F.element_at(F.col("ed"), d + 1) * F.lit(float(_plane_sign(p, d)))
-            terms = t if terms is None else terms + t
-        bucket = bucket + F.when(terms >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+def _buckets_expr(dims: int) -> F.Column:
+    """``array<int>`` of one bucket id per table for the vector in ``ed``.
+
+    Built as ONE parsed SQL expression: the plane matrix is an inline
+    array<array<double>> literal and the sign/bit-pack logic is nested
+    higher-order functions. (Unrolling 8x4x64 terms into a py4j-built
+    Column tree takes ~15 s to construct and stalls Catalyst; this parses
+    in milliseconds and evaluates per VECTOR, not per pair, so the
+    interpreted-lambda cost is negligible.)
+    """
+    planes = ", ".join(
+        "array(" + ", ".join(
+            f"{float(_plane_sign(t, p, d))}D" for d in range(dims)
+        ) + ")"
+        for t in range(_N_TABLES)
+        for p in range(_K_PLANES)
+    )
+    return F.expr(
+        f"""
+        transform(sequence(0, {_N_TABLES - 1}), t ->
+          aggregate(sequence(0, {_K_PLANES - 1}), 0, (acc, p) ->
+            acc + IF(
+              aggregate(
+                zip_with(ed, element_at(array({planes}), t * {_K_PLANES} + p + 1),
+                         (x, w) -> x * w),
+                0.0D, (a, x) -> a + x) >= 0D,
+              shiftleft(1, p), 0)))
+        """
+    )
 
 
 @query("emb_lsh_ann_topk", oracle=None, tags=("llm", "similarity", "lsh"))
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
-    dims = 64
     base = (
         emb.select(
             "vec_id",
             F.col("embedding").alias("e"),
             F.col("embedding").cast("array<double>").alias("ed"),
         )
-        .withColumn("bucket", _bucket_expr(dims))
         .withColumn("n", norm_unrolled(F.col("e"), _DIMS))
-        .drop("ed")
+        .select(
+            "vec_id", "e", "n",
+            F.posexplode(_buckets_expr(_DIMS)).alias("t", "bucket"),
+        )
     )
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"), F.col("n").alias("qn"),
+        F.col("n").alias("qn"), F.col("t").alias("qt"), F.col("bucket").alias("qbucket"),
     )
+    # Score per (table) collision, then dedup on the scalar result columns:
+    # a pair colliding in several tables yields identical rows, so DISTINCT
+    # after scoring avoids a join-back for the vector payloads.
     scored = (
-        base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        base.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
+        )
         .filter(F.col("qid") != F.col("vec_id"))
         .select(
             "qid",
@@ -136,6 +169,7 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot_unrolled(F.col("qe"), F.col("e"), _DIMS)
              / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

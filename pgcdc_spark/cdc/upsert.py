@@ -29,28 +29,41 @@ def latest_state(
     order_by: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Materialize current state from a change log (last image per key,
-    deletes removing the key)."""
+    deletes removing the key).
+
+    ``keep_deletes=True`` keeps the winning delete rows as TOMBSTONES
+    instead of dropping them — required whenever the result is merged
+    again with more changes (a dropped delete would resurrect the key if
+    an older insert arrives in a later/reordered batch). Readers filter
+    ``op != delete_op`` at the end; see streaming/pipeline.read_state.
+    """
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
-    return (
+    winners = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != delete_op)
         .drop("__rn")
     )
+    if keep_deletes:
+        return winners
+    return winners.filter(F.col(op_col) != delete_op)
 
 
 def merge_batch(state: DataFrame, batch: DataFrame, keys: list[str], order_by: list[str],
                 op_col: str = "op", delete_op: str = "D") -> DataFrame:
     """Merge a new micro-batch of changes into an existing materialized state.
 
-    Used by the streaming foreachBatch sink (pgcdc_spark/streaming): state
-    rows are treated as upserts that sort before any batch change.
+    Used by the streaming foreachBatch sink (pgcdc_spark/streaming). The
+    state is itself a change log compacted to one row per key (op and
+    order columns retained, deletes as tombstones), so merging is just
+    union + re-compact — commutative across batches, which makes the
+    pipeline safe under micro-batch reordering and replay.
+
+    Tombstone retention: unbounded here. At 100 TB with out-of-orderness
+    bounded by the source (e.g. one WAL slot), tombstones older than the
+    replay horizon can be compacted away periodically.
     """
-    state_as_changes = state.withColumn(op_col, F.lit("U"))
-    for c in batch.columns:
-        if c not in state_as_changes.columns:
-            state_as_changes = state_as_changes.withColumn(c, F.lit(None))
-    combined = state_as_changes.select(batch.columns).unionByName(batch)
-    return latest_state(combined, keys, order_by, op_col, delete_op)
+    combined = state.select(batch.columns).unionByName(batch)
+    return latest_state(combined, keys, order_by, op_col, delete_op, keep_deletes=True)

@@ -39,6 +39,7 @@ _MODULES = (
     "windows",
     "setops",
     "events_json",
+    "collections",
     "cdc_state",
     "llm_text",
     "llm_dedup",

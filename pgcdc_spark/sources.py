@@ -1,0 +1,108 @@
+"""Batch sources/sinks beyond parquet (SURVEY.md §2.2 sources table).
+
+Replaces the reference's two ingestion paths with distributed reads:
+
+- R2 snapshot scan (SELECT * buffered row-by-row into a driver array,
+  src/database/postgresql/PostgresOperation.ts:69-86): `read_jdbc` with
+  range partitioning — N executors each pull a key range; nothing is
+  collected to the driver.
+- R3 ad-hoc passthrough (src/database/postgresql/PostgresPg.ts:5-14):
+  `spark.sql` over views registered by catalog.register_views.
+
+Every reader takes an EXPLICIT schema: schema inference reads the data
+twice and can silently mistype columns — the engine treats the schema as
+part of the contract (the checked analogue of the reference's io-ts
+intent, src/model/student.ts:3-9, which it then bypassed with an
+unchecked cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .session import configure_session
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    configure_session(spark)
+    reader = (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("header", str(header).lower())
+        # Dead-letter discipline matches cdc/envelope.py: bad lines null
+        # out, and mode can be overridden to FAILFAST by callers.
+        .option("mode", options.pop("mode", "PERMISSIVE"))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **options: str,
+) -> DataFrame:
+    configure_session(spark)
+    reader = spark.read.format("json").schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    **options: str,
+) -> DataFrame:
+    """Distributed JDBC snapshot (R2). With a numeric `partition_column`
+    (typically the PK) the scan issues `num_partitions` range queries in
+    parallel; without one it degrades to a single-connection read, which
+    is only acceptable for dimension tables. Untested in this container
+    (no live database) — the code path mirrors spark.read.jdbc docs."""
+    configure_session(spark)
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("range partitioning needs lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Parquet sink; `partition_by` chooses the pruning key for readers
+    (e.g. an event-date column so date filters skip whole directories)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -69,14 +69,16 @@ def start_upsert_stream(
         if batch_df.isEmpty():
             return
         try:
-            state = spark.read.parquet(state_dir)
-            combined = state.unionByName(batch_df)
+            combined = spark.read.parquet(state_dir).unionByName(batch_df)
         except Exception:  # first batch: no state yet
             combined = batch_df
+        # keep_deletes: tombstones stay in the stored state so merge order
+        # cannot resurrect a deleted key (file-stream batches are NOT
+        # guaranteed to arrive in filename order); read_state filters them.
         new_state = latest_state(
-            combined, keys=list(keys), order_by=list(order_by), op_col="op"
+            combined, keys=list(keys), order_by=list(order_by), op_col="op",
+            keep_deletes=True,
         )
-        # Keep op/lsn in the state so later merges re-order correctly.
         new_state.write.mode("overwrite").parquet(state_dir + "_tmp")
         tmp = spark.read.parquet(state_dir + "_tmp")
         tmp.write.mode("overwrite").parquet(state_dir)
@@ -87,6 +89,11 @@ def start_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the materialized table: live rows only (tombstones filtered)."""
+    return spark.read.parquet(state_dir).filter(F.col("op") != "D")
 
 
 def materialize_batch(

@@ -10,7 +10,11 @@ import os
 
 import pyspark.sql.functions as F
 
-from pgcdc_spark.streaming.pipeline import read_envelope_stream, start_upsert_stream
+from pgcdc_spark.streaming.pipeline import (
+    read_envelope_stream,
+    read_state,
+    start_upsert_stream,
+)
 from pgcdc_spark.streaming.windows import (
     session_counts,
     streaming_dedup,
@@ -37,7 +41,7 @@ def test_stream_upsert_matches_batch(spark, tmp_path):
     q = start_upsert_stream(changes, state_dir, ckpt, keys=["id"])
     q.awaitTermination(120)
 
-    state = spark.read.parquet(state_dir)
+    state = read_state(spark, state_dir)
     rows = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
             for r in state.collect()}
     assert rows == EXPECTED
@@ -61,7 +65,7 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     q2 = start_upsert_stream(read_envelope_stream(spark, src), state_dir, ckpt, keys=["id"])
     q2.awaitTermination(120)
 
-    state = spark.read.parquet(state_dir)
+    state = read_state(spark, state_dir)
     rows = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
             for r in state.collect()}
     assert rows == EXPECTED

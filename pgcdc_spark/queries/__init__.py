@@ -35,6 +35,7 @@ REGISTRY: dict[str, "QueryDef"] = {}
 _MODULES = (
     "relational",
     "joins",
+    "subqueries",
     "aggregates",
     "windows",
     "setops",

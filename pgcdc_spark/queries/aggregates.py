@@ -274,3 +274,29 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+# --- grouping sets (generalizes rollup/cube: explicit grouping lattice) -----
+# Declared in SQL: Expand + one hash aggregate — each input row is emitted
+# once per grouping set, then partially aggregated map-side, so the shuffle
+# carries |sets| x |distinct keys| rows, not |sets| x |input|.
+
+_GROUPING_SETS_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("agg", "groupingsets"))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -137,14 +137,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_ORACLE = """
 SELECT c_custkey, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND EXTRACT(year FROM o_orderdate) = 1996
+)
 """
 
 
 @query("join_anti", oracle=_ANTI_ORACLE, tags=("join", "anti"))
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Restricted to 1996 orders so the result is non-empty on the test data
+    # (every custkey appears in orders overall, so the unrestricted anti-join
+    # would be a vacuous 0-row check).
     cust, orders = load(spark, sf_dir, "customer", "orders")
-    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+    o96 = orders.filter(F.year("o_orderdate") == 1996)
+    return cust.join(o96, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
 

@@ -215,3 +215,115 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("norm").cast("decimal(28,9)")).cast("double").alias("sum_norm"),
         )
     )
+
+
+# --- IVF-style ANN (coarse quantizer -> probe nprobe cells -> exact rank) ---
+#
+# The scale path complementing the LSH variant: a small deterministic
+# centroid set acts as the coarse quantizer (rule: vec_id % 53 == 1 — a
+# stand-in for k-means, chosen so DuckDB can mirror it and results are
+# reproducible). Every vector is assigned to its nearest centroid
+# (broadcast of the centroid table — the n x |C| scoring never shuffles the
+# big side); each query probes its `nprobe` nearest cells and ranks
+# exactly within them. At 100 TB: |C| ~ sqrt(n) centroids, assignment is a
+# map-only pass, and the candidate join shuffles on cell id — cells are the
+# partitioning unit, which is exactly how a distributed IVF index shards.
+# Fully oracle-checked (unlike the LSH variant): recall loss vs brute force
+# is deterministic given the fixed quantizer, so both engines agree.
+
+_CENT_MOD = 53
+_N_PROBE = 2
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_CENT_MOD} = 1
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_dot_product(q.v, c.cv)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid) AS rn
+    FROM e q, cent c WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_N_PROBE}
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probe p JOIN asg a ON a.cid = p.cid
+  WHERE a.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+    list_dot_product(q.v, e.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.qid
+  JOIN e   ON e.vec_id = c.vec_id
+)
+SELECT qid, vec_id AS neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("emb_ivf_ann_topk", oracle=_IVF_ORACLE, tags=("llm", "similarity", "ivf"))
+def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        norm_unrolled(F.col("embedding"), _DIMS).alias("n"),
+    )
+    cent = base.filter(F.col("vec_id") % _CENT_MOD == 1).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+
+    def nearest_cells(side: DataFrame, id_col: str, k: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent)).select(
+            id_col, "e", "n", "cid",
+            (dot_unrolled(F.col("e"), F.col("ce"), _DIMS)
+             / (F.col("n") * F.col("cn"))).alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "e", "n", "cid")
+        )
+
+    asg = nearest_cells(base, "vec_id", 1)
+    probe = nearest_cells(
+        base.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "e", "n"),
+        "qid", _N_PROBE,
+    ).select("qid", F.col("e").alias("qe"), F.col("n").alias("qn"), "cid")
+    scored = (
+        asg.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (dot_unrolled(F.col("qe"), F.col("e"), _DIMS)
+             / (F.col("qn") * F.col("n"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )

@@ -268,3 +268,38 @@ def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
     )
+
+
+# --- decimal cast + exact decimal arithmetic (SURVEY.md §2.2 scalar table) --
+# disc_price/charge are exact DECIMAL products (scale 4+4=8 fits with no
+# rounding), emitted as doubles: the double conversion of an exact decimal
+# is correctly rounded on both engines, so values hash identically.
+
+_DECIMAL_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc_price,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+       * (1 - CAST(l_discount AS DECIMAL(18,4)))
+       * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS charge,
+  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_dec_str
+FROM lineitem
+WHERE l_quantity >= 49
+"""
+
+
+@query("scalar_decimal_arith", oracle=_DECIMAL_ORACLE, tags=("scalar", "decimal"))
+def scalar_decimal_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    return li.filter(F.col("l_quantity") >= 49).select(
+        "l_orderkey",
+        "l_linenumber",
+        (price * (F.lit(1) - disc)).cast("double").alias("disc_price"),
+        (price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("charge"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("string").alias("qty_dec_str"),
+    )

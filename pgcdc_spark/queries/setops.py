@@ -99,18 +99,27 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXCEPT_ORACLE = """
-SELECT c_custkey AS custkey FROM customer
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
 EXCEPT
-SELECT o_custkey FROM orders
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
 """
 
 
 @query("setop_except", oracle=_EXCEPT_ORACLE, tags=("setop",))
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust, orders = load(spark, sf_dir, "customer", "orders")
-    return cust.select(F.col("c_custkey").alias("custkey")).exceptAll(
-        orders.select(F.col("o_custkey").alias("custkey"))
-    ).distinct()
+    # Customers who ordered in 1995 but not 1996 — non-empty on the test
+    # data, unlike customer-minus-orders (FKs have full coverage).
+    # subtract() IS SQL EXCEPT (set semantics: drop a value if it appears
+    # in b at all); exceptAll().distinct() would be wrong — multiset
+    # except keeps values that are merely MORE frequent in a than in b.
+    (orders,) = load(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)
 
 
 # --- distinct over expressions ----------------------------------------------
@@ -162,3 +171,47 @@ def dedup_by_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("latest_price"),
         )
     )
+
+
+# --- intersect all / except all (multiset semantics) ------------------------
+# The ALL variants preserve multiplicity: a value occurring x times in a and
+# y times in b appears max(x-y,0) times (EXCEPT ALL) / min(x,y) times
+# (INTERSECT ALL). Spark plans both as aggregate-count + generate — one
+# shuffle, no join.
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+@query("setop_except_all", oracle=_EXCEPT_ALL_ORACLE, tags=("setop",))
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+@query("setop_intersect_all", oracle=_INTERSECT_ALL_ORACLE, tags=("setop",))
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)

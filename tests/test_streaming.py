@@ -144,3 +144,65 @@ def test_streaming_dedup(spark, tmp_path):
     total = spark.sql("SELECT COUNT(*) c FROM dedup_t").collect()[0]["c"]
     assert n == len(EVENTS)
     assert total == len(EVENTS)
+
+
+# --- streaming joins --------------------------------------------------------
+
+from pgcdc_spark.streaming.joins import (  # noqa: E402
+    stream_static_enrich,
+    stream_stream_interval_join,
+)
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    ev = _event_stream(spark, tmp_path, EVENTS)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id LONG, tier STRING"
+    )
+    out = stream_static_enrich(ev.select("event_id", "user_id"), dim, "user_id")
+    _run_to_memory(out, "enrich_t", "append")
+    got = {(r["event_id"], r["tier"])
+           for r in spark.sql("SELECT * FROM enrich_t").collect()}
+    # left join: user 3 has no dim row -> null tier survives
+    assert got == {(1, "gold"), (2, "gold"), (4, "gold"), (6, "gold"),
+                   (3, "silver"), (5, "silver"), (7, None)}
+
+
+def _named_event_stream(spark, tmp_path, rows, name):
+    src = str(tmp_path / f"{name}_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "part0.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps({"event_id": r[0], "ts": r[1], "user_id": r[2],
+                                "event_type": r[3], "value": r[4]}) + "\n")
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+    return (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts_utc", F.to_timestamp("ts"))
+    )
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    clicks = [
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:30:00", 2, "click", 2.0),
+    ]
+    buys = [
+        (10, "2024-01-01 00:05:00", 1, "buy", 9.0),   # 4 min after click 1 -> joins
+        (11, "2024-01-01 00:50:00", 2, "buy", 8.0),   # 20 min after click 2 -> outside bound
+        (12, "2024-01-01 00:00:30", 1, "buy", 7.0),   # BEFORE click 1 -> outside [0, +10m]
+    ]
+    l = _named_event_stream(spark, tmp_path, clicks, "clicks").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("uid"),
+        F.col("ts_utc").alias("click_ts"))
+    r = _named_event_stream(spark, tmp_path, buys, "buys").select(
+        F.col("event_id").alias("buy_id"), F.col("user_id").alias("uid"),
+        F.col("ts_utc").alias("buy_ts"))
+    joined = stream_stream_interval_join(
+        l, r, key="uid", left_ts="click_ts", right_ts="buy_ts",
+        watermark="2 hours", upper="INTERVAL 10 MINUTES",
+    ).select("click_id", "buy_id")
+    _run_to_memory(joined, "ssj_t", "append")
+    got = {(row["click_id"], row["buy_id"])
+           for row in spark.sql("SELECT * FROM ssj_t").collect()}
+    assert got == {(1, 10)}

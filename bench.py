@@ -49,11 +49,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    # Warm-up pass: first touch pays JVM/codegen warm-up and parquet footer
+    # reads; the measured pass below is steady-state, like a long-running job.
+    for name in HEADLINE:
+        qs[name].fn(spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = qs[name]
-        # Warm the input cache path once (first touch pays parquet footer
-        # reads + JVM codegen); measured run is steady-state like a long job.
         t0 = time.perf_counter()
         rows = qd.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -53,3 +53,31 @@ def dot_unrolled(a: Column, b: Column, dims: int) -> Column:
 def norm_unrolled(a: Column, dims: int) -> Column:
     """L2 norm via ``dot_unrolled`` — bit-identical to sqrt(norm_sq(a))."""
     return F.sqrt(dot_unrolled(a, a, dims))
+
+
+def dot_unrolled_expr(a: str, b: str, dims: int, cast: bool = True) -> Column:
+    """``dot_unrolled`` built as ONE parsed SQL string from column NAMES.
+
+    The py4j variant above constructs ~4*dims JVM expression nodes via
+    round-trips (~1s of driver time per plan at dims=64); parsing a single
+    generated string costs milliseconds and yields the same left-associated
+    element_at/multiply/add tree, so results stay bit-identical.
+
+    ``cast=False`` requires the inputs to ALREADY be ``array<double>``.
+    Use that on pair-level hot paths (joins): a textual per-term CAST is a
+    separate node per term, which interpreted eval re-executes — O(dims^2)
+    array casts per pair. Pre-cast once per ROW in the select before the
+    join instead (float->double is exact, so results are unchanged).
+    """
+    fmt = "CAST({c} AS ARRAY<DOUBLE>)" if cast else "{c}"
+    ad, bd = fmt.format(c=a), fmt.format(c=b)
+    terms = " + ".join(
+        f"element_at({ad}, {i}) * element_at({bd}, {i})"
+        for i in range(1, dims + 1)
+    )
+    return F.expr(terms)
+
+
+def norm_unrolled_expr(a: str, dims: int, cast: bool = True) -> Column:
+    """L2 norm from a column name — bit-identical to ``norm_unrolled``."""
+    return F.sqrt(dot_unrolled_expr(a, a, dims, cast=cast))

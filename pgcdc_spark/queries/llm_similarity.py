@@ -19,7 +19,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load
-from ..functions.vectors import dot_unrolled, norm_sq, norm_unrolled
+from ..functions.vectors import (
+    dot_unrolled_expr,
+    norm_sq,
+    norm_unrolled_expr,
+)
 from . import query
 
 _N_QUERIES = 8
@@ -57,13 +61,13 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical, so the quotient stays bit-identical.
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        norm_unrolled(F.col("embedding"), _DIMS).alias("qn"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        norm_unrolled_expr("embedding", _DIMS).alias("qn"),
     )
     c = emb.select(
         "vec_id",
-        F.col("embedding").alias("e"),
-        norm_unrolled(F.col("embedding"), _DIMS).alias("n"),
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_unrolled_expr("embedding", _DIMS).alias("n"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -71,7 +75,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            (dot_unrolled(F.col("qe"), F.col("e"), _DIMS)
+            (dot_unrolled_expr("qe", "e", _DIMS, cast=False)
              / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
     )
@@ -141,10 +145,10 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         emb.select(
             "vec_id",
-            F.col("embedding").alias("e"),
+            F.col("embedding").cast("array<double>").alias("e"),
             F.col("embedding").cast("array<double>").alias("ed"),
         )
-        .withColumn("n", norm_unrolled(F.col("e"), _DIMS))
+        .withColumn("n", norm_unrolled_expr("e", _DIMS, cast=False))
         .select(
             "vec_id", "e", "n",
             F.posexplode(_buckets_expr(_DIMS)).alias("t", "bucket"),
@@ -166,7 +170,7 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            (dot_unrolled(F.col("qe"), F.col("e"), _DIMS)
+            (dot_unrolled_expr("qe", "e", _DIMS, cast=False)
              / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
         .distinct()
@@ -286,8 +290,8 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
-        F.col("embedding").alias("e"),
-        norm_unrolled(F.col("embedding"), _DIMS).alias("n"),
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_unrolled_expr("embedding", _DIMS).alias("n"),
     )
     cent = base.filter(F.col("vec_id") % _CENT_MOD == 1).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
@@ -296,7 +300,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_cells(side: DataFrame, id_col: str, k: int) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cent)).select(
             id_col, "e", "n", "cid",
-            (dot_unrolled(F.col("e"), F.col("ce"), _DIMS)
+            (dot_unrolled_expr("e", "ce", _DIMS, cast=False)
              / (F.col("n") * F.col("cn"))).alias("ccos"),
         )
         w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
@@ -317,7 +321,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
-            (dot_unrolled(F.col("qe"), F.col("e"), _DIMS)
+            (dot_unrolled_expr("qe", "e", _DIMS, cast=False)
              / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
     )

@@ -81,3 +81,33 @@ def dot_unrolled_expr(a: str, b: str, dims: int, cast: bool = True) -> Column:
 def norm_unrolled_expr(a: str, dims: int, cast: bool = True) -> Column:
     """L2 norm from a column name — bit-identical to ``norm_unrolled``."""
     return F.sqrt(dot_unrolled_expr(a, a, dims, cast=cast))
+
+
+def dot_fold_expr(a: str, b: str, cast: bool = False) -> Column:
+    """Sequential-fold dot product as one tiny parsed expression — THE hot-path
+    form.
+
+    Measured on local[32] (pyspark 4.1): the higher-order fold matches the
+    unrolled form's throughput (~50 ns/row at dims=64) in a clean session,
+    and unlike it stays fast in long many-query sessions: the unrolled
+    variant generates a >8 KB-bytecode method that HotSpot refuses to JIT
+    (-XX:DontCompileHugeMethods), so whole queries intermittently run on
+    interpreted bytecode at ~60 us/pair. The fold's generated code is a few
+    lines, always JIT-able, and its plan parses in microseconds.
+
+    Fold order is left-to-right with a 0.0 seed — bit-identical to the
+    unrolled left-associated sum and to DuckDB's list_dot_product on
+    DOUBLE[] (verified by the oracle gate). With ``cast=False`` inputs must
+    already be array<double>: zip_with multiplies in the ELEMENT type, so
+    float inputs would lose precision before the widening.
+    """
+    if cast:
+        a, b = f"CAST({a} AS ARRAY<DOUBLE>)", f"CAST({b} AS ARRAY<DOUBLE>)"
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_fold_expr(a: str, cast: bool = False) -> Column:
+    """L2 norm from a column name via ``dot_fold_expr`` — hot-path form."""
+    return F.sqrt(dot_fold_expr(a, a, cast=cast))

@@ -19,11 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load
-from ..functions.vectors import (
-    dot_unrolled_expr,
-    norm_sq,
-    norm_unrolled_expr,
-)
+from ..functions.vectors import dot_fold_expr, norm_fold_expr, norm_sq
 from . import query
 
 _N_QUERIES = 8
@@ -62,12 +58,12 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
-        norm_unrolled_expr("embedding", _DIMS).alias("qn"),
+        norm_fold_expr("embedding", cast=True).alias("qn"),
     )
     c = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
-        norm_unrolled_expr("embedding", _DIMS).alias("n"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -75,7 +71,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            (dot_unrolled_expr("qe", "e", _DIMS, cast=False)
+            (dot_fold_expr("qe", "e")
              / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
     )
@@ -148,7 +144,7 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("e"),
             F.col("embedding").cast("array<double>").alias("ed"),
         )
-        .withColumn("n", norm_unrolled_expr("e", _DIMS, cast=False))
+        .withColumn("n", norm_fold_expr("e"))
         .select(
             "vec_id", "e", "n",
             F.posexplode(_buckets_expr(_DIMS)).alias("t", "bucket"),
@@ -170,7 +166,7 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            (dot_unrolled_expr("qe", "e", _DIMS, cast=False)
+            (dot_fold_expr("qe", "e")
              / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
         .distinct()
@@ -291,7 +287,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
-        norm_unrolled_expr("embedding", _DIMS).alias("n"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
     )
     cent = base.filter(F.col("vec_id") % _CENT_MOD == 1).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
@@ -300,7 +296,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_cells(side: DataFrame, id_col: str, k: int) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cent)).select(
             id_col, "e", "n", "cid",
-            (dot_unrolled_expr("e", "ce", _DIMS, cast=False)
+            (dot_fold_expr("e", "ce")
              / (F.col("n") * F.col("cn"))).alias("ccos"),
         )
         w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
@@ -321,7 +317,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid", "vec_id",
-            (dot_unrolled_expr("qe", "e", _DIMS, cast=False)
+            (dot_fold_expr("qe", "e")
              / (F.col("qn") * F.col("n"))).alias("cosine"),
         )
     )

@@ -34,6 +34,7 @@ REGISTRY: dict[str, "QueryDef"] = {}
 # Modules that define queries; imported lazily by all_queries().
 _MODULES = (
     "relational",
+    "tpch_extra",
     "joins",
     "subqueries",
     "aggregates",

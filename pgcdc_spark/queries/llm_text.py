@@ -244,3 +244,63 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", head.alias("head_fp"), winnow.alias("winnow_fp"))
+
+
+# --- TF-IDF top terms per document -----------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * ROUND(LN((n.n + 1.0) / (df.df + 1.0)), 9), 9) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+"""
+
+
+@query("docs_tfidf", oracle=_TFIDF_ORACLE, tags=("llm", "text", "tfidf"))
+def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Two aggs over one tokenize pass
+    (tf by (doc,term), df by term), then a broadcast of the tiny df/N
+    sides back onto tf — the fact-sized side shuffles once, on its own
+    group key. LN differs in the last ulp across libms, so idf is rounded
+    to 9 decimals on both engines before the (exact) multiply, and the
+    product is rounded again for a stable hash."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nrow = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 9)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf").cast("double") * idf, 9).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

@@ -292,3 +292,44 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
     )
     return joined.select("event_id", "user_id", F.col("event_id_asof").alias("click_event_id"))
+
+
+# --- salted skew join (engine helper; result identical to plain join) -------
+
+_SALTED_ORACLE = """
+SELECT
+  o.o_orderpriority,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("join_salted_skew", oracle=_SALTED_ORACLE, tags=("join", "skew", "custom"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join helper driven through a real aggregation: lineitem's
+    l_orderkey is spread over 16 salts so a pathological hot order would
+    land on 16 reducers instead of one. The oracle is the PLAIN join —
+    salting must be semantically invisible."""
+    from ..operators.salted import salted_join
+
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    j = salted_join(
+        li.select("l_orderkey", "l_extendedprice"),
+        orders.select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        n_salts=16,
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -102,3 +102,34 @@ def materialize_batch(
     """Batch twin of the streaming pipeline (snapshot bootstrap, §3.2)."""
     changes = apply_pipeline(envelope_df)
     return latest_state(changes, keys=list(keys), order_by=list(order_by), op_col="op")
+
+
+def snapshot_then_stream(
+    snapshot: DataFrame,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    snapshot_lsn: str = "0/0",
+    row_schema: StructType = STUDENT_SCHEMA,
+) -> StreamingQuery:
+    """The CDC bootstrap the reference designed and then disabled
+    (snapshot import commented out at src/main.ts:164-179, which left its
+    snapshot/stream LSN-consistency problem unsolved): batch-load the
+    current table image, THEN tail the change stream from the slot.
+
+    Consistency here comes from the upsert merge's total order, not from
+    coordinating a cutover LSN: snapshot rows are written as insert images
+    at ``snapshot_lsn`` (sorting below any real change), so a change that
+    is older than the snapshot can never overwrite a newer snapshot image,
+    and replayed batches stay idempotent. The returned query's checkpoint
+    then owns the stream position.
+    """
+    spark = snapshot.sparkSession
+    image = (
+        snapshot.withColumn("op", F.lit("I")).withColumn("lsn", F.lit(snapshot_lsn))
+    )
+    latest_state(image, keys=list(keys), order_by=["lsn"], op_col="op",
+                 keep_deletes=True).write.mode("overwrite").parquet(state_dir)
+    changes = read_envelope_stream(spark, source_dir, row_schema)
+    return start_upsert_stream(changes, state_dir, checkpoint_dir, keys=list(keys))

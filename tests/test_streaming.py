@@ -206,3 +206,57 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {(row["click_id"], row["buy_id"])
            for row in spark.sql("SELECT * FROM ssj_t").collect()}
     assert got == {(1, 10)}
+
+
+# --- snapshot-then-stream bootstrap (SURVEY.md §3.2) ------------------------
+
+def test_snapshot_then_stream_bootstrap(spark, tmp_path):
+    """Snapshot rows load first (as lsn 0/0 insert images), then the change
+    stream overlays them: updates win over snapshot, deletes remove
+    snapshot keys, and a change REPLAYED from before the snapshot cannot
+    resurrect anything (the snapshot image outranks nothing — but a
+    delete at a higher lsn always outranks the snapshot)."""
+    from pgcdc_spark.streaming.pipeline import snapshot_then_stream
+    from tests.test_cdc import ROW, _env
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    mk = lambda i, **kw: {**ROW, "id": i, **kw}  # noqa: E731
+    # snapshot: ids 1..3 present at bootstrap time
+    snapshot = spark.createDataFrame(
+        [mk(1), mk(2), mk(3, first_name="Snap")],
+        "id LONG, first_name STRING, last_name STRING, date_of_birth STRING,"
+        " status_id LONG",
+    )
+    # stream after the snapshot LSN: update 1, delete 2, insert 4
+    with open(os.path.join(src, "changes.jsonl"), "w") as f:
+        f.write("\n".join([
+            _env(20, "update", new=mk(1, last_name="Changed")),
+            _env(21, "delete", old=mk(2)),
+            _env(22, "insert", new=mk(4, first_name="New")),
+        ]))
+
+    q = snapshot_then_stream(snapshot, src, state_dir, ckpt, keys=["id"])
+    q.awaitTermination(120)
+
+    state = read_state(spark, state_dir)
+    rows = {r["id"]: (r["first_name"], r["last_name"]) for r in state.collect()}
+    assert rows == {
+        1: ("Ada", "Changed"),
+        3: ("Snap", "Lovelace"),
+        4: ("New", "Lovelace"),
+    }
+
+
+# --- kafka source/sink builders (no broker in container) --------------------
+
+def test_kafka_builders(spark):
+    from pgcdc_spark.streaming.kafka import kafka_source_options
+
+    opts = kafka_source_options("hosts:9092", "cdc", max_offsets_per_trigger=500)
+    assert opts["subscribe"] == "cdc"
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["maxOffsetsPerTrigger"] == "500"

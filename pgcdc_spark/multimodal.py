@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -101,3 +102,85 @@ def documents_as_multimodal(docs: DataFrame) -> DataFrame:
         F.lit("text").alias("modality"),
         F.col("text").cast("binary").alias("payload"),
     )
+
+
+# --- resize (per-row transform) ---------------------------------------------
+
+MM_RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(mm: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize image payloads to (width, height) — mapInPandas, 1 row in ->
+    1 row out. The fake path truncates/zero-pads the payload to
+    ``width*height`` bytes (deterministic), standing in for a real
+    PIL.Image.resize; the Arrow plumbing (binary in, binary out, typed
+    dims) is the tested deliverable."""
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                decoded = decode_payload(p, m, fake=fake)
+                raw = bytes(decoded)
+                out.append(raw[:target].ljust(target, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return mm.mapInPandas(run, schema=MM_RESIZED_SCHEMA)
+
+
+# --- frame sampling (1 -> N expansion) --------------------------------------
+
+MM_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    mm: DataFrame, frame_bytes: int = 16, every_n: int = 2, max_frames: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame (up to ``max_frames``) from video
+    payloads — the 1->N expansion shape (a UDTF in SQL terms) through
+    mapInPandas: output batches need NOT align row-for-row with input
+    batches, only with the declared schema. The fake path treats the
+    payload as fixed-size byte frames, standing in for a real
+    decord/ffmpeg frame decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["modality"]):
+                raw = bytes(decode_payload(p, m, fake=fake))
+                all_frames = [
+                    raw[i : i + frame_bytes]
+                    for i in range(0, len(raw), frame_bytes)
+                ]
+                for k, fr in enumerate(all_frames[::every_n][:max_frames]):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(fr)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return mm.mapInPandas(run, schema=MM_FRAME_SCHEMA)

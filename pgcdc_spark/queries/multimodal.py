@@ -45,3 +45,33 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are asserted in tests/test_multimodal.py."""
     (docs,) = load(spark, sf_dir, "documents")
     return extract_features(documents_as_multimodal(docs), fake=True)
+
+
+@query("mm_resize", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake resize to 16x8 "pixels" (truncate/pad payload to
+    128 bytes) through mapInPandas. Rows-only driver check (DuckDB has no
+    md5 over BLOB); exact bytes are asserted in tests/test_llm.py."""
+    from ..multimodal import resize_images
+
+    (docs,) = load(spark, sf_dir, "documents")
+    resized = resize_images(documents_as_multimodal(docs), width=16, height=8)
+    return resized.select(
+        "doc_id", "modality", "width", "height",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+@query("mm_frame_sample", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd 16-byte "frame" (max 4) per payload — the 1->N UDTF shape
+    through mapInPandas. Rows-only driver check; exact frame bytes are
+    asserted in tests/test_llm.py."""
+    from ..multimodal import sample_frames
+
+    (docs,) = load(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_multimodal(docs))
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )

@@ -133,3 +133,34 @@ def test_fingerprint_and_quality_deterministic(spark, sf_smoke):
         a = sorted(map(tuple, _df(name, spark, sf_smoke).collect()))
         b = sorted(map(tuple, _df(name, spark, sf_smoke).collect()))
         assert a == b, name
+
+
+# --- multimodal resize / frame sampling -------------------------------------
+
+def test_mm_resize_exact_bytes(spark):
+    from pgcdc_spark.multimodal import documents_as_multimodal, resize_images
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 300)], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: bytes(r["payload"])
+           for r in resize_images(documents_as_multimodal(docs), 16, 8).collect()}
+    assert out[1] == b"short" + b"\0" * (128 - 5)      # padded
+    assert out[2] == b"x" * 128                         # truncated
+    assert all(len(p) == 128 for p in out.values())
+
+
+def test_mm_frame_sample_expansion(spark):
+    from pgcdc_spark.multimodal import documents_as_multimodal, sample_frames
+
+    # 96 bytes -> frames of 16 -> 6 frames -> every 2nd -> idx 0,1,2 (cap 4)
+    docs = spark.createDataFrame(
+        [(1, "ABCDEFGHIJKLMNOP" * 6), (2, "tiny")], "doc_id LONG, text STRING"
+    )
+    rows = sample_frames(documents_as_multimodal(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    assert [i for i, _ in sorted(by_doc[1])] == [0, 1, 2]
+    assert sorted(by_doc[1])[0][1] == b"ABCDEFGHIJKLMNOP"
+    assert by_doc[2] == [(0, b"tiny")]  # single partial frame

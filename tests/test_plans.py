@@ -1,0 +1,84 @@
+"""Physical-plan shape tests — the 100 TB posture, enforced.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one that survives a 1000-executor scale-up (SURVEY.md §4.2): filters
+reach the parquet scan, small sides broadcast, disjunctive join predicates
+keep their equi-key (no cartesian blowup), aggregation is partial before
+the shuffle, and top-k uses WindowGroupLimit instead of a full sort.
+A refactor that silently regresses any of these fails here long before a
+benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pgcdc_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_scan(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    scan = plan[plan.index("FileScan") :]
+    head = scan[:1200]
+    # All three predicates must reach the parquet reader (row-group skipping
+    # at scale), and the scan must read only the 4 referenced columns.
+    assert "PushedFilters" in head
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in head.split("ReadSchema")[0], f"{col} not pushed"
+    read_schema = head.split("ReadSchema:")[1]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema, "column pruning regressed"
+
+
+@pytest.mark.parametrize("name", ["q5_local_supplier_volume", "q14_promo_share",
+                                  "q18_large_orders"])
+def test_dim_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dim join no longer broadcast"
+
+
+def test_q19_keeps_equi_key(spark):
+    """The OR-bracket predicate must not demote the join to a nested-loop /
+    cartesian plan — Catalyst extracts the common p_partkey equi-key."""
+    plan = _plan(spark, "q19_disjunctive_brackets")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Partial (map-side) agg must run before the exchange so the shuffle
+    moves |groups| rows per partition, not |lineitem|."""
+    plan = _plan(spark, "q1_pricing_summary")
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange, "no map-side partial agg below shuffle"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_window_group_limit(spark):
+    """rank<=k must compile to WindowGroupLimit (per-group top-k heap), not
+    a full per-partition sort + filter."""
+    for name in ("window_topk_per_group", "emb_cosine_topk"):
+        assert "WindowGroupLimit" in _plan(spark, name), name
+
+
+def test_dedup_exact_single_shuffle(spark):
+    """Hash-groupBy dedup is one shuffle on the text hash — never on text."""
+    plan = _plan(spark, "dedup_exact")
+    assert plan.count("Exchange") == 1
+
+
+def test_no_collect_in_query_surface(spark):
+    """Every registered query returns a lazy DataFrame (the driver
+    collects); none may have collected internally during plan build."""
+    qs = all_queries()
+    df = qs["q3_shipping_priority"].fn(spark, SF_DIR)
+    # building the plan must not trigger a job
+    assert df.sparkSession is spark

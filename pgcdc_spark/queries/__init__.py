@@ -40,6 +40,7 @@ _MODULES = (
     "aggregates",
     "windows",
     "setops",
+    "reshape",
     "events_json",
     "collections",
     "cdc_state",

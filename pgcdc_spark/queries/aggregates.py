@@ -300,3 +300,70 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --- correlation / covariance from exact decimal moments --------------------
+
+_CORR_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n,
+  CAST(
+    (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8)))
+     - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
+    AS DOUBLE)
+  / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS covar_qty_price,
+  ROUND(
+    CAST(
+      (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8)))
+       - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
+      AS DOUBLE)
+    / (SQRT(CAST(
+        (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,8)))
+         - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_quantity AS DECIMAL(18,4))))
+        AS DOUBLE))
+       * SQRT(CAST(
+          (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,8)))
+           - SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
+          AS DOUBLE))),
+    9) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_corr_covar", oracle=_CORR_ORACLE, tags=("agg", "stats"))
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance with the cancellation-prone
+    moment subtractions (n*Sxy - Sx*Sy etc.) done in EXACT decimal
+    arithmetic, cast to double only afterwards. In doubles that
+    subtraction cancels ~6 orders of magnitude, so engine-level FMA
+    contraction differences blow up to ~500 ulps — exact decimals make the
+    numerator a single correctly-rounded value on both engines. (The
+    decimal(25,8) second moments hold to ~sf10; widen for larger corpora.)
+    Built-in corr/covar_samp stream doubles in partition order and cannot
+    hash-match across engines at all."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1)).cast("double")
+    nd = F.count(F.lit(1)).cast("decimal(12,0)")
+    sx = F.sum(x.cast("decimal(18,4)"))
+    sy = F.sum(y.cast("decimal(18,4)"))
+    sxy = F.sum((x * y).cast("decimal(25,8)"))
+    sxx = F.sum((x * x).cast("decimal(25,8)"))
+    syy = F.sum((y * y).cast("decimal(25,8)"))
+    num_xy = (nd * sxy - sx * sy).cast("double")
+    var_x = (nd * sxx - sx * sx).cast("double")
+    var_y = (nd * syy - sy * sy).cast("double")
+    cov = num_xy / (n * (n - F.lit(1.0)))
+    corr = F.round(num_xy / (F.sqrt(var_x) * F.sqrt(var_y)), 9)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cov.alias("covar_qty_price"),
+            corr.alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -233,3 +233,41 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
+
+
+# --- rank distributions: percent_rank / cume_dist / nth_value ---------------
+
+_RANKDIST_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume,
+  NTH_VALUE(o_orderkey, 3) OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS third_cheapest_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("window_rank_distributions", oracle=_RANKDIST_ORACLE, tags=("window", "rank"))
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist are pure rank arithmetic over a TOTAL order
+    (o_totalprice ties broken by key), so the doubles are exact integer
+    ratios — bit-identical across engines with no rounding needed."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp_ntz"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("o_orderkey", 3).over(wfull).alias("third_cheapest_key"),
+        )
+    )

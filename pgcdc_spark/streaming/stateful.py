@@ -29,7 +29,13 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def _output_schema(key_fields: list[StructField]) -> StructType:
@@ -105,6 +111,105 @@ def streaming_latest_state(
             update,
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- cross-batch session windows --------------------------------------------
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_out_schema(key_fields: list[StructField]) -> StructType:
+    return StructType(
+        [
+            *key_fields,
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("closed", BooleanType()),
+        ]
+    )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    keys: list[str],
+    ts_us_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """Session windows that BRIDGE micro-batch boundaries.
+
+    Built-in ``session_window`` covers the common case; this is the custom
+    variant for when session logic must hold auxiliary per-key state (the
+    SURVEY §2.2 "custom stateful operator" shape). Per key the state is the
+    open session (start, end, count). Each batch: events sorted by time
+    extend the open session while gaps stay < ``gap_us``; a larger gap
+    CLOSES the session (emitted with closed=true) and opens a new one. The
+    still-open session is emitted with closed=false each batch it changes,
+    so downstream sees both finalized sessions and live progress.
+
+    State is O(keys), not O(events). Late events older than the open
+    session's end merely extend counts (no reordering across a closed
+    session — the documented trade-off vs full event-time watermarking).
+    """
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = _session_out_schema(key_fields)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        start, end, n = state.get if state.exists else (None, None, 0)
+        out_rows: list[tuple[int, int, int, bool]] = []
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf[ts_us_col])
+        ts_all.sort()
+        changed = False
+        for t in ts_all:
+            if start is None:
+                start, end, n = t, t, 1
+                changed = True
+            elif t - end >= gap_us:
+                out_rows.append((start, end, n, True))
+                start, end, n = t, t, 1
+                changed = True
+            else:
+                end = max(end, t)
+                n += 1
+                changed = True
+        if start is not None:
+            state.update((start, end, n))
+        if changed and start is not None:
+            out_rows.append((start, end, n, False))
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    **{f.name: [k] * len(out_rows)
+                       for f, k in zip(key_fields, key)},
+                    "session_start_us": [r[0] for r in out_rows],
+                    "session_end_us": [r[1] for r in out_rows],
+                    "n_events": [r[2] for r in out_rows],
+                    "closed": [r[3] for r in out_rows],
+                }
+            )
+
+    return (
+        events.groupBy(*[F.col(k) for k in keys])
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_SESSION_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -67,3 +67,46 @@ def test_stateful_idempotent_replay(spark, tmp_path):
         if op != "D"
     }
     assert got == {k: (fn, ln) for k, (fn, ln, _) in EXPECTED.items()}
+
+
+# --- cross-batch session windows --------------------------------------------
+
+def test_streaming_sessions_bridge_batches(spark, tmp_path):
+    """A session whose events span two micro-batches must come out as ONE
+    session; a gap >= G must close the session and open a new one."""
+    import json as _json
+    import os
+
+    from pgcdc_spark.streaming.stateful import streaming_sessions
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src, exist_ok=True)
+    G = 60_000_000  # 60 s gap in us
+    # batch 1: u1 events at t=0s,10s ; u2 event at t=0s
+    # batch 2: u1 at t=20s (same session) and t=200s (new session); u2 none
+    batches = [
+        [(1, 0), (1, 10_000_000), (2, 0)],
+        [(1, 20_000_000), (1, 200_000_000)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for uid, ts in rows:
+                f.write(_json.dumps({"user_id": uid, "ts_us": ts}) + "\n")
+
+    ev = spark.readStream.schema("user_id LONG, ts_us LONG") \
+        .option("maxFilesPerTrigger", 1).json(src)
+    out = streaming_sessions(ev, keys=["user_id"], ts_us_col="ts_us", gap_us=G)
+    _run_to_memory(out, "sessions_t", "update")
+
+    rows = spark.sql("SELECT * FROM sessions_t").collect()
+    closed = {(r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+              for r in rows if r["closed"]}
+    open_latest = {}
+    for r in rows:
+        if not r["closed"]:
+            open_latest[r["user_id"]] = (
+                r["session_start_us"], r["session_end_us"], r["n_events"])
+    # u1's first session bridged the batch boundary: 0..20s, 3 events
+    assert closed == {(1, 0, 20_000_000, 3)}
+    assert open_latest[1] == (200_000_000, 200_000_000, 1)
+    assert open_latest[2] == (0, 0, 1)

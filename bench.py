@@ -49,14 +49,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warm-up pass: first touch pays JVM/codegen warm-up and parquet footer
-    # reads; the measured pass below is steady-state, like a long-running job.
-    for name in HEADLINE:
-        qs[name].fn(spark, sf_dir).collect()
-
+    # Power-test style: per query, one warm-up run (JVM codegen + JIT +
+    # parquet footers) immediately followed by the measured run — the
+    # steady state a long-running job sees for that plan.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = qs[name]
+        qd.fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         rows = qd.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

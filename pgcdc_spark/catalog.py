@@ -60,3 +60,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for ``spark.sql`` queries."""
     for n in TABLES:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before a CPU-heavy stage.
+
+    A small file is one input split, so an expensive map stage (shingling,
+    hashing, decoding) would run on ONE core no matter how many are idle.
+    When the scan has fewer partitions than the session's parallelism,
+    repartition up to it; when the input already has enough splits — the
+    100 TB case, where re-shuffling raw data would be the bottleneck —
+    this is a no-op. The adaptive gate is the point: callers declare
+    "compute-heavy per byte" once and the plan stays right at every scale.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

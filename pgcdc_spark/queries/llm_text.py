@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from . import query
 
 # --- per-doc token statistics ----------------------------------------------
@@ -285,7 +285,7 @@ def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (docs,) = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tok = fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     nrow = docs.agg(F.count(F.lit(1)).alias("n"))

@@ -78,3 +78,29 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+# --- DDL surface (reference R10: src/utilities/query.ts:3-16) ---------------
+# The reference keeps CREATE/DROP TABLE strings it pushes verbatim to
+# PostgreSQL (plus publication/slot DDL, which belongs to the upstream DB
+# and has no engine analogue). Here DDL goes through the Spark catalog so
+# created tables are immediately queryable by name in spark.sql.
+
+
+def create_table(spark: SparkSession, name: str, schema_ddl: str,
+                 partition_by: list[str] | None = None) -> None:
+    """CREATE TABLE with an explicit column DDL string (checked schema —
+    the engine-wide rule; see sources.py). ``partition_by`` picks the
+    directory-pruning key for readers."""
+    part = f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({schema_ddl}) USING parquet{part}")
+
+
+def create_table_as(spark: SparkSession, name: str, df: DataFrame,
+                    mode: str = "overwrite") -> None:
+    """CTAS: materialize a DataFrame as a named catalog table."""
+    df.write.mode(mode).format("parquet").saveAsTable(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

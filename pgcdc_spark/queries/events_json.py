@@ -123,3 +123,37 @@ def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --- sliding window (overlap factor 2) --------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT
+  strftime(make_timestamp(
+    (epoch_ns(ts) // 10800000000000) * 10800000000 - k.k * 10800000000),
+    '%Y-%m-%d %H:%M:%S') AS window_start,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events, (SELECT UNNEST(range(0, 2)) AS k) k
+GROUP BY 1
+"""
+
+
+@query("events_window_sliding", oracle=_SLIDING_ORACLE, tags=("window", "time"))
+def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every 3 hours: each event lands in exactly 2
+    windows (w/s = 2). F.window expands rows window-wise BEFORE the agg —
+    the same shape the oracle mirrors with an explicit k in {0,1} unnest."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts_utc", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -106,3 +106,28 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED catalog table: rows are hash-distributed into
+    ``n_buckets`` files by ``bucket_cols`` at WRITE time, so a later join
+    or aggregation on those columns needs NO shuffle — the single biggest
+    lever for a fact table joined repeatedly on the same key at 100 TB
+    (pay the shuffle once at ingest, never again). ``sort_cols`` presorts
+    within buckets so sort-merge joins skip their sort too.
+
+    Requires a catalog (``saveAsTable``) — bucketing metadata cannot live
+    in bare parquet paths. See tests/test_sources.py for the no-Exchange
+    plan proof.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

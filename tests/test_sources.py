@@ -65,3 +65,54 @@ def test_partitioned_parquet_prunes(spark, sf_smoke, tmp_path):
 def test_jdbc_requires_bounds_with_partition_column(spark):
     with pytest.raises(ValueError):
         sources.read_jdbc(spark, "jdbc:postgresql://x/y", "t", partition_column="id")
+
+
+# --- bucketed tables: the pay-shuffle-once-at-ingest path -------------------
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with ZERO
+    Exchange operators — the co-located join that makes repeated fact
+    joins affordable at scale."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.sources import write_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so bucketing is what's being tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        write_bucketed(li.select("l_orderkey", "l_quantity"), "b_li",
+                       ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
+        write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders",
+                       ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+        j = spark.table("b_li").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        n = j.count()
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_ddl_surface(spark):
+    from pgcdc_spark.catalog import create_table, create_table_as, drop_table
+
+    try:
+        create_table(spark, "ddl_t", "id BIGINT, name STRING")
+        spark.sql("INSERT INTO ddl_t VALUES (1, 'a'), (2, 'b')")
+        assert spark.table("ddl_t").count() == 2
+        create_table_as(spark, "ddl_t2",
+                        spark.table("ddl_t").where("id = 1"))
+        assert [r["name"] for r in spark.table("ddl_t2").collect()] == ["a"]
+    finally:
+        drop_table(spark, "ddl_t")
+        drop_table(spark, "ddl_t2")
+        assert "ddl_t" not in [t.name for t in spark.catalog.listTables()]

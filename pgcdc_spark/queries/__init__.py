@@ -48,6 +48,7 @@ _MODULES = (
     "llm_dedup",
     "llm_similarity",
     "multimodal",
+    "udfs",
 )
 
 

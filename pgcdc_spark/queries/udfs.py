@@ -1,0 +1,91 @@
+"""UDF-surface queries (SURVEY.md §2.2): the engine's extension points,
+mirroring the reference's Transformer list (src/mapping/customMapper.ts:27-29)
+at each Spark granularity:
+
+- scalar vectorized pandas UDF (Arrow batches, ~10-100x over row-at-a-time
+  Python UDFs) — for logic the built-in library genuinely lacks;
+- grouped-map ``applyInPandas`` — the UDAF-ish path: whole group in, whole
+  group out.
+
+Both queries are deliberately ALSO expressible in SQL so the driver oracle
+can hash-check the UDF infrastructure itself (Arrow round-trip, null
+handling, grouping) — the UDF is the unit under test, not the formula.
+Rule stays: built-ins first; these paths are for when built-ins run out.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load
+from . import query
+
+# --- scalar vectorized pandas UDF -------------------------------------------
+
+_PUDF_ORACLE = """
+SELECT
+  doc_id,
+  CAST(length(regexp_replace(lower(trim(text)), '[^a-z ]', '', 'g')) AS BIGINT)
+    AS clean_len
+FROM documents
+"""
+
+
+@pandas_udf("long")
+def _clean_len(texts: pd.Series) -> pd.Series:
+    # whole Arrow batch at once — vectorized pandas string kernels
+    return (
+        texts.str.strip().str.lower().str.replace(r"[^a-z ]", "", regex=True).str.len()
+    )
+
+
+@query("udf_pandas_scalar", oracle=_PUDF_ORACLE, tags=("udf", "pandas"))
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", _clean_len("text").alias("clean_len"))
+
+
+# --- grouped-map applyInPandas (UDAF-ish) -----------------------------------
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT source,
+    CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS mu,
+    COUNT(*) AS n
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source,
+  ROUND((CAST(d.n_chars AS DOUBLE) - s.mu), 9) AS centered
+FROM documents d JOIN stats s USING (source)
+"""
+
+
+@query("udf_grouped_map_center", oracle=_ZSCORE_ORACLE, tags=("udf", "applyInPandas"))
+def udf_grouped_map_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean-centering of n_chars via applyInPandas: the whole
+    group arrives as ONE pandas DataFrame (shuffle on the group key — at
+    100 TB the group must fit an executor, which is the documented
+    contract of grouped-map). The mean is computed from an exact integer
+    sum / n (deterministic), result rounded to 9 decimals on both sides."""
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact: n_chars are ints; Python int sum is arbitrary precision
+        mu = float(sum(int(x) for x in pdf["n_chars"])) / len(pdf)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "centered": [round(float(x) - mu, 9) for x in pdf["n_chars"]],
+            }
+        )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(center, schema="doc_id long, source string, centered double")
+    )

@@ -34,18 +34,21 @@ FROM documents
 """
 
 
-@pandas_udf("long")
-def _clean_len(texts: pd.Series) -> pd.Series:
-    # whole Arrow batch at once — vectorized pandas string kernels
-    return (
-        texts.str.strip().str.lower().str.replace(r"[^a-z ]", "", regex=True).str.len()
-    )
-
-
 @query("udf_pandas_scalar", oracle=_PUDF_ORACLE, tags=("udf", "pandas"))
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UDF built inside the query: @pandas_udf resolves its DDL return type
+    # against the ACTIVE session, so a module-level decorator would make
+    # the whole registry un-importable without a SparkContext.
+    @pandas_udf("long")
+    def clean_len(texts: pd.Series) -> pd.Series:
+        # whole Arrow batch at once — vectorized pandas string kernels
+        return (
+            texts.str.strip().str.lower()
+            .str.replace(r"[^a-z ]", "", regex=True).str.len()
+        )
+
     (docs,) = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", _clean_len("text").alias("clean_len"))
+    return docs.select("doc_id", clean_len("text").alias("clean_len"))
 
 
 # --- grouped-map applyInPandas (UDAF-ish) -----------------------------------

@@ -304,3 +304,160 @@ def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# --- deterministic content-hash sampling ------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+"""
+
+
+@query("docs_hash_sample", oracle=_SAMPLE_ORACLE, tags=("llm", "text", "sampling"))
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% sample keyed on md5(doc_id) — unlike rand()-based sampling this
+    is reproducible across engines, runs, and re-partitions, and a given
+    document is ALWAYS in or out (stable train/holdout splits). At 100 TB
+    the predicate evaluates in the scan stage; no shuffle, no state."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.filter(bucket < 10).select("doc_id", "lang", "source")
+
+
+# --- overlapping window chunking --------------------------------------------
+
+_CHUNK_SIZE = 40
+_CHUNK_STRIDE = 30  # 10-token overlap
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(s.s AS BIGINT) // {_CHUNK_STRIDE} AS chunk_idx,
+         array_to_string(w[s.s + 1 : s.s + {_CHUNK_SIZE}], ' ') AS chunk
+  FROM tok,
+       UNNEST(range(0, GREATEST(len(w) - {_CHUNK_SIZE - _CHUNK_STRIDE}, 1),
+                    {_CHUNK_STRIDE})) s(s)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+       md5(chunk) AS chunk_hash
+FROM chunks
+"""
+
+
+@query("docs_chunk_windows", oracle=_CHUNK_ORACLE, tags=("llm", "text", "chunking"))
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({_CHUNK_SIZE} tokens, stride
+    {_CHUNK_STRIDE}) — the standard context-window prep for training /
+    embedding. Pure higher-order functions: per-doc slice arithmetic, no
+    UDF, no shuffle; output is one row per chunk with a content hash."""
+    (docs,) = load(spark, sf_dir, "documents")
+    starts = (
+        f"sequence(0, greatest(size(w) - {_CHUNK_SIZE - _CHUNK_STRIDE} - 1, 0),"
+        f" {_CHUNK_STRIDE})"
+    )
+    return (
+        fan_out(docs).select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform({starts}, s -> struct("
+                f" CAST(s DIV {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,"
+                f" array_join(slice(w, s + 1, {_CHUNK_SIZE}), ' ') AS chunk))"
+            )).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size(F.split("c.chunk", " ")).cast("long").alias("n_tokens"),
+            F.md5(F.col("c.chunk").cast("binary")).alias("chunk_hash"),
+        )
+    )
+
+
+# --- repetition detection (gopher-style quality signal) ---------------------
+
+_REP_ORACLE = """
+WITH tri AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) - 1)) t(i)
+),
+cnt AS (
+  SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY doc_id, tri
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_trigrams,
+       CAST(MAX(c) AS BIGINT) AS max_repeat,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9) AS top_trigram_frac
+FROM cnt
+GROUP BY doc_id
+"""
+
+
+@query("docs_repetition", oracle=_REP_ORACLE, tags=("llm", "text", "quality"))
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-repeated-trigram fraction per document — the Gopher/C4-style
+    repetition filter (boilerplate and degenerate generations score high).
+    Trigram counting happens per-row in a higher-order expression, so the
+    only shuffle is the final per-doc agg of (count) pairs."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tri = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+            " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+            " element_at(split(text, ' '), i + 1),"
+            " element_at(split(text, ' '), i + 2)))"
+        )).alias("tri"),
+    )
+    cnt = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_trigrams"),
+            F.max("c").cast("long").alias("max_repeat"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 9
+            ).alias("top_trigram_frac"),
+        )
+    )
+
+
+# --- PII-style redaction -----------------------------------------------------
+
+_REDACT_ORACLE = """
+SELECT doc_id,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]+', '', 'g'))
+       AS BIGINT) AS digits_removed,
+  md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                     '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'))
+    AS redacted_hash
+FROM documents
+"""
+
+
+@query("docs_redact", oracle=_REDACT_ORACLE, tags=("llm", "text", "redact"))
+def docs_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number/email redaction — the scrubbing pass every training corpus
+    gets. Pure regexp_replace in the scan stage (JVM regex, codegen'd);
+    emits a hash of the redacted text so the oracle verifies the exact
+    transformation without shipping full text through the compare."""
+    (docs,) = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", r"[0-9]+", "<NUM>"),
+        r"[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+", "<EMAIL>",
+    )
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]+", "")))
+        .cast("long").alias("digits_removed"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+    )

@@ -8,9 +8,14 @@ this helper is the explicit form for when the skewed side must join a
 mid-sized table that is too big to broadcast but small enough to
 replicate ``n_salts``-fold:
 
-- fact side: add ``salt = monotonically_increasing_id() % n_salts`` —
-  spreads EACH key over ``n_salts`` reducers (the salt must vary within a
-  key, so it cannot be derived from the key itself);
+- fact side: salt = hash of the WHOLE row mod ``n_salts`` — spreads each
+  key over ``n_salts`` reducers because hot-key rows differ in payload.
+  The salt must vary within a key (so it cannot come from the key alone)
+  but must also be DETERMINISTIC: a nondeterministic salt (rand,
+  monotonically_increasing_id) re-salts rows when a lost map task is
+  recomputed after some reducers already fetched, silently dropping or
+  duplicating join output. Fully identical duplicate rows share a salt —
+  correct, just unspread (they are indistinguishable anyway);
 - other side: explode over all ``n_salts`` salt values (size x n_salts);
 - join on (key, salt) — per-reducer load drops ~n_salts-fold for the hot
   key at the cost of replicating the smaller side.
@@ -39,7 +44,7 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     salted = skewed.withColumn(
-        "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
     )
     replicated = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -105,7 +105,7 @@ def _plane_sign(table: int, plane: int, dim: int) -> int:
 
 
 def _buckets_expr(dims: int) -> F.Column:
-    """``array<int>`` of one bucket id per table for the vector in ``ed``.
+    """``array<int>`` of one bucket id per table for the vector in ``e``.
 
     Built as ONE parsed SQL expression: the plane matrix is an inline
     array<array<double>> literal and the sign/bit-pack logic is nested
@@ -127,7 +127,7 @@ def _buckets_expr(dims: int) -> F.Column:
           aggregate(sequence(0, {_K_PLANES - 1}), 0, (acc, p) ->
             acc + IF(
               aggregate(
-                zip_with(ed, element_at(array({planes}), t * {_K_PLANES} + p + 1),
+                zip_with(e, element_at(array({planes}), t * {_K_PLANES} + p + 1),
                          (x, w) -> x * w),
                 0.0D, (a, x) -> a + x) >= 0D,
               shiftleft(1, p), 0)))
@@ -142,7 +142,6 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("e"),
-            F.col("embedding").cast("array<double>").alias("ed"),
         )
         .withColumn("n", norm_fold_expr("e"))
         .select(

@@ -287,7 +287,10 @@ def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     tok = fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already has one row per (doc, term), so document frequency is a
+    # plain count over it — the tokenize+explode subtree runs ONCE, not
+    # twice, and countDistinct becomes a cheap count.
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nrow = docs.agg(F.count(F.lit(1)).alias("n"))
     idf = F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 9)
     scored = (
@@ -409,14 +412,22 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigram counting happens per-row in a higher-order expression, so the
     only shuffle is the final per-doc agg of (count) pairs."""
     (docs,) = load(spark, sf_dir, "documents")
-    tri = fan_out(docs).select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-            " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-            " element_at(split(text, ' '), i + 1),"
-            " element_at(split(text, ' '), i + 2)))"
-        )).alias("tri"),
+    # w bound ONCE (lambdas are interpreted — re-splitting per trigram would
+    # be O(tokens^2)); the CASE guards docs with < 3 tokens, where
+    # sequence(1, size-2) would count DOWN (Spark's default step is -1 when
+    # start > stop) and index out of bounds.
+    tri = (
+        fan_out(docs).select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "CASE WHEN size(w) >= 3 THEN"
+                " transform(sequence(1, size(w) - 2),"
+                "  i -> concat_ws(' ', element_at(w, i),"
+                "  element_at(w, i + 1), element_at(w, i + 2)))"
+                " ELSE array() END"
+            )).alias("tri"),
+        )
     )
     cnt = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
     return (

@@ -26,8 +26,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from ..cdc.envelope import envelope_schema
-
 
 def kafka_source_options(
     bootstrap_servers: str,
@@ -57,24 +55,30 @@ def read_kafka_envelopes(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
-    schema: StructType | None = None,
+    row_schema: StructType | None = None,
     **kwargs,
 ) -> DataFrame:
     """CDC envelope stream from a Kafka topic (R1 as a Spark source).
 
-    Kafka rows arrive as (key, value, topic, partition, offset, ts);
-    the JSON envelope is in ``value``. Parsing uses the same checked
-    ``from_json`` path as the file-stream source — one code path.
+    Kafka rows arrive as (key, value, topic, partition, offset, ts); the
+    JSON envelope is in ``value``. Parsing goes through the SAME
+    ``parse_envelope`` used by the file-stream source — including its
+    ``_corrupt`` dead-letter column, so a malformed payload surfaces with
+    its raw bytes instead of silently nulling out. ``row_schema`` is the
+    ROW image schema (same parameter as the file source), not the
+    envelope schema.
     """
+    from ..cdc.envelope import STUDENT_SCHEMA, parse_envelope
+
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(bootstrap_servers, topic, **kwargs).items():
         reader = reader.option(k, v)
-    raw = reader.load()
-    return raw.select(
-        F.col("value").cast("string").alias("raw"),
+    raw = reader.load().select(
+        F.col("value").cast("string").alias("value"),
         F.col("partition").alias("_kafka_partition"),
         F.col("offset").alias("_kafka_offset"),
-    ).withColumn("envelope", F.from_json("raw", schema or envelope_schema()))
+    )
+    return parse_envelope(raw, "value", row_schema or STUDENT_SCHEMA)
 
 
 def write_kafka_stream(

@@ -118,18 +118,28 @@ def snapshot_then_stream(
     snapshot/stream LSN-consistency problem unsolved): batch-load the
     current table image, THEN tail the change stream from the slot.
 
-    Consistency here comes from the upsert merge's total order, not from
-    coordinating a cutover LSN: snapshot rows are written as insert images
-    at ``snapshot_lsn`` (sorting below any real change), so a change that
-    is older than the snapshot can never overwrite a newer snapshot image,
-    and replayed batches stay idempotent. The returned query's checkpoint
-    then owns the stream position.
+    Consistency comes from the upsert merge's total order. Pass the TRUE
+    LSN the snapshot was taken at as ``snapshot_lsn``: snapshot images then
+    outrank every pre-snapshot change (a replayed/overlapping delivery of
+    an older change cannot regress the state) while post-snapshot changes
+    outrank the snapshot. The "0/0" default is only safe when the stream
+    is guaranteed to start strictly after the snapshot with no replay
+    overlap — with it, ANY delivered change outranks the snapshot image.
+
+    Restart-safe: the snapshot is written only on first bootstrap (no
+    existing checkpoint). On restart the existing state — which already
+    reflects committed batches — is kept, and the stream resumes from the
+    checkpoint; re-seeding the snapshot would silently roll those batches
+    back.
     """
+    import os
+
     spark = snapshot.sparkSession
-    image = (
-        snapshot.withColumn("op", F.lit("I")).withColumn("lsn", F.lit(snapshot_lsn))
-    )
-    latest_state(image, keys=list(keys), order_by=["lsn"], op_col="op",
-                 keep_deletes=True).write.mode("overwrite").parquet(state_dir)
+    if not os.path.exists(os.path.join(checkpoint_dir, "offsets")):
+        image = (
+            snapshot.withColumn("op", F.lit("I")).withColumn("lsn", F.lit(snapshot_lsn))
+        )
+        latest_state(image, keys=list(keys), order_by=["lsn"], op_col="op",
+                     keep_deletes=True).write.mode("overwrite").parquet(state_dir)
     changes = read_envelope_stream(spark, source_dir, row_schema)
     return start_upsert_stream(changes, state_dir, checkpoint_dir, keys=list(keys))

@@ -76,9 +76,33 @@ def test_dedup_exact_single_shuffle(spark):
 
 
 def test_no_collect_in_query_surface(spark):
-    """Every registered query returns a lazy DataFrame (the driver
-    collects); none may have collected internally during plan build."""
+    """Building any query's DataFrame must not run a Spark JOB: a collect/
+    count/toPandas inside a query builder would be a driver-side loop the
+    100 TB posture forbids. Job IDs are monotonically increasing, so a new
+    max job ID after the build means something executed eagerly.
+
+    (fan_out's getNumPartitions inspects the plan without running a job —
+    this test is also the proof of that.)"""
     qs = all_queries()
-    df = qs["q3_shipping_priority"].fn(spark, SF_DIR)
-    # building the plan must not trigger a job
-    assert df.sparkSession is spark
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_above(jid: int) -> list[int]:
+        return sorted(j for j in (tracker.getJobIdsForGroup(None) or []) if j > jid)
+
+    before = max(tracker.getJobIdsForGroup(None) or [], default=-1)
+    for name, qd in sorted(qs.items()):
+        df = qd.fn(spark, SF_DIR)
+        df.schema  # force full analysis, still no execution
+        new_jobs = jobs_above(before)
+        # `spark.read.parquet` runs ONE single-stage footer/schema job per
+        # table — that's metadata, not data. Anything multi-stage (a
+        # shuffle => an agg/collect executed eagerly) or beyond the
+        # max-tables-per-query budget (q5 reads 6 tables) is a driver-side execution leak.
+        assert len(new_jobs) <= 8, f"{name}: {len(new_jobs)} jobs during build"
+        for j in new_jobs:
+            info = tracker.getJobInfo(j)
+            if info is not None:
+                assert len(info.stageIds) <= 1, (
+                    f"{name}: multi-stage job {j} during plan build"
+                )
+        before = max(tracker.getJobIdsForGroup(None) or [], default=-1)

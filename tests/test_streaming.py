@@ -260,3 +260,33 @@ def test_kafka_builders(spark):
     assert opts["subscribe"] == "cdc"
     assert opts["failOnDataLoss"] == "true"
     assert opts["maxOffsetsPerTrigger"] == "500"
+
+
+def test_snapshot_then_stream_restart_keeps_applied_changes(spark, tmp_path):
+    """Re-invoking the bootstrap with an existing checkpoint must NOT
+    re-seed the snapshot: the state already reflects committed batches and
+    the stream will not replay them."""
+    from pgcdc_spark.streaming.pipeline import snapshot_then_stream
+    from tests.test_cdc import ROW, _env
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    mk = lambda i, **kw: {**ROW, "id": i, **kw}  # noqa: E731
+    snapshot = spark.createDataFrame(
+        [mk(1)],
+        "id LONG, first_name STRING, last_name STRING, date_of_birth STRING,"
+        " status_id LONG",
+    )
+    with open(os.path.join(src, "c1.jsonl"), "w") as f:
+        f.write(_env(20, "update", new=mk(1, last_name="Applied")))
+    q = snapshot_then_stream(snapshot, src, state_dir, ckpt, keys=["id"])
+    q.awaitTermination(120)
+
+    # crash/restart: same dirs, same (stale) snapshot, no new files
+    q2 = snapshot_then_stream(snapshot, src, state_dir, ckpt, keys=["id"])
+    q2.awaitTermination(120)
+
+    rows = {r["id"]: r["last_name"] for r in read_state(spark, state_dir).collect()}
+    assert rows == {1: "Applied"}, "restart rolled back an applied change"

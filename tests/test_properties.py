@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY.md §5.2 item 4) — invariants that must
+hold for ANY input, not just the golden fixtures:
+
+- CDC upsert is a pure function of the SET of changes: permutation and
+  duplication of the log cannot change the materialized state;
+- salted join is row-identical to the plain join for arbitrary tables;
+- exact dedup keeps exactly one representative per distinct text and
+  counts every copy.
+
+Inputs are small (Spark job per example is the cost driver) but the
+generator explores key collisions, delete-then-reinsert orders, empty
+groups, and duplicated rows — the shapes the fixtures can't enumerate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pgcdc_spark.cdc.upsert import latest_state
+from pgcdc_spark.operators.salted import salted_join
+
+# one change: (key in 0..3, op, lsn unique-ified by index, payload)
+_change = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(min_value=0, max_value=99),
+)
+
+_SETTINGS = dict(
+    max_examples=12,  # each example runs Spark jobs; keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _mk_log(spark, changes):
+    # lsn made unique (and total) by appending the position as a tiebreak
+    rows = [
+        (k, op, f"0/{lsn:04X}{i:04X}", f"v{i}")
+        for i, (k, op, lsn) in enumerate(changes)
+    ]
+    return spark.createDataFrame(rows, "id LONG, op STRING, lsn STRING, val STRING")
+
+
+@given(changes=st.lists(_change, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_upsert_invariant_under_permutation_and_duplication(spark, changes):
+    log = _mk_log(spark, changes)
+    base = latest_state(log, keys=["id"], order_by=["lsn"])
+    shuffled = latest_state(
+        log.orderBy(F.rand(seed=7)).repartition(5), keys=["id"], order_by=["lsn"]
+    )
+    duplicated = latest_state(log.union(log), keys=["id"], order_by=["lsn"])
+    want = sorted(map(tuple, base.collect()))
+    assert sorted(map(tuple, shuffled.collect())) == want
+    assert sorted(map(tuple, duplicated.collect())) == want
+    # a key whose LAST change (by the same lsn total order the engine
+    # uses) is a delete must be absent
+    winner = {}
+    for i, (k, op, lsn) in enumerate(changes):
+        key_lsn = f"0/{lsn:04X}{i:04X}"
+        if k not in winner or key_lsn > winner[k][0]:
+            winner[k] = (key_lsn, op)
+    live = {r["id"] for r in base.collect()}
+    for k, (_, op) in winner.items():
+        assert (k in live) == (op != "D")
+
+
+@given(
+    big=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                 min_size=0, max_size=20),
+    dim=st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equivalence_property(spark, big, dim):
+    bdf = spark.createDataFrame(big, "k LONG, payload LONG") if big else \
+        spark.createDataFrame([], "k LONG, payload LONG")
+    ddf = spark.createDataFrame([(k, f"v{k}") for k in dim], "k LONG, val STRING") \
+        if dim else spark.createDataFrame([], "k LONG, val STRING")
+    plain = sorted(map(tuple, bdf.join(ddf, "k").collect()))
+    salted = sorted(map(tuple, salted_join(bdf, ddf, "k", n_salts=4).collect()))
+    assert salted == plain
+
+
+@given(texts=st.lists(st.sampled_from(["a", "b", "a b", "c c", ""]),
+                      min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_exact_dedup_partition_property(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    out = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # one group per distinct text; copies all accounted for; keeper is the
+    # minimum doc_id bearing that text
+    assert len(out) == len(set(texts))
+    assert sum(r["n"] for r in out) == len(texts)
+    for r in out:
+        keeper_text = texts[r["keep"]]
+        assert r["keep"] == min(i for i, t in enumerate(texts) if t == keeper_text)

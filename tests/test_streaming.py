@@ -290,3 +290,56 @@ def test_snapshot_then_stream_restart_keeps_applied_changes(spark, tmp_path):
 
     rows = {r["id"]: r["last_name"] for r in read_state(spark, state_dir).collect()}
     assert rows == {1: "Applied"}, "restart rolled back an applied change"
+
+
+def test_sliding_window_sum(spark, tmp_path):
+    from pgcdc_spark.streaming.windows import sliding_value_sum
+
+    ev = _event_stream(spark, tmp_path, EVENTS)
+    agg = sliding_value_sum(ev, "ts_utc", "10 minutes", "5 minutes", "2 hours")
+    _run_to_memory(agg, "sliding_t", "complete")
+    got = {(str(r["window_start"]), r["sum_value"])
+           for r in spark.sql("SELECT * FROM sliding_t").collect()}
+    # events 1 (00:01, v=1) + 2 (00:04, v=2) + late 7 (00:02, v=7) land in
+    # windows [23:55,00:05) and [00:00,00:10)
+    assert ("2024-01-01 00:00:00", 10.0) in got
+    assert ("2023-12-31 23:55:00", 10.0) in got
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """An event older than the advanced watermark arriving in a LATER
+    micro-batch is dropped from the aggregation (append mode emits each
+    finalized window exactly once, without the late row)."""
+    from pgcdc_spark.streaming.windows import tumbling_counts
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id LONG, ts STRING"
+    # Semantics note (empirically verified): a late row arriving while its
+    # window is STILL IN STATE merges into it — dropping only applies once
+    # the watermark has evicted the window. Hence three batches: advance
+    # the watermark, let eviction happen, THEN deliver the late row.
+    batches = [
+        # a: [00:00,00:10) gets 1 event; 03:00 sets next watermark to 02:30
+        [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 03:00:00")],
+        # b: eviction pass — emits [00:00,00:10) x1; watermark -> 05:30
+        [(4, "2024-01-01 06:00:00")],
+        # c: 00:06 is behind the 05:30 watermark AND its window is evicted
+        # -> dropped with no re-emission; [03:00,03:10) finalizes x1
+        [(3, "2024-01-01 00:06:00")],
+    ]
+    import time
+
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for eid, ts in rows:
+                f.write(json.dumps({"event_id": eid, "ts": ts}) + "\n")
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    ev = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .json(src).withColumn("ts_utc", F.to_timestamp("ts")))
+    agg = tumbling_counts(ev, "ts_utc", "10 minutes", "30 minutes")
+    _run_to_memory(agg, "late_t", "append")
+    got = {(str(r["window_start"]), r["n_events"])
+           for r in spark.sql("SELECT * FROM late_t").collect()}
+    # the late event 3 must NOT appear: [00:00,00:10) stays at count 1
+    assert got == {("2024-01-01 00:00:00", 1), ("2024-01-01 03:00:00", 1)}

@@ -472,3 +472,48 @@ def docs_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("digits_removed"),
         F.md5(redacted.cast("binary")).alias("redacted_hash"),
     )
+
+
+# --- composed corpus-prep pipeline (pipelines.py, end-to-end oracle) --------
+
+_CORPUS_ORACLE = """
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 10000
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+tok AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM deduped
+),
+chunks AS (
+  SELECT doc_id, lang, source,
+         CAST(s.s AS BIGINT) // 30 AS chunk_idx,
+         array_to_string(w[s.s + 1 : s.s + 40], ' ') AS chunk
+  FROM tok, UNNEST(range(0, GREATEST(len(w) - 10, 1), 30)) s(s)
+),
+sampled AS (
+  SELECT * FROM chunks
+  WHERE ('0x' || substr(md5(chunk), 1, 8))::BIGINT % 100 < 50
+)
+SELECT doc_id, lang, source, chunk_idx,
+       md5(chunk) AS chunk_hash,
+       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+FROM sampled
+"""
+
+
+@query("corpus_prep_pipeline", oracle=_CORPUS_ORACLE, tags=("llm", "pipeline"))
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED gate->dedup->chunk->sample pipeline from pipelines.py,
+    hash-checked end-to-end: proves the standalone operators compose into
+    one lazy plan (column pruning crosses stage boundaries; only the dedup
+    window shuffles)."""
+    from ..pipelines import corpus_prep
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return corpus_prep(docs)

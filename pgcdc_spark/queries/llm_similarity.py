@@ -178,6 +178,73 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 scalar quantization (the ANN memory-reduction step) ----------------
+# At 100 TB of float32 embeddings, the index working set is the problem:
+# scalar quantization to uint8 codes cuts it 4x (the standard first step
+# before IVF/PQ serving). Two passes, both shuffle-light:
+#   1. per-dimension min/max — a 64-group aggregate with map-side partial
+#      combine, so the full scan reduces to 64 rows before any shuffle;
+#   2. codes — the stats join back via broadcast (64 rows), quantization
+#      is elementwise codegen'd arithmetic, and the per-vector code string
+#      is assembled with ONE shuffle on vec_id.
+# code(v) = floor((v - lo_d) / (hi_d - lo_d) * 255 + 0.5): elementwise IEEE
+# double ops in an identical structure on both engines (floor(x+0.5), not
+# round(), whose half-even behavior differs across engines), so the integer
+# codes are bit-exact parity.
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+x AS (
+  SELECT vec_id, t.i, v[t.i] AS val
+  FROM e, (SELECT UNNEST(range(1, 65)) AS i) t
+),
+stats AS (
+  SELECT i, MIN(val) AS lo, MAX(val) AS hi FROM x GROUP BY i
+),
+codes AS (
+  SELECT vec_id, x.i,
+         CAST(floor((val - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT) AS code
+  FROM x JOIN stats ON x.i = stats.i
+)
+SELECT vec_id,
+       string_agg(code::VARCHAR, ':' ORDER BY i) AS codes,
+       CAST(SUM(code) AS BIGINT) AS code_sum
+FROM codes GROUP BY vec_id
+"""
+
+
+@query("emb_quantize_int8", oracle=_QUANT_ORACLE, tags=("llm", "similarity", "quantize"))
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "val"),
+    )
+    stats = x.groupBy("i0").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    codes = x.join(F.broadcast(stats), "i0").select(
+        "vec_id",
+        "i0",
+        F.floor((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0 + 0.5)
+        .cast("long")
+        .alias("code"),
+    )
+    # Re-assemble per-vector code vectors: collect_list is unordered under
+    # parallel aggregation, so sort the (dim, code) structs — struct order
+    # is lexicographic on the leading field — before serializing.
+    return codes.groupBy("vec_id").agg(
+        F.concat_ws(
+            ":",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.sum("code").alias("code_sum"),
+    )
+
+
 # --- vector norms / global stats (oracle-checked plumbing for the ANN ops) --
 
 _NORM_ORACLE = """

@@ -517,3 +517,86 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     return corpus_prep(docs)
+
+
+# --- corpus heavy hitters (top-k frequent bigrams) ---------------------------
+# Corpus-frequency profiling (boilerplate detection, stop-phrase lists)
+# is a full-scan aggregate whose result is tiny. The scale shape matters:
+# groupBy(bigram) combines map-side before the shuffle, and the global
+# top-k runs as TakeOrderedAndProject — per-partition heaps of k rows
+# merged on the driver, never a full sort of the frequency table. The
+# (n DESC, bigram ASC) order is total, so the k-row cutoff is
+# deterministic on both engines.
+
+_TOP_K_BIGRAMS = 25
+
+_TOP_BIGRAMS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT w[i] || ' ' || w[i+1] AS bigram
+  FROM tok, (SELECT UNNEST(range(1, 200)) AS i) t
+  WHERE i < len(w)
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {_TOP_K_BIGRAMS}
+"""
+
+
+@query("docs_top_bigrams", oracle=_TOP_BIGRAMS_ORACLE, tags=("llm", "text", "heavy-hitters"))
+def docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    bg = docs.select(F.split("text", " ").alias("w")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(_TOP_K_BIGRAMS)
+    )
+
+
+# --- stratified (per-source quota) sampling ----------------------------------
+# Training mixes are specified per source/domain ("n docs from source X"),
+# not as a global rate (that's docs_hash_sample). Deterministic rank within
+# each stratum = md5 of the doc id — an order-free, seedless shuffle both
+# engines agree on; the quota is a per-stratum WindowGroupLimit, so each
+# partition keeps at most `quota` rows before the final per-key merge (no
+# global sort, no full-stratum materialization).
+
+_STRATA_QUOTA = 8
+
+_STRAT_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_STRATA_QUOTA}
+"""
+
+
+@query("docs_stratified_sample", oracle=_STRAT_SAMPLE_ORACLE,
+       tags=("llm", "text", "sampling"))
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _STRATA_QUOTA)
+        .select("doc_id", "source", "sample_rank")
+    )

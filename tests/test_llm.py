@@ -164,3 +164,50 @@ def test_mm_frame_sample_expansion(spark):
     assert [i for i, _ in sorted(by_doc[1])] == [0, 1, 2]
     assert sorted(by_doc[1])[0][1] == b"ABCDEFGHIJKLMNOP"
     assert by_doc[2] == [(0, b"tiny")]  # single partial frame
+
+
+def test_cc_clusters_consistent_with_pairs(spark, sf_smoke):
+    """Every candidate pair's endpoints land in the same cluster; the
+    representative is the cluster minimum; singletons are their own
+    cluster; membership counts add up to the doc count."""
+    from pgcdc_spark.queries.llm_dedup import dedup_cc_clusters, dedup_minhash_lsh
+
+    comp = dedup_cc_clusters(spark, sf_smoke).cache()
+    pairs = dedup_minhash_lsh(spark, sf_smoke)
+
+    a = comp.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    b = comp.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    split_edges = (
+        pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("ca") != F.col("cb"))
+    )
+    assert split_edges.count() == 0
+
+    n_docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+    assert comp.count() == n_docs
+    # representative = min(doc_id) of the cluster, exactly one per cluster
+    reps = comp.filter("is_representative")
+    assert reps.count() == comp.select("cluster_id").distinct().count()
+    bad_rep = comp.groupBy("cluster_id").agg(F.min("doc_id").alias("lo")).filter(
+        F.col("lo") != F.col("cluster_id")
+    )
+    assert bad_rep.count() == 0
+    # n_members agrees with the actual group sizes
+    sz = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("actual"), F.first("n_members").alias("claimed")
+    )
+    assert sz.filter(F.col("actual") != F.col("claimed")).count() == 0
+    comp.unpersist()
+
+
+def test_quantize_codes_in_range_and_reversible_ranks(spark, sf_smoke):
+    """int8 codes stay in [0, 255]; each dimension's min maps to 0 and max
+    to 255 (the quantizer hits the full range per dimension)."""
+    from pgcdc_spark.queries.llm_similarity import emb_quantize_int8
+
+    out = emb_quantize_int8(spark, sf_smoke)
+    codes = out.select(
+        F.explode(F.split("codes", ":").cast("array<int>")).alias("c")
+    )
+    stats = codes.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
+    assert stats.lo == 0
+    assert stats.hi == 255

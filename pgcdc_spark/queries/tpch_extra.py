@@ -248,3 +248,207 @@ def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(bracket).agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "22,6").alias("revenue")
     )
+
+
+# --- Q7 shape: bilateral volume shipping between two nations -----------------
+# Five-way star join where BOTH fact FKs (l_suppkey via supplier,
+# o_custkey via customer) resolve to the same broadcast nation dim under
+# different roles. The nation-pair disjunction filters the dims BEFORE the
+# fact join, so at 100 TB the lineitem scan joins against two ~1-row
+# broadcast sides and the shuffle moves only surviving (nation-pair) rows.
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_ORACLE, tags=("tpch", "join", "agg"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp, nation = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum(F.col("volume"), "22,6").alias("revenue"))
+    )
+
+
+# --- Q8 shape: national market share within a region -------------------------
+# The share is a ratio of two conditional aggregates over the same joined
+# stream (one pass, no self-join): numerator = volume where the supplier
+# nation is the target, denominator = all volume in the region/type slice.
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                     THEN CAST(volume AS DECIMAL(22,6)) ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  JOIN region r   ON n2.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_ORACLE, tags=("tpch", "join", "agg"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, orders, cust, supp, nation, region = load(
+        spark, sf_dir,
+        "lineitem", "part", "orders", "customer", "supplier", "nation", "region",
+    )
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    joined = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")
+                            .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                      F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)")
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation"
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(22,6)"))
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- Q10 shape: returned-item reporting (top 20 customers by lost revenue) ---
+# Group-by on a wide key (customer attributes ride along with the grouping
+# key — cheaper than re-joining them after the agg at this cardinality),
+# then a deterministic global top-k via TakeOrderedAndProject.
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT c.c_custkey, c.c_name,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+         c.c_acctbal, n.n_name
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE, tags=("tpch", "join", "topk"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, nation = load(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "22,6")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )

@@ -214,3 +214,86 @@ def streaming_sessions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (Spark 4 state-v2 API) ------------------------
+# The successor API to applyInPandasWithState: typed composite state
+# (value/list/map state handles), timers, and TTL, backed by the RocksDB
+# state store. Exposed here as a per-key running-stats operator — the
+# streaming twin of a groupBy().agg(count/sum/min/max) whose state must
+# survive across micro-batches and restarts. At 100 TB the state is
+# O(distinct keys) in RocksDB (spillable, incrementally checkpointed),
+# not O(events), and only keys touched by a batch are read or emitted.
+
+
+def streaming_running_stats(
+    events: DataFrame,
+    keys: list[str],
+    amount_col: str,
+    ts_us_col: str,
+) -> DataFrame:
+    """Per-key running (n, total, min_ts, max_ts), emitted for keys updated
+    in each micro-batch (update mode).
+
+    Runtime requirements (standard on any Spark 4 cluster): the RocksDB
+    state store provider (`spark.sql.streaming.stateStore.providerClass` =
+    `...state.RocksDBStateStoreProvider`) and the `protobuf` Python package
+    (the state-v2 worker protocol); the test gates on both."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType
+
+    key_fields = [events.schema[k] for k in keys]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("n_events", LongType()),
+            StructField("total", DoubleType()),
+            StructField("min_ts_us", LongType()),
+            StructField("max_ts_us", LongType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats",
+                "n_events LONG, total DOUBLE, min_ts_us LONG, max_ts_us LONG",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, lo, hi = (
+                self._stats.get() if self._stats.exists() else (0, 0.0, None, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[amount_col].sum())
+                b_lo = int(pdf[ts_us_col].min())
+                b_hi = int(pdf[ts_us_col].max())
+                lo = b_lo if lo is None else min(lo, b_lo)
+                hi = b_hi if hi is None else max(hi, b_hi)
+            self._stats.update((n, total, lo, hi))
+            yield pd.DataFrame(
+                {
+                    **{f.name: [k] for f, k in zip(key_fields, key)},
+                    "n_events": [n],
+                    "total": [total],
+                    "min_ts_us": [lo],
+                    "max_ts_us": [hi],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy(*[F.col(k) for k in keys])
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

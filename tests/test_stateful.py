@@ -110,3 +110,60 @@ def test_streaming_sessions_bridge_batches(spark, tmp_path):
     assert closed == {(1, 0, 20_000_000, 3)}
     assert open_latest[1] == (200_000_000, 200_000_000, 1)
     assert open_latest[2] == (0, 0, 1)
+
+
+# --- transformWithStateInPandas (state-v2) running stats ----------------------
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """Counts/sums accumulate across micro-batches; only touched keys emit;
+    last emission per key equals the global aggregate."""
+    import json as _json
+    import os
+
+    import pytest
+
+    # The state-v2 python worker speaks protobuf to the JVM; without the
+    # google.protobuf package the operator cannot run in this container.
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from pgcdc_spark.streaming.stateful import streaming_running_stats
+
+    src = str(tmp_path / "tws_src")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [(1, 10.0, 100), (1, 5.0, 200), (2, 1.0, 150)],
+        [(1, 2.5, 300)],
+        [(2, 4.0, 50), (3, 7.0, 999)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for uid, amt, ts in rows:
+                f.write(_json.dumps({"user_id": uid, "amount": amt, "ts_us": ts}) + "\n")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = spark.readStream.schema("user_id LONG, amount DOUBLE, ts_us LONG") \
+            .option("maxFilesPerTrigger", 1).json(src)
+        out = streaming_running_stats(
+            ev, keys=["user_id"], amount_col="amount", ts_us_col="ts_us"
+        )
+        _run_to_memory(out, "tws_stats_t", "update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = spark.sql("SELECT * FROM tws_stats_t").collect()
+    final: dict[int, tuple] = {}
+    for r in rows:  # memory sink appends per batch; later rows supersede
+        final[r["user_id"]] = (r["n_events"], r["total"], r["min_ts_us"], r["max_ts_us"])
+    assert final[1] == (3, 17.5, 100, 300)
+    assert final[2] == (2, 5.0, 50, 150)
+    assert final[3] == (1, 7.0, 999, 999)
+    # update mode: key 1 must have emitted more than once (cross-batch growth)
+    assert sum(1 for r in rows if r["user_id"] == 1) >= 2

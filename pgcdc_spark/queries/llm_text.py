@@ -600,3 +600,40 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= _STRATA_QUOTA)
         .select("doc_id", "source", "sample_rank")
     )
+
+
+# --- BPE-ish regex tokenization ----------------------------------------------
+# Whitespace tokens (docs_token_stats) undercount what an LLM tokenizer
+# sees; the standard pre-tokenizer (GPT-2 style) splits runs of letters,
+# digits, and punctuation separately, each optionally space-prefixed. The
+# ASCII form below uses only constructs RE2 (DuckDB) and java.util.regex
+# (Spark) interpret identically — no lookahead, no unicode classes — so
+# the counts are exact parity. Per-doc map-only work: no shuffle at all.
+
+_BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT) AS n_number_tokens,
+  CAST(length(text) AS DOUBLE)
+    / CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+    AS chars_per_token
+FROM documents
+"""
+
+
+@query("docs_token_bpe_regex", oracle=_BPE_ORACLE, tags=("llm", "text", "tokenize"))
+def docs_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    def n_matches(pat: str):
+        return F.expr(f"size(regexp_extract_all(text, '{pat}', 0))").cast("long")
+    return docs.select(
+        "doc_id",
+        n_matches(_BPE_PATTERN).alias("n_bpe_tokens"),
+        n_matches(" ?[A-Za-z]+").alias("n_word_tokens"),
+        n_matches(" ?[0-9]+").alias("n_number_tokens"),
+        (F.length("text").cast("double")
+         / n_matches(_BPE_PATTERN).cast("double")).alias("chars_per_token"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from . import query
 
 # ---------------------------------------------------------------------------
@@ -51,8 +51,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1)).cast("double")
+    # Seven exact-decimal sums make this agg CPU-heavy per input byte, so
+    # spread an under-split scan first (fan_out is a no-op when the input
+    # already has >= parallelism splits — the 100 TB case). Decimal sums
+    # are order-independent, so the result is unchanged.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        fan_out(li)
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),

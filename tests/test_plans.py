@@ -57,8 +57,10 @@ def test_q1_partial_aggregation(spark):
     """Partial (map-side) agg must run before the exchange so the shuffle
     moves |groups| rows per partition, not |lineitem|."""
     plan = _plan(spark, "q1_pricing_summary")
-    before_exchange = plan.split("Exchange")[-1]
-    assert "HashAggregate" in before_exchange, "no map-side partial agg below shuffle"
+    # Below the groupBy's hash exchange there must be a partial HashAggregate
+    # (the adaptive fan_out's round-robin exchange may sit further down).
+    below_group_shuffle = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in below_group_shuffle, "no map-side partial agg below shuffle"
     assert plan.count("HashAggregate") >= 2
 
 

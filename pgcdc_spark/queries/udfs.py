@@ -92,3 +92,45 @@ def udf_grouped_map_center(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .applyInPandas(center, schema="doc_id long, source string, centered double")
     )
+
+
+# --- Python UDTF (table function: one row in -> N rows out) -------------------
+
+_UDTF_ORACLE = """
+SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, w[t.i] AS token,
+       CAST(length(w[t.i]) AS BIGINT) AS tok_len
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 50 = 0),
+     (SELECT UNNEST(range(1, 300)) AS i) t
+WHERE t.i <= len(w)
+"""
+
+
+@query("udf_udtf_tokenize", oracle=_UDTF_ORACLE, tags=("udf", "udtf"))
+def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 `@udtf`): the 1->N extension point — the
+    generalization of the reference's flatMap Transformer contract
+    (src/mapping/customMapper.ts:27-34, event -> Student[]). The lateral
+    join streams one input partition per worker; no shuffle is introduced
+    (the UDTF is a map-side row expander). A doc_id sample keeps the
+    oracle's row count modest; built-ins (split+posexplode) would be the
+    production path for THIS formula — the UDTF machinery is the unit
+    under test, per this module's rule."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string, tok_len bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for pos, token in enumerate((text or "").split(" ")):
+                yield pos, token, len(token)
+
+    spark.udtf.register("udtf_tokenize", Tokenize)
+    (docs,) = load(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text") \
+        .createOrReplaceTempView("udtf_docs_sample")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.tok_len
+        FROM udtf_docs_sample d, LATERAL udtf_tokenize(d.text) t
+        """
+    )

@@ -35,6 +35,7 @@ REGISTRY: dict[str, "QueryDef"] = {}
 _MODULES = (
     "relational",
     "tpch_extra",
+    "tpch_rest",
     "joins",
     "subqueries",
     "aggregates",

@@ -146,3 +146,32 @@ def test_quantize_stats_join_broadcast(spark):
     side must not shuffle for it."""
     plan = _plan(spark, "emb_quantize_int8")
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["q2_best_supplier", "q9_profit_by_nation",
+                                  "q16_supplier_part_counts",
+                                  "q17_small_qty_revenue", "q20_heavy_shippers"])
+def test_tpch_rest_dims_broadcast(spark, name):
+    """The adapted TPC-H shapes keep every dim/agg side broadcast — no
+    fact-table shuffle for a join, no nested-loop fallback."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, name
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q17_single_fact_shuffle(spark):
+    """Only the per-part threshold agg shuffles; the probe side of the
+    fact table reaches the final agg through broadcast joins alone."""
+    plan = _plan(spark, "q17_small_qty_revenue")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q21_self_joins_keep_equi_key(spark):
+    """EXISTS/NOT EXISTS self-joins must stay hash/sort-merge on
+    l_orderkey with the <> suppkey arm as a residual condition — a
+    nested-loop plan here is quadratic in order size at 100 TB."""
+    plan = _plan(spark, "q21_sole_late_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -333,3 +333,53 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- binned range join (engine helper; interval containment at scale) --------
+
+_RANGE_BINNED_ORACLE = """
+SELECT e.event_id AS error_id,
+       COUNT(*) AS n_clicks,
+       MIN(c.event_id) AS first_click_id
+FROM events e JOIN events c
+  ON epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 300000000
+                        AND epoch_us(e.ts) + 300000000
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+GROUP BY e.event_id
+ORDER BY error_id
+"""
+
+
+@query("join_range_binned", oracle=_RANGE_BINNED_ORACLE,
+       tags=("join", "range", "custom"))
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within ±5 minutes of each error event — a pure interval
+    join with NO equi key, which naively compiles to a nested loop. The
+    binned_range_join operator makes it a hash join on 10-minute bins
+    (each error window spans ≤2 bins), so at 100 TB both sides partition
+    by bin instead of replicating one side everywhere. Times are epoch-µs
+    on both engines (ts is ns in parquet; DuckDB truncates ns to µs)."""
+    from ..operators.rangejoin import binned_range_join
+
+    (events,) = load(spark, sf_dir, "events")
+    # integer div: epoch-ns exceeds double's exact integer range (2^53)
+    us = F.expr("ts div 1000")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (us - 300_000_000).alias("w_start"),
+        (us + 300_000_000).alias("w_end"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), us.alias("click_us")
+    )
+    joined = binned_range_join(
+        clicks, errors, "click_us", "w_start", "w_end", bin_width=600_000_000
+    )
+    return (
+        joined.groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.min("click_id").alias("first_click_id"),
+        )
+        .orderBy("error_id")
+    )

@@ -30,3 +30,50 @@ def test_salted_left_join_keeps_unmatched(spark):
     got = {(r["k"], r["payload"], r["val"])
            for r in salted_join(big, dim, "k", how="left", n_salts=4).collect()}
     assert got == {(1, "a", "v1"), (99, "b", None)}
+
+
+def test_binned_range_join_equals_naive_theta(spark):
+    """Bin + residual must be semantically identical to the naive interval
+    theta join, across bin widths smaller/equal/larger than the interval
+    length (replication factor 1..many) — and produce no duplicates."""
+    import random
+
+    from pgcdc_spark.operators.rangejoin import binned_range_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 1000)) for i in range(300)]
+    ivs = []
+    for j in range(80):
+        s = rng.randrange(0, 950)
+        ivs.append((j, s, s + rng.randrange(0, 120)))
+    points = spark.createDataFrame(pts, "pid LONG, x LONG")
+    intervals = spark.createDataFrame(ivs, "iid LONG, s LONG, e LONG")
+
+    naive = points.join(
+        intervals, (points["x"] >= intervals["s"]) & (points["x"] <= intervals["e"])
+    ).select("pid", "iid")
+    expected = sorted(map(tuple, naive.collect()))
+    for width in (7, 64, 120, 500):
+        got = binned_range_join(points, intervals, "x", "s", "e", width).select("pid", "iid")
+        assert sorted(map(tuple, got.collect())) == expected, f"width={width}"
+
+
+def test_binned_range_join_left_outer_and_guards(spark):
+    import pytest
+
+    from pgcdc_spark.operators.rangejoin import binned_range_join
+
+    points = spark.createDataFrame([(1, 5), (2, 500)], "pid LONG, x LONG")
+    intervals = spark.createDataFrame([(10, 0, 10)], "iid LONG, s LONG, e LONG")
+    got = {
+        (r["pid"], r["iid"])
+        for r in binned_range_join(
+            points, intervals, "x", "s", "e", 16, how="left_outer"
+        ).collect()
+    }
+    assert got == {(1, 10), (2, None)}
+
+    with pytest.raises(ValueError):
+        binned_range_join(points, points, "x", "s", "e", 16)  # overlapping cols
+    with pytest.raises(ValueError):
+        binned_range_join(points, intervals, "x", "s", "e", 16, how="full")

@@ -175,3 +175,13 @@ def test_q21_self_joins_keep_equi_key(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_binned_is_hash_join(spark):
+    """The binned interval join must compile to a hash join on the bin
+    key with the range predicate as a residual — never a nested loop
+    (which is O(|points| x |intervals|) at scale)."""
+    plan = _plan(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -637,3 +637,119 @@ def docs_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text").cast("double")
          / n_matches(_BPE_PATTERN).cast("double")).alias("chars_per_token"),
     )
+
+
+# --- corpus-trained unigram cross-entropy (model-based quality score) --------
+# The model-based cousin of the heuristic quality score: "train" a unigram
+# LM on the whole corpus (one token-count aggregation), then score each
+# document by its average negative log-probability under that model. High
+# scores = out-of-distribution documents (boilerplate, noise, wrong
+# domain) — the classic perplexity filter of LLM data pipelines, minus
+# the external LM. Two shuffles total: token counts (|vocab| after
+# map-side combine) and the per-doc average; the vocab table broadcasts
+# back against the token stream.
+# Parity: -ln(p) is rounded to 9 decimals per token and summed as an
+# exact DECIMAL, so the average is order-independent and the libm ulp
+# wobble (see q-notes on LN/EXP) is absorbed before aggregation.
+
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (
+  SELECT w, COUNT(*) AS n FROM tok GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cnt
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(ROUND(-LN(CAST(cnt.n AS DOUBLE) / tot.t), 9)
+                     AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_neg_logprob
+FROM tok JOIN cnt USING (w) CROSS JOIN tot
+GROUP BY tok.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("docs_unigram_logprob", oracle=_UNIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = cnt.agg(F.sum("n").cast("double").alias("t"))
+    neg_lp = F.round(-F.log(F.col("n").cast("double") / F.col("t")), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        tok.join(F.broadcast(cnt), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(neg_lp).cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- benchmark decontamination (n-gram overlap vs a held-out set) ------------
+# Before training, every corpus document is checked for n-gram overlap
+# against the evaluation/benchmark set; contaminated documents are
+# dropped. Here the "benchmark" is the src0 slice of the corpus, the
+# corpus is everything else, and overlap = distinct shared word trigrams.
+# Scale: the benchmark trigram set is orders of magnitude smaller than
+# the corpus, so it broadcasts; the corpus-side trigram stream joins
+# against it map-side (no corpus shuffle before the per-doc count).
+
+_DECONTAM_THRESHOLD = 3
+
+_DECONTAM_ORACLE = f"""
+WITH tri AS (
+  SELECT doc_id, source, tg
+  FROM (
+    SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+  ), UNNEST(range(1, len(w) - 1)) t(i),
+  LATERAL (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg) g
+),
+bench AS (
+  SELECT DISTINCT tg FROM tri WHERE source = 'src0'
+),
+corpus AS (
+  SELECT DISTINCT doc_id, tg FROM tri WHERE source <> 'src0'
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_shared_trigrams,
+       COUNT(*) >= {_DECONTAM_THRESHOLD} AS contaminated
+FROM corpus c JOIN bench b USING (tg)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("docs_decontam_overlap", oracle=_DECONTAM_ORACLE, tags=("llm", "text", "dedup"))
+def docs_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    trigrams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1),"
+            " ' ', element_at(w, i + 2)))"
+        )
+    )
+    tri = (
+        fan_out(docs)
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+        .select("doc_id", "source", F.explode(trigrams).alias("tg"))
+    )
+    bench = tri.filter(F.col("source") == "src0").select("tg").distinct()
+    corpus = tri.filter(F.col("source") != "src0").select("doc_id", "tg")
+    return (
+        corpus.join(F.broadcast(bench), "tg", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_trigrams"))
+        .withColumn("contaminated", F.col("n_shared_trigrams") >= _DECONTAM_THRESHOLD)
+        .orderBy("doc_id")
+    )

@@ -24,6 +24,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_profit_by_nation",
+    "join_range_binned",
     "agg_rollup",
     "agg_distinct_stats",
     "window_topk_per_group",
@@ -34,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "emb_cosine_topk",
     "docs_quality_score",
+    "docs_unigram_logprob",
 ]
 
 

@@ -112,3 +112,36 @@ def events_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("day", "event_type")
     )
+
+
+# --- pivot (long -> wide via RelationalGroupedDataset.pivot) -----------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("pivot_status_counts", oracle=_PIVOT_ORACLE, tags=("reshape", "pivot"))
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True pivot operator (inverse of unpivot_measures). Pivot values are
+    given EXPLICITLY — with an inferred value set Spark first runs a
+    distinct job over the pivot column, a hidden extra pass at 100 TB.
+    Compiles to the same single-shuffle conditional agg as CASE/FILTER."""
+    (orders,) = load(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    ).orderBy("o_orderpriority")

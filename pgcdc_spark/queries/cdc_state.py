@@ -72,3 +72,69 @@ def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.expr("ts div 1000")).alias("first_change_us"),
         F.max(F.expr("ts div 1000")).alias("last_change_us"),
     )
+
+
+# --- evolving CDC state (online additive schema evolution, driver-checked) ---
+# The events table re-read as an envelope stream whose upstream schema
+# GROWS mid-stream: changes with event_id >= _EVOLVE_CUTOFF carry an
+# extra `k` column (extracted from props) in their row image, earlier
+# changes do not — the ALTER TABLE ADD COLUMN scenario the reference is
+# blind to (it filters out pgoutput `relation` messages and hard-casts
+# images, src/mapping/customMapper.ts:12-22). The engine path under test
+# is cdc/evolution.py: map-keyed column discovery (the one sanctioned
+# metadata collect), STRING promotion, checked evolving parse, then the
+# standard tombstone-aware upsert. Pre-evolution survivors read NULL k.
+
+_EVOLVE_CUTOFF = 500
+
+_EVOLVING_ORACLE = f"""
+SELECT user_id, value AS last_value, k AS last_k
+FROM (
+  SELECT user_id, value,
+         CASE WHEN event_id >= {_EVOLVE_CUTOFF}
+              THEN json_extract_string(props, '$.k') END AS k,
+         event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_evolving_state", oracle=_EVOLVING_ORACLE, tags=("cdc", "evolution"))
+def cdc_evolving_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.evolution import parse_envelope_evolving
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    img = F.struct(
+        F.col("user_id"),
+        F.col("value"),
+        F.when(F.col("event_id") >= _EVOLVE_CUTOFF,
+               F.get_json_object("props", "$.k")).alias("k"),
+    )
+    # lsn = zero-padded event_id so string order == numeric order.
+    raw = events.select(
+        F.to_json(
+            F.struct(
+                F.lpad(F.col("event_id").cast("string"), 12, "0").alias("lsn"),
+                F.when(is_del, F.lit("delete")).otherwise(F.lit("update")).alias("tag"),
+                F.when(~is_del, img).alias("new"),
+                F.when(is_del, img).alias("old"),
+            )
+        ).alias("value")
+    )
+    base = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    parsed, _schema = parse_envelope_evolving(raw, base_schema=base)
+    changes = apply_pipeline(parsed)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("k").alias("last_k"),
+    ).orderBy("user_id")

@@ -90,7 +90,10 @@ def test_no_collect_in_query_surface(spark):
     # per-iteration localCheckpoints and scalar convergence counts. That is
     # distributed iteration (the GraphX/Pregel execution model), not a
     # driver-side data loop; only SCALARS ever reach the driver.
-    iterative = {"dedup_cc_clusters"}
+    # cdc_evolving_state's schema DISCOVERY is the other sanctioned one:
+    # it collects the distinct image column-name set (O(columns) metadata,
+    # not data — cdc/evolution.py) before the checked parse can be planned.
+    iterative = {"dedup_cc_clusters", "cdc_evolving_state"}
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

@@ -71,3 +71,21 @@ def streaming_dedup(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     return events.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_utc",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """At-least-once redelivery dedup (Spark 4
+    ``dropDuplicatesWithinWatermark``): unlike ``streaming_dedup``, the
+    event time is NOT part of the key, so a redelivered message whose
+    timestamp was re-stamped (the reference's auto-ack redelivery window —
+    src/database/postgresql/PostgresOperation.ts:24-29 — re-reads wal
+    messages after a crash, and brokers re-stamp ingestion time) still
+    collapses onto the first delivery, as long as it arrives within the
+    watermark delay. Per-key state is evicted once the watermark passes —
+    bounded state at 100 TB, sized by delay x key-arrival rate."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -343,3 +343,21 @@ def test_watermark_drops_late_event(spark, tmp_path):
            for r in spark.sql("SELECT * FROM late_t").collect()}
     # the late event 3 must NOT appear: [00:00,00:10) stays at count 1
     assert got == {("2024-01-01 00:00:00", 1), ("2024-01-01 03:00:00", 1)}
+
+
+def test_streaming_dedup_within_watermark_restamped(spark, tmp_path):
+    """Redelivered events with a DIFFERENT (re-stamped) event time must
+    still dedup on the key — the case plain dropDuplicates cannot catch."""
+    from pgcdc_spark.streaming.windows import streaming_dedup_within_watermark
+
+    restamped = [
+        (eid, ts.replace(":00", ":30", 1), uid, et, v)  # +30s on redelivery
+        for (eid, ts, uid, et, v) in EVENTS
+    ]
+    ev = _event_stream(spark, tmp_path, EVENTS + restamped)
+    dd = streaming_dedup_within_watermark(ev, ["event_id"], "ts_utc", "2 hours")
+    _run_to_memory(dd, "dedup_wm_t", "append")
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) c FROM dedup_wm_t").collect()[0]["c"]
+    total = spark.sql("SELECT COUNT(*) c FROM dedup_wm_t").collect()[0]["c"]
+    assert n == len(EVENTS)
+    assert total == len(EVENTS)

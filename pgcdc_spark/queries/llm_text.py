@@ -753,3 +753,69 @@ def docs_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("contaminated", F.col("n_shared_trigrams") >= _DECONTAM_THRESHOLD)
         .orderBy("doc_id")
     )
+
+
+# --- sequence packing (concat-and-chunk batch assembly) ---------------------
+# Pretraining batch assembly: per source, documents are concatenated in a
+# deterministic order (doc_id) and the token stream is chunked into
+# fixed-budget context windows; a doc belongs to the pack its first token
+# lands in. Expressed as a running integer sum (ROWS window) + integer
+# division — exact on both engines. At scale the only shuffle is the
+# range-partitioned sort within each source; pack stats are a map-side
+# combinable group-by on (source, pack_id).
+
+_PACK_BUDGET = 128
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM documents
+)
+SELECT source,
+       CAST((end_off - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM t
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+@query("docs_pack_sequences", oracle=_PACK_ORACLE, tags=("llm", "text", "packing"))
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into {budget}-token context windows.
+
+    Parity of the reference's flatMap-shaping stage taken to the LLM
+    pipeline (``src/mapping/customMapper.ts:27-34`` shapes events; here the
+    shaping is docs → packed training sequences)."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn("end_off", F.sum("n_tokens").over(w))
+    return (
+        t.withColumn(
+            "pack_id",
+            F.expr(f"(end_off - n_tokens) div {_PACK_BUDGET}"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("source", "pack_id")
+    )

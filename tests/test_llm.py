@@ -211,3 +211,20 @@ def test_quantize_codes_in_range_and_reversible_ranks(spark, sf_smoke):
     stats = codes.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
     assert stats.lo == 0
     assert stats.hi == 255
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    expected = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("toks"),
+        F.count(F.lit(1)).alias("docs"),
+    ).first()
+    packs = _df("docs_pack_sequences", spark, sf_smoke)
+    got = packs.agg(
+        F.sum("pack_tokens").alias("toks"), F.sum("n_docs").alias("docs")
+    ).first()
+    assert got.toks == expected.toks and got.docs == expected.docs
+    assert packs.filter(F.col("pack_id") < 0).count() == 0

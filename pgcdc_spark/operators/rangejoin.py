@@ -76,9 +76,18 @@ def binned_range_join(
     inner = p.join(i, cond, "inner").drop(_PBIN, _IBIN)
     if how == "inner":
         return inner
-    # left_outer: unmatched points padded with NULL interval columns.
-    matched_keys = inner.select(*points.columns)
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    # left_outer: unmatched points padded with NULL interval columns. The
+    # anti-join must use NULL-SAFE equality (<=>): plain column-equality is
+    # null-unsafe, so a matched point row carrying a NULL payload column
+    # would never equal itself in the matched set and be re-emitted as a
+    # spurious NULL-padded "unmatched" row, breaking the no-dup property.
+    matched = inner.select(*points.columns).alias("__m")
+    p_alias = points.alias("__p")
+    anti_cond = None
+    for c in points.columns:
+        eq = F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = p_alias.join(matched, anti_cond, "left_anti")
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
     return inner.unionByName(unmatched)

@@ -536,8 +536,7 @@ WITH tok AS (
 ),
 bg AS (
   SELECT w[i] || ' ' || w[i+1] AS bigram
-  FROM tok, (SELECT UNNEST(range(1, 200)) AS i) t
-  WHERE i < len(w)
+  FROM tok, UNNEST(range(1, len(w))) t(i)
 )
 SELECT bigram, COUNT(*) AS n
 FROM bg GROUP BY bigram
@@ -549,11 +548,15 @@ LIMIT {_TOP_K_BIGRAMS}
 @query("docs_top_bigrams", oracle=_TOP_BIGRAMS_ORACLE, tags=("llm", "text", "heavy-hitters"))
 def docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
+    # Guard short docs (size(w) < 2): sequence(1, 0) counts DOWN through 0
+    # and element_at(w, 0) errors — same hazard docs_repetition guards.
     bg = docs.select(F.split("text", " ").alias("w")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(w) - 1),"
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
                 " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                " ELSE array() END"
             )
         ).alias("bigram")
     )
@@ -732,11 +735,14 @@ ORDER BY doc_id
 @query("docs_decontam_overlap", oracle=_DECONTAM_ORACLE, tags=("llm", "text", "dedup"))
 def docs_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
+    # Guard short docs (size(w) < 3): the descending-sequence hazard again.
     trigrams = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(w) - 2),"
+            "CASE WHEN size(w) >= 3 THEN"
+            " transform(sequence(1, size(w) - 2),"
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1),"
             " ' ', element_at(w, i + 2)))"
+            " ELSE array() END"
         )
     )
     tri = (

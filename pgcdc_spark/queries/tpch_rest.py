@@ -159,8 +159,12 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
                    .cast("decimal(22,6)")).alias("v"))
     )
+    # Multiply by an exact decimal literal so the product stays in decimal
+    # arithmetic (decimal x double would promote to DOUBLE and a value
+    # within double rounding error of the threshold could flip engines).
     threshold = val.agg(
-        (F.sum("v") * F.lit(float(_Q11_FRACTION))).cast("decimal(22,6)").alias("t")
+        (F.sum("v") * F.expr(f"CAST({_Q11_FRACTION} AS DECIMAL(6,4))"))
+        .cast("decimal(22,6)").alias("t")
     )
     return (
         val.join(F.broadcast(threshold))

@@ -228,3 +228,28 @@ def test_pack_sequences_conserves_tokens(spark, sf_smoke):
     ).first()
     assert got.toks == expected.toks and got.docs == expected.docs
     assert packs.filter(F.col("pack_id") < 0).count() == 0
+
+
+def test_short_docs_do_not_crash_ngram_queries(spark, tmp_path):
+    """1-token and empty docs must not error the bigram/trigram queries
+    (sequence(1, 0) counts DOWN through 0; element_at(w, 0) raises).
+    Fixture docs are all >=10 tokens, so this needs its own tiny table."""
+    sf = str(tmp_path)
+    rows = [
+        (0, "", "en", "src1", 0),
+        (1, "one", "en", "src1", 3),
+        (2, "two tokens", "en", "src1", 10),
+        (3, "exactly three tokens here", "en", "src0", 24),
+        (4, "a longer document with plenty of tokens to form trigrams", "en", "src2", 57),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    bigrams = _df("docs_top_bigrams", spark, sf).collect()
+    assert {r["bigram"] for r in bigrams} >= {"two tokens"}
+    # must not raise; doc 0/1 contribute no bigrams
+    assert all(r["n"] >= 1 for r in bigrams)
+
+    decontam = _df("docs_decontam_overlap", spark, sf).collect()
+    assert isinstance(decontam, list)  # no runtime error is the assertion

@@ -77,3 +77,20 @@ def test_binned_range_join_left_outer_and_guards(spark):
         binned_range_join(points, points, "x", "s", "e", 16)  # overlapping cols
     with pytest.raises(ValueError):
         binned_range_join(points, intervals, "x", "s", "e", 16, how="full")
+
+
+def test_binned_range_join_left_outer_null_payload_no_dup(spark):
+    """A matched point carrying a NULL payload column must NOT be re-emitted
+    as a spurious NULL-padded unmatched row (anti-join must be null-safe)."""
+    from pgcdc_spark.operators.rangejoin import binned_range_join
+
+    points = spark.createDataFrame(
+        [(1, 5, None), (2, 500, "p2"), (3, 7, None)],
+        "pid LONG, x LONG, payload STRING",
+    )
+    intervals = spark.createDataFrame([(10, 0, 10)], "iid LONG, s LONG, e LONG")
+    rows = binned_range_join(
+        points, intervals, "x", "s", "e", 16, how="left_outer"
+    ).collect()
+    got = sorted((r["pid"], r["iid"]) for r in rows)
+    assert got == [(1, 10), (2, None), (3, 10)]

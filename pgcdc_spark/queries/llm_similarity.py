@@ -300,6 +300,44 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENT_MOD = 53
 _N_PROBE = 2
 
+
+def ivf_centroids(base: DataFrame, cent_mod: int = _CENT_MOD) -> DataFrame:
+    """Deterministic coarse-quantizer centroids (k-means stand-in: rule
+    ``vec_id % cent_mod == 1`` so DuckDB can mirror it exactly).
+    ``base`` must have columns (vec_id, e: array<double>, n: norm)."""
+    return base.filter(F.col("vec_id") % cent_mod == 1).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+
+
+def nearest_cells(side: DataFrame, cent: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Assign each row of ``side`` (id_col, e, n) to its ``k`` nearest
+    centroid cells by cosine. Centroids broadcast (|C| ~ sqrt(n) rows), so
+    the big side never shuffles for the scoring — only the per-id window
+    runs, partitioned on id_col."""
+    scored = side.crossJoin(F.broadcast(cent)).select(
+        id_col, "e", "n", "cid",
+        (dot_fold_expr("e", "ce") / (F.col("n") * F.col("cn"))).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "e", "n", "cid")
+    )
+
+
+def ivf_cell_assignments(emb: DataFrame, cent_mod: int = _CENT_MOD) -> DataFrame:
+    """``vec_id -> nearest cell`` (plus the vector and its norm): the IVF
+    blocking key reused by embedding dedup — at 100 TB cells are the
+    shuffle/partitioning unit for any within-cell pair work."""
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    return nearest_cells(base, ivf_centroids(base, cent_mod), "vec_id", 1)
+
 _IVF_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -355,28 +393,12 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
         norm_fold_expr("embedding", cast=True).alias("n"),
     )
-    cent = base.filter(F.col("vec_id") % _CENT_MOD == 1).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
-    )
-
-    def nearest_cells(side: DataFrame, id_col: str, k: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cent)).select(
-            id_col, "e", "n", "cid",
-            (dot_fold_expr("e", "ce")
-             / (F.col("n") * F.col("cn"))).alias("ccos"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select(id_col, "e", "n", "cid")
-        )
-
-    asg = nearest_cells(base, "vec_id", 1)
+    cent = ivf_centroids(base)
+    asg = nearest_cells(base, cent, "vec_id", 1)
     probe = nearest_cells(
         base.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("qid"), "e", "n"),
-        "qid", _N_PROBE,
+        cent, "qid", _N_PROBE,
     ).select("qid", F.col("e").alias("qe"), F.col("n").alias("qn"), "cid")
     scored = (
         asg.join(F.broadcast(probe), "cid")

@@ -253,3 +253,16 @@ def test_short_docs_do_not_crash_ngram_queries(spark, tmp_path):
 
     decontam = _df("docs_decontam_overlap", spark, sf).collect()
     assert isinstance(decontam, list)  # no runtime error is the assertion
+
+
+def test_verified_pairs_cover_all_candidates(spark, sf_smoke):
+    """dedup_verified_pairs must emit exactly the LSH candidate list (one
+    row per candidate, verified or not) with exact shingle Jaccard."""
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in _df("dedup_minhash_lsh", spark, sf_smoke).collect()}
+    rows = _df("dedup_verified_pairs", spark, sf_smoke).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
+    assert len(rows) == len(cand)
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["verified"] == (r["jaccard"] >= 0.5)

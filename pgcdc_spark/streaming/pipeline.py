@@ -32,6 +32,7 @@ from pyspark.sql.types import StructType
 from ..cdc.envelope import STUDENT_SCHEMA, parse_envelope
 from ..cdc.transform import apply_pipeline
 from ..cdc.upsert import latest_state
+from .statestore import AtomicStateStore
 
 
 def read_envelope_stream(
@@ -57,6 +58,13 @@ def start_upsert_stream(
 ) -> StreamingQuery:
     """foreachBatch sink: merge each micro-batch into the parquet state.
 
+    Crash-atomic: each merge commits a fresh version dir and atomically
+    repoints the store manifest (statestore.AtomicStateStore) — a crash
+    mid-write leaves the previous complete state live, and the replayed
+    batch re-commits idempotently. This (offsets advance only after sink
+    success + an atomic sink commit) fully closes the reference's
+    ack-before-send loss window (PostgresOperation.ts:24-29).
+
     Scale note: per batch this reads current state + unions the batch +
     re-materializes — correct and simple. At 100 TB the same merge targets
     a Delta/Iceberg MERGE INTO or a key-bucketed table so only touched
@@ -64,14 +72,15 @@ def start_upsert_stream(
     is identical and lives in cdc/upsert.py either way.
     """
     spark = changes.sparkSession
+    store = AtomicStateStore(state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            combined = spark.read.parquet(state_dir).unionByName(batch_df)
-        except Exception:  # first batch: no state yet
-            combined = batch_df
+        current = store.read(spark)
+        combined = (
+            batch_df if current is None else current.unionByName(batch_df)
+        )
         # keep_deletes: tombstones stay in the stored state so merge order
         # cannot resurrect a deleted key (file-stream batches are NOT
         # guaranteed to arrive in filename order); read_state filters them.
@@ -79,9 +88,7 @@ def start_upsert_stream(
             combined, keys=list(keys), order_by=list(order_by), op_col="op",
             keep_deletes=True,
         )
-        new_state.write.mode("overwrite").parquet(state_dir + "_tmp")
-        tmp = spark.read.parquet(state_dir + "_tmp")
-        tmp.write.mode("overwrite").parquet(state_dir)
+        store.commit(new_state, label=str(batch_id))
 
     return (
         changes.writeStream.foreachBatch(merge)
@@ -93,7 +100,10 @@ def start_upsert_stream(
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read the materialized table: live rows only (tombstones filtered)."""
-    return spark.read.parquet(state_dir).filter(F.col("op") != "D")
+    df = AtomicStateStore(state_dir).read(spark)
+    if df is None:
+        raise FileNotFoundError(f"no committed state under {state_dir}")
+    return df.filter(F.col("op") != "D")
 
 
 def materialize_batch(
@@ -139,7 +149,8 @@ def snapshot_then_stream(
         image = (
             snapshot.withColumn("op", F.lit("I")).withColumn("lsn", F.lit(snapshot_lsn))
         )
-        latest_state(image, keys=list(keys), order_by=["lsn"], op_col="op",
-                     keep_deletes=True).write.mode("overwrite").parquet(state_dir)
+        seeded = latest_state(image, keys=list(keys), order_by=["lsn"], op_col="op",
+                              keep_deletes=True)
+        AtomicStateStore(state_dir).commit(seeded, label="snapshot")
     changes = read_envelope_stream(spark, source_dir, row_schema)
     return start_upsert_stream(changes, state_dir, checkpoint_dir, keys=list(keys))

@@ -71,6 +71,72 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert rows == EXPECTED
 
 
+def test_stream_upsert_crash_mid_commit_recovers(spark, tmp_path, monkeypatch):
+    """Kill the sink BETWEEN writing the new version dir and publishing the
+    manifest: the previous complete state must stay live (no partial table
+    ever visible), and a plain restart must converge to the full result."""
+    from pgcdc_spark.streaming import statestore
+    from pgcdc_spark.streaming.statestore import AtomicStateStore
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    lines = fixture_lines()
+    _write_chunks(src, lines[:8], chunks=1)
+
+    q = start_upsert_stream(read_envelope_stream(spark, src), state_dir, ckpt, keys=["id"])
+    q.awaitTermination(120)
+    before = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
+              for r in read_state(spark, state_dir).collect()}
+    assert before  # first batch committed
+
+    # Arm the crash: data write succeeds, manifest publish dies.
+    real_publish = AtomicStateStore._publish
+
+    def exploding_publish(self, version):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(statestore.AtomicStateStore, "_publish", exploding_publish)
+    with open(os.path.join(src, "late.jsonl"), "w") as f:
+        f.write("\n".join(lines[8:]))
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q2 = start_upsert_stream(read_envelope_stream(spark, src), state_dir, ckpt, keys=["id"])
+    with pytest.raises(StreamingQueryException):
+        q2.awaitTermination(120)
+
+    # Old state still live and complete — the crash was invisible to readers.
+    after_crash = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
+                   for r in read_state(spark, state_dir).collect()}
+    assert after_crash == before
+
+    # Plain restart (no fault): failed batch replays from the checkpoint.
+    monkeypatch.setattr(statestore.AtomicStateStore, "_publish", real_publish)
+    q3 = start_upsert_stream(read_envelope_stream(spark, src), state_dir, ckpt, keys=["id"])
+    q3.awaitTermination(120)
+    rows = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
+            for r in read_state(spark, state_dir).collect()}
+    assert rows == EXPECTED
+
+
+def test_statestore_replay_same_label_no_clobber(spark, tmp_path):
+    """Re-committing the same batch label (crash-after-publish replay) must
+    produce a NEW version dir — never overwrite the live one in place."""
+    from pgcdc_spark.streaming.statestore import AtomicStateStore
+
+    store = AtomicStateStore(str(tmp_path / "st"))
+    os.makedirs(store.root, exist_ok=True)
+    df1 = spark.createDataFrame([(1, "a")], "id LONG, v STRING")
+    v1 = store.commit(df1, label="0")
+    df2 = store.read(spark).unionByName(
+        spark.createDataFrame([(2, "b")], "id LONG, v STRING")
+    )
+    v2 = store.commit(df2, label="0")  # replayed batch id
+    assert v1 != v2
+    assert {r["id"] for r in store.read(spark).collect()} == {1, 2}
+
+
 def _event_stream(spark, tmp_path, rows):
     """rows: (event_id, iso_ts, user_id, event_type, value)"""
     src = str(tmp_path / "events_src")

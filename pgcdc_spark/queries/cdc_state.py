@@ -74,6 +74,63 @@ def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Debezium envelope adapter, driven through the oracle gate ---------------
+# The events table re-serialized as Debezium-shaped change events (payload.
+# before/after/op/source.lsn — the wire format a production CDC feed
+# actually arrives in), then parsed by cdc/debezium.parse_debezium and
+# materialized by the SAME upsert operator as cdc_upsert_state. Deletes
+# travel Debezium-style: image in `before`, `after` null. Half the rows
+# use the schemas.enable=true wrapped layout and half the flat layout, so
+# both converter configurations are exercised in one query.
+
+_DBZ_ORACLE = """
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_debezium_state", oracle=_DBZ_ORACLE, tags=("cdc", "debezium"))
+def cdc_debezium_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.debezium import parse_debezium
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    img = F.struct(F.col("user_id"), F.col("value"))
+    payload = F.struct(
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            F.lit("pg").alias("connector"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+    )
+    raw = events.select(
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.to_json(F.struct(payload.alias("payload"))),  # wrapped layout
+        )
+        .otherwise(F.to_json(payload))  # flat layout
+        .alias("value")
+    )
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    changes = apply_pipeline(parse_debezium(raw, row_schema=row_schema))
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")
+
+
 # --- evolving CDC state (online additive schema evolution, driver-checked) ---
 # The events table re-read as an envelope stream whose upstream schema
 # GROWS mid-stream: changes with event_id >= _EVOLVE_CUTOFF carry an

@@ -119,3 +119,71 @@ def test_upsert_idempotent_replay(spark, dup_factor):
     rows = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
             for r in state.collect()}
     assert rows == EXPECTED
+
+
+# --- Debezium adapter goldens ------------------------------------------------
+
+
+def _dbz(lsn: int, op: str, before=None, after=None, wrapped=True) -> str:
+    payload = {
+        "before": before,
+        "after": after,
+        "source": {"connector": "postgresql", "db": "app", "table": "students",
+                   "lsn": lsn, "txId": 100 + lsn},
+        "op": op,
+        "ts_ms": 1700000000000 + lsn,
+    }
+    return json.dumps({"schema": {"type": "struct"}, "payload": payload}
+                      if wrapped else payload)
+
+
+def debezium_fixture_lines() -> list[str]:
+    mk = lambda i, **kw: {**ROW, "id": i, **kw}  # noqa: E731
+    return [
+        _dbz(3, "r", after=mk(1)),                                 # snapshot read
+        _dbz(4, "c", after=mk(2, first_name="Grace")),
+        # lsn 9 then 10: unpadded string order would sort "9" AFTER "10"
+        # and resurrect the older image — this pins the zero-pad mapping.
+        _dbz(9, "u", after=mk(1, last_name="Byron")),
+        _dbz(10, "u", after=mk(1, last_name="King", status_id=2)),
+        _dbz(11, "d", before=mk(2, first_name="Grace")),           # delete: before only
+        _dbz(12, "c", after=mk(3, first_name="Alan"), wrapped=False),  # flat layout
+        _dbz(13, "t"),                                             # truncate: no images
+        json.dumps({"schema": {"type": "struct"}, "payload": None}),  # tombstone
+        "not-json {{",                                             # malformed
+    ]
+
+
+def test_debezium_golden_materialization(spark):
+    from pgcdc_spark.cdc.debezium import parse_debezium
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    raw = spark.createDataFrame([(l,) for l in debezium_fixture_lines()], ["value"])
+    changes = apply_pipeline(parse_debezium(raw))
+    state = latest_state(changes, keys=["id"], order_by=["lsn"], op_col="op")
+    rows = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
+            for r in state.collect()}
+    assert rows == {
+        1: ("Ada", "King", 2),      # snapshot read upserted, lsn 10 beats 9
+        3: ("Alan", "Lovelace", 1),  # flat-layout insert
+        # id 2 deleted -> absent; truncate/tombstone/malformed contribute nothing
+    }
+
+
+def test_debezium_tag_mapping_and_dead_letter(spark):
+    from pgcdc_spark.cdc.debezium import parse_debezium
+
+    raw = spark.createDataFrame([(l,) for l in debezium_fixture_lines()], ["value"])
+    env = parse_debezium(raw).collect()
+    tags = [r["tag"] for r in env]
+    assert tags[:7] == ["insert", "insert", "update", "update", "delete",
+                        "insert", "truncate"]
+    # snapshot read and flat insert both land as 20-digit sortable lsn
+    assert env[0]["lsn"] == "3".rjust(20, "0")
+    assert all(r["lsn"] is None or len(r["lsn"]) == 20 for r in env)
+    # the malformed line is dead-lettered, not dropped silently
+    corrupt = [r for r in env if r["_corrupt"] is not None]
+    assert len(corrupt) == 1 and "not-json" in corrupt[0]["_corrupt"]
+    # delete carries the old image only
+    dels = [r for r in env if r["tag"] == "delete"]
+    assert dels[0]["old"]["id"] == 2 and dels[0]["new"] is None

@@ -4,10 +4,11 @@ processed with Arrow-batched pandas pipelines (mapInPandas).
 Design (BASELINE.json north star): image/audio/video travel as
 ``binary`` columns with a ``modality`` tag and a metadata struct. All
 Spark-side plumbing — schema, partition sizing, batch iteration, feature
-schema — is real and tested; the actual codec calls are stubbed behind
-``NotImplementedError`` because no image/audio libraries exist in this
-container (decode_payload(..., fake=True) provides a deterministic
-stand-in so the pipeline is testable end-to-end).
+schema — is real and tested; actual codecs dispatch through a pluggable
+per-modality REGISTRY (register_codec). No image/audio libraries exist in
+this container, so the registered test codec is a deterministic byte-level
+stand-in (FakeBytesCodec); an unregistered modality raises with the
+plug-in hint instead of failing deep inside a task.
 
 Scale notes:
 - payloads never pass through Python row-at-a-time: mapInPandas moves
@@ -23,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
-from typing import Any
+from typing import Any, Protocol, runtime_checkable
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -50,16 +51,63 @@ MM_FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 8
 
 
-def decode_payload(payload: bytes, modality: str, fake: bool = False) -> Any:
-    """Decode an opaque payload. Real codecs are not available in this
-    environment — STUB. ``fake=True`` returns a deterministic byte-level
-    stand-in so the distributed pipeline can be exercised."""
-    if fake:
-        return payload  # treat raw bytes as the "decoded" object
-    raise NotImplementedError(
-        f"no codec for modality={modality!r} in this environment; "
-        "plug in PIL/torchaudio/decord here on a real cluster"
-    )
+# --- pluggable codec registry ------------------------------------------------
+# A cluster user adds PIL/torchaudio/decord WITHOUT editing this module:
+#   register_codec("image", PilImageCodec())
+# Codecs must be picklable: each mapInPandas operator snapshots the
+# registry at PLAN-BUILD time on the driver and ships it in the task
+# closure, so executors use exactly the codecs registered when the
+# operator was built (a post-hoc driver-side registration never half
+# applies to a running job).
+
+
+@runtime_checkable
+class Codec(Protocol):
+    """Decode one opaque payload of a modality into a processable object
+    (PIL.Image, waveform ndarray, frame iterator, ...)."""
+
+    def decode(self, payload: bytes) -> Any: ...
+
+
+class FakeBytesCodec:
+    """Deterministic byte-level stand-in (the 'decoded' object IS the raw
+    bytes) — the registered test codec in this container, where no real
+    image/audio libraries exist."""
+
+    def decode(self, payload: bytes) -> bytes:
+        return payload
+
+
+_FAKE = FakeBytesCodec()
+_REGISTRY: dict[str, Codec] = {"text": _FAKE}
+
+
+def register_codec(modality: str, codec: Codec) -> None:
+    _REGISTRY[modality] = codec
+
+
+def registered_codecs() -> dict[str, Codec]:
+    """Snapshot for closure capture (NOT the live dict)."""
+    return dict(_REGISTRY)
+
+
+def decode_payload(
+    payload: bytes,
+    modality: str,
+    fake: bool = False,
+    codecs: dict[str, Codec] | None = None,
+) -> Any:
+    """Decode via the registry. ``fake=True`` forces the deterministic
+    stand-in for any modality (test path); otherwise an unregistered
+    modality raises with the plug-in hint."""
+    codec = _FAKE if fake else (codecs if codecs is not None else _REGISTRY).get(modality)
+    if codec is None:
+        raise NotImplementedError(
+            f"no codec registered for modality={modality!r}; "
+            "register_codec(modality, codec) with PIL/torchaudio/decord "
+            "on a real cluster"
+        )
+    return codec.decode(payload)
 
 
 def _fake_feature(payload: bytes) -> list[float]:
@@ -76,10 +124,12 @@ def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
     chunk is decoded column-wise, one output row per input row.
     """
 
+    codecs = registered_codecs()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                decode_payload(p, m, fake=fake)
+                decode_payload(p, m, fake=fake, codecs=codecs)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(
@@ -125,12 +175,13 @@ def resize_images(mm: DataFrame, width: int, height: int, fake: bool = True) -> 
     dims) is the tested deliverable."""
 
     target = width * height
+    codecs = registered_codecs()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for p, m in zip(pdf["payload"], pdf["modality"]):
-                decoded = decode_payload(p, m, fake=fake)
+                decoded = decode_payload(p, m, fake=fake, codecs=codecs)
                 raw = bytes(decoded)
                 out.append(raw[:target].ljust(target, b"\0"))
             yield pd.DataFrame(
@@ -168,11 +219,13 @@ def sample_frames(
     payload as fixed-size byte frames, standing in for a real
     decord/ffmpeg frame decode."""
 
+    codecs = registered_codecs()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["modality"]):
-                raw = bytes(decode_payload(p, m, fake=fake))
+                raw = bytes(decode_payload(p, m, fake=fake, codecs=codecs))
                 all_frames = [
                     raw[i : i + frame_bytes]
                     for i in range(0, len(raw), frame_bytes)

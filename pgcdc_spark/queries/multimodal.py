@@ -40,11 +40,12 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mm_extract_features", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode/encode pipeline (deterministic fake
-    codec — see multimodal.decode_payload). Rows-only driver check; exact
-    values are asserted in tests/test_multimodal.py."""
+    """Arrow-batched mapInPandas decode/encode pipeline, dispatched through
+    the codec REGISTRY (the 'text' modality resolves to the registered
+    deterministic FakeBytesCodec — a cluster user registers PIL/torchaudio
+    instead). Rows-only driver check; exact values asserted in pytest."""
     (docs,) = load(spark, sf_dir, "documents")
-    return extract_features(documents_as_multimodal(docs), fake=True)
+    return extract_features(documents_as_multimodal(docs), fake=False)
 
 
 @query("mm_resize", oracle=None, tags=("llm", "multimodal", "pandas-udf"))

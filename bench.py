@@ -37,6 +37,14 @@ HEADLINE = [
     "emb_cosine_topk",
     "docs_quality_score",
     "docs_unigram_logprob",
+    # worst-case plans (VERDICT r1 item 5): iterative CC, bucketed ANN,
+    # skewed-agg top-k, windowed packing — regressions here are the ones
+    # that matter at 100 TB.
+    "dedup_cc_clusters",
+    "emb_ivf_ann_topk",
+    "q18_large_orders",
+    "docs_pack_sequences",
+    "dedup_verified_pairs",
 ]
 
 

@@ -413,19 +413,20 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the final per-doc agg of (count) pairs."""
     (docs,) = load(spark, sf_dir, "documents")
     # w bound ONCE (lambdas are interpreted — re-splitting per trigram would
-    # be O(tokens^2)); the CASE guards docs with < 3 tokens, where
-    # sequence(1, size-2) would count DOWN (Spark's default step is -1 when
-    # start > stop) and index out of bounds.
+    # be O(tokens^2)); nested zip_with over shifted slices is both
+    # short-doc safe (slices run dry below 3 tokens, null pads filter out
+    # — never a descending sequence(1, 0)) and ~2x faster than the
+    # element_at indexing form (cf. llm_dedup._SHINGLE_EXPR).
     tri = (
         fan_out(docs).select("doc_id", F.split("text", " ").alias("w"))
         .select(
             "doc_id",
             F.explode(F.expr(
-                "CASE WHEN size(w) >= 3 THEN"
-                " transform(sequence(1, size(w) - 2),"
-                "  i -> concat_ws(' ', element_at(w, i),"
-                "  element_at(w, i + 1), element_at(w, i + 2)))"
-                " ELSE array() END"
+                "filter(zip_with("
+                " zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+                "          (a, b) -> concat(a, ' ', b)),"
+                " slice(w, 3, greatest(size(w) - 2, 0)),"
+                " (ab, c) -> concat(ab, ' ', c)), x -> x IS NOT NULL)"
             )).alias("tri"),
         )
     )
@@ -548,15 +549,15 @@ LIMIT {_TOP_K_BIGRAMS}
 @query("docs_top_bigrams", oracle=_TOP_BIGRAMS_ORACLE, tags=("llm", "text", "heavy-hitters"))
 def docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
-    # Guard short docs (size(w) < 2): sequence(1, 0) counts DOWN through 0
-    # and element_at(w, 0) errors — same hazard docs_repetition guards.
+    # zip_with over the shifted array: short-doc safe with no branch (for
+    # size(w) < 2 the slice is empty, null pads filter out to an empty
+    # array — never a descending sequence(1, 0)) and ~2x faster than the
+    # element_at indexing form (cf. llm_dedup._SHINGLE_EXPR).
     bg = docs.select(F.split("text", " ").alias("w")).select(
         F.explode(
             F.expr(
-                "CASE WHEN size(w) >= 2 THEN"
-                " transform(sequence(1, size(w) - 1),"
-                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-                " ELSE array() END"
+                "filter(zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
             )
         ).alias("bigram")
     )
@@ -735,14 +736,16 @@ ORDER BY doc_id
 @query("docs_decontam_overlap", oracle=_DECONTAM_ORACLE, tags=("llm", "text", "dedup"))
 def docs_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
-    # Guard short docs (size(w) < 3): the descending-sequence hazard again.
+    # Nested zip_with (pairs, then zip with the twice-shifted array):
+    # short-doc safe with no branch and no element_at indexing — for
+    # size(w) < 3 the slices run dry, null pads filter out.
     trigrams = F.array_distinct(
         F.expr(
-            "CASE WHEN size(w) >= 3 THEN"
-            " transform(sequence(1, size(w) - 2),"
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1),"
-            " ' ', element_at(w, i + 2)))"
-            " ELSE array() END"
+            "filter(zip_with("
+            " zip_with(w, slice(w, 2, greatest(size(w) - 1, 0)),"
+            "          (a, b) -> concat(a, ' ', b)),"
+            " slice(w, 3, greatest(size(w) - 2, 0)),"
+            " (ab, c) -> concat(ab, ' ', c)), x -> x IS NOT NULL)"
         )
     )
     tri = (

@@ -67,17 +67,45 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
 
     A small file is one input split, so an expensive map stage (shingling,
     hashing, decoding) would run on ONE core no matter how many are idle.
-    When the scan has fewer partitions than the session's parallelism,
+    When the scan has fewer splits than the session's parallelism,
     repartition up to it; when the input already has enough splits — the
     100 TB case, where re-shuffling raw data would be the bottleneck —
     this is a no-op. The adaptive gate is the point: callers declare
     "compute-heavy per byte" once and the plan stays right at every scale.
+
+    The split count is estimated from the scan's file list and sizes
+    (ceil(bytes / maxPartitionBytes) per file) — deliberately NOT
+    ``df.rdd.getNumPartitions()``, which forces an RDD conversion and a
+    physical plan per call. The estimate ignores Spark's small-file
+    packing, i.e. it can only OVERcount splits; overcounting skips the
+    repartition, which errs toward the no-op side that is correct at
+    scale. Non-file plans and non-local filesystems also skip — a huge
+    remote input has ample splits already.
     """
-    sc = df.sparkSession.sparkContext
-    n = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    spark = df.sparkSession
+    n = target or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    mpb = int("".join(ch for ch in mpb_raw if ch.isdigit()) or "134217728")
+    splits = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return df
+        try:
+            size = os.path.getsize(parsed.path)
+        except OSError:
+            return df
+        splits += max(1, math.ceil(size / mpb))
+        if splits >= n:
+            return df
+    return df.repartition(n)
 
 
 # --- DDL surface (reference R10: src/utilities/query.ts:3-16) ---------------
@@ -104,3 +132,45 @@ def create_table_as(spark: SparkSession, name: str, df: DataFrame,
 
 def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- statistics / cost-based optimization ------------------------------------
+
+
+def analyze_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    prefix: str = "stats_",
+    column_stats: bool = True,
+) -> list[str]:
+    """Register tables in the warehouse catalog WITH statistics so the
+    cost-based optimizer can reorder joins (SURVEY §4.2 'join reordering:
+    CBO with stats').
+
+    Temp views cannot carry stats, so each table is CTAS'd into the
+    catalog as ``{prefix}{name}`` and ANALYZE TABLE collects row counts
+    (+ per-column NDV/min/max with ``column_stats``). Enable
+    ``spark.sql.cbo.enabled`` and ``spark.sql.cbo.joinReorder.enabled``
+    to activate reordering; tests/test_plans.py pins a 3-way star join
+    whose join order provably flips with stats present. At 100 TB this is
+    a scheduled ANALYZE after ingest — AQE covers runtime re-planning,
+    but only stats let the optimizer pick the join ORDER up front.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    names = []
+    for n in tables:
+        name = f"{prefix}{n}"
+        # A previous session may have left the managed location on disk
+        # without a catalog entry — CREATE then fails LOCATION_ALREADY_EXISTS.
+        drop_table(spark, name)
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        load_table(spark, sf_dir, n).write.mode("overwrite").saveAsTable(name)
+        suffix = " FOR ALL COLUMNS" if column_stats else ""
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{suffix}")
+        names.append(name)
+    return names

@@ -9,18 +9,25 @@ produce the current table state:
   - per key, the row with the greatest (order, tiebreak) wins;
   - if that winning row is a delete, the key is absent from the state.
 
-Implementation: window ``row_number() == 1`` per key ordered descending.
-Scale: one shuffle on the key; map-side nothing to pre-aggregate, but AQE
-skew-join/partition-coalescing keeps partitions balanced. At 100 TB the
-change log would be bucketed by key so the window needs no extra shuffle.
-This is order-insensitive w.r.t. input partitioning/arrival order (a
-shuffled log materializes identically — property-tested).
+Implementation: per-key argmax via ``max_by(payload_struct, order_struct)``
+— an AGGREGATE, not a window, deliberately. A window (row_number desc)
+physically requires every row of a key in ONE task, so a skewed changelog
+(one hot key receiving most updates — the classic CDC hazard) creates an
+unsplittable straggler no AQE feature can fix. The aggregate gets map-side
+partial combine: the hot key collapses to one candidate row per input
+partition BEFORE the shuffle, so the reduce side receives at most
+``n_partitions`` rows per key no matter how skewed the log is. Struct
+comparison is lexicographic over ``order_by``, i.e. identical to the
+multi-column descending window order. Precondition: order columns are
+non-null and unique per key (an LSN is), which also makes the winner
+deterministic. At 100 TB the change log would additionally be bucketed by
+key so the single remaining shuffle disappears.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def latest_state(
@@ -40,11 +47,16 @@ def latest_state(
     an older insert arrives in a later/reordered batch). Readers filter
     ``op != delete_op`` at the end; see streaming/pipeline.read_state.
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    payload_cols = [c for c in changes.columns if c not in keys]
     winners = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*payload_cols), F.struct(*order_by)
+            ).alias("__winner")
+        )
+        .select(*keys, "__winner.*")
+        .select(*changes.columns)  # restore original column order
     )
     if keep_deletes:
         return winners

@@ -188,3 +188,58 @@ def test_range_join_binned_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_upsert_partial_agg_skew_resistant(spark):
+    """latest_state must be an AGGREGATE with map-side partial combine, not
+    a window: a 90%-one-key changelog then collapses to one candidate row
+    per input partition before the shuffle (no unsplittable straggler)."""
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    changes = spark.createDataFrame(
+        [(i % 10 if i % 10 else 0, i, "U") for i in range(100)],
+        "k LONG, lsn LONG, op STRING",
+    )
+    plan = latest_state(changes, keys=["k"], order_by=["lsn"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan or "partial max_by" in plan.lower(), plan
+    assert "Window" not in plan
+
+
+def test_cbo_stats_reorder_star_join(spark):
+    """With ANALYZE'd tables and CBO on, the optimizer must move the
+    selective nation-filtered dim join BELOW the orders join (the written
+    order joins the two big tables first). Without stats it cannot."""
+    from pgcdc_spark.catalog import analyze_tables, drop_table
+
+    names = analyze_tables(spark, SF_DIR, tables=("nation", "customer", "orders"))
+    sql = """
+      SELECT n.n_name, COUNT(*) AS cnt
+      FROM stats_orders o
+      JOIN stats_customer c ON c.c_custkey = o.o_custkey
+      JOIN stats_nation n ON n.n_nationkey = c.c_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY n.n_name
+    """
+
+    def innermost_join_cond(plan: str) -> str:
+        """Condition of the INNERMOST (first-to-execute) inner join."""
+        return [l for l in plan.splitlines() if "Join Inner" in l][-1]
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        baseline = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        reordered = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for n in names:
+            drop_table(spark, n)
+
+    # written order: big-big first (customer-orders key); CBO with stats:
+    # the selective nation-filtered dim join first (nationkey)
+    assert "c_custkey" in innermost_join_cond(baseline)
+    assert "n_nationkey" in innermost_join_cond(reordered)

@@ -103,3 +103,35 @@ def test_exact_dedup_partition_property(spark, texts):
     for r in out:
         keeper_text = texts[r["keep"]]
         assert r["keep"] == min(i for i, t in enumerate(texts) if t == keeper_text)
+
+
+def test_upsert_90pct_single_key_skew(spark):
+    """The classic CDC hazard: one hot key receives 90% of the changelog.
+    Correctness must hold and the winner must be the max-lsn image for
+    every key — including the hot one — regardless of input partitioning."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    rng = random.Random(11)
+    rows = []
+    for lsn in range(2000):
+        key = 0 if rng.random() < 0.9 else rng.randrange(1, 50)
+        op = "D" if rng.random() < 0.05 else "U"
+        rows.append((key, lsn, op, f"v{lsn}"))
+    rng.shuffle(rows)
+    changes = spark.createDataFrame(
+        rows, "k LONG, lsn LONG, op STRING, payload STRING"
+    ).repartition(16)
+
+    state = {r["k"]: (r["lsn"], r["payload"])
+             for r in latest_state(changes, keys=["k"], order_by=["lsn"]).collect()}
+    # oracle: per key max lsn, dropped if that winner is a delete
+    expect = {}
+    for k, lsn, op, payload in rows:
+        if k not in expect or lsn > expect[k][0]:
+            expect[k] = (lsn, op, payload)
+    expect = {k: (lsn, p) for k, (lsn, op, p) in expect.items() if op != "D"}
+    assert state == expect

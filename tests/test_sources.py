@@ -4,6 +4,8 @@ parquet pruning — the non-parquet rows of SURVEY.md §2.2's sources table.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -116,3 +118,28 @@ def test_ddl_surface(spark):
         drop_table(spark, "ddl_t")
         drop_table(spark, "ddl_t2")
         assert "ddl_t" not in [t.name for t in spark.catalog.listTables()]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_JDBC_URL"),
+    reason="opt-in live-JDBC smoke: set SPARK_GRAFT_JDBC_URL "
+           "(e.g. jdbc:postgresql://host/db?user=u&password=p) on a host "
+           "with a reachable database and a `students` table",
+)
+def test_jdbc_partitioned_pushdown_smoke(spark):
+    """Live-DB smoke (skipped in this container — no database): a range-
+    partitioned scan must produce N parallel range queries and push a
+    filter down to the remote engine (PushedFilters in the scan node)."""
+    from pgcdc_spark import sources
+
+    url = os.environ["SPARK_GRAFT_JDBC_URL"]
+    table = os.environ.get("SPARK_GRAFT_JDBC_TABLE", "students")
+    df = sources.read_jdbc(
+        spark, url, table,
+        partition_column="id", lower_bound=0, upper_bound=10_000,
+        num_partitions=4,
+    ).filter("id >= 100")
+    assert df.rdd.getNumPartitions() == 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:200]
+    assert df.count() >= 0

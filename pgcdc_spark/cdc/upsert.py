@@ -73,9 +73,35 @@ def merge_batch(state: DataFrame, batch: DataFrame, keys: list[str], order_by: l
     union + re-compact — commutative across batches, which makes the
     pipeline safe under micro-batch reordering and replay.
 
-    Tombstone retention: unbounded here. At 100 TB with out-of-orderness
-    bounded by the source (e.g. one WAL slot), tombstones older than the
-    replay horizon can be compacted away periodically.
+    Tombstone retention: unbounded here; compact_tombstones below drops
+    tombstones older than the source's replay horizon periodically.
     """
     combined = state.select(batch.columns).unionByName(batch)
     return latest_state(combined, keys, order_by, op_col, delete_op, keep_deletes=True)
+
+
+def compact_tombstones(
+    state: DataFrame,
+    horizon,
+    order_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Drop tombstones at or below the replay ``horizon``.
+
+    A tombstone at order value L exists to suppress a LATE redelivery of
+    an older image (order < L) from resurrecting the deleted key. Once the
+    source guarantees nothing ordered <= horizon can still arrive (the
+    checkpoint has committed past it / the WAL slot retains nothing
+    older), a tombstone with L <= horizon can never be outranked by a
+    replay it still needs to beat — so it is dead weight and can go. Live
+    rows are never touched; a map-only filter, no shuffle, safe to run
+    inside any commit.
+
+    Safety property (tested): for any batch of changes ordered entirely
+    above the horizon, merge(compact(state), batch) == merge(state, batch)
+    minus the compacted tombstones themselves.
+    """
+    return state.filter(
+        (F.col(op_col) != delete_op) | (F.col(order_col) > F.lit(horizon))
+    )

@@ -187,3 +187,42 @@ def test_debezium_tag_mapping_and_dead_letter(spark):
     # delete carries the old image only
     dels = [r for r in env if r["tag"] == "delete"]
     assert dels[0]["old"]["id"] == 2 and dels[0]["new"] is None
+
+
+# --- tombstone compaction ----------------------------------------------------
+
+
+def test_compact_tombstones_safety(spark):
+    """(1) A retained (post-horizon) tombstone still suppresses a late
+    redelivery of an older image; (2) compaction changes nothing about how
+    future (post-horizon) batches merge; (3) pre-horizon tombstones go."""
+    from pgcdc_spark.cdc.upsert import compact_tombstones, latest_state, merge_batch
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id LONG, lsn STRING, op STRING, v STRING")
+
+    log = [
+        (1, "05", "I", "a"),   # live row
+        (2, "06", "D", None),  # old tombstone (pre-horizon) -> compactable
+        (3, "09", "D", None),  # recent tombstone (post-horizon) -> retained
+    ]
+    state = latest_state(mk(log), keys=["id"], order_by=["lsn"], keep_deletes=True)
+    compacted = compact_tombstones(state, horizon="08")
+    kept = {(r["id"], r["op"]) for r in compacted.collect()}
+    assert kept == {(1, "I"), (3, "D")}  # old tombstone gone, live row kept
+
+    # late redelivery ordered after the horizon but before the retained
+    # tombstone: must NOT resurrect id 3
+    late = mk([(3, "08", "U", "zombie")])  # 08 < 09: tombstone wins
+    merged = merge_batch(compacted, late, keys=["id"], order_by=["lsn"])
+    out = {r["id"]: r["op"] for r in merged.collect()}
+    assert out[3] == "D"
+
+    # equivalence: merging a strictly-post-horizon batch into compacted vs
+    # uncompacted state differs only by the compacted tombstones
+    batch = mk([(2, "11", "I", "reborn"), (4, "12", "I", "new")])
+    a = merge_batch(compacted, batch, keys=["id"], order_by=["lsn"])
+    b = merge_batch(state, batch, keys=["id"], order_by=["lsn"])
+    rows_a = {(r["id"], r["lsn"], r["op"], r["v"]) for r in a.collect()}
+    rows_b = {(r["id"], r["lsn"], r["op"], r["v"]) for r in b.collect()}
+    assert rows_a == rows_b  # id 2's old tombstone was outranked either way

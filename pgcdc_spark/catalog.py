@@ -8,16 +8,18 @@ Scale notes (100 TB posture):
 - Scans are plain ``spark.read.parquet`` so Catalyst applies column pruning
   and predicate pushdown into the parquet reader; callers filter/select on
   the returned DataFrame and the scan narrows automatically.
-- ``events.ts`` is ns-precision int64 (Spark has no ns timestamp type).
-  We keep the exact int64 ``ts`` column and add ``ts_utc`` (us-precision
-  TIMESTAMP_NTZ) for window/date functions. Queries that must match the
-  DuckDB oracle bit-for-bit use the int64 form (oracle: ``epoch_ns(ts)``).
+- ``events.ts`` is canonicalized to int64 epoch-ns on load regardless of
+  the file's physical type (ns-int64 or us-timestamp vintage); ``ts_utc``
+  (us-precision TIMESTAMP) is derived for window/date functions. Queries
+  that must match the DuckDB oracle bit-for-bit use the int64 form
+  (oracle: ``epoch_ns(ts)``, which accepts TIMESTAMP too).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 from .session import configure_session
 
@@ -42,7 +44,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is int64 nanoseconds since epoch; derive a usable timestamp.
+        # ts arrives either as int64 epoch-ns (ns-precision parquet read
+        # via nanosAsLong) or as a us-precision timestamp, depending on
+        # dataset vintage. Canonicalize to int64 epoch-ns so every
+        # downstream operator and every oracle expression (epoch_ns(ts)
+        # works on both BIGINT-free timestamps) sees one representation.
+        if not isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
         df = df.withColumn("ts_utc", F.expr("timestamp_micros(ts div 1000)"))
     return df
 

@@ -131,6 +131,187 @@ def cdc_debezium_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# --- MongoDB change-stream adapter, driven through the oracle gate ----------
+# The events table re-serialized as MongoDB change-stream documents (the
+# north star names Mongo CDC alongside Postgres; cdc/mongo.py documents
+# the mapping). Two modes, both materialized by engine operators:
+#
+# cdc_mongo_state      fullDocument=updateLookup mode - every update
+#                      carries the full image; parse_mongo_changestream
+#                      feeds the SAME apply_pipeline + latest_state path
+#                      as pgoutput and Debezium. Ops exercise insert /
+#                      replace / update / delete; lsn comes from the
+#                      resume token (the clusterTime fallback for
+#                      token-less synthetic replays is pytest-covered —
+#                      the two encodings don't interleave, cdc/mongo.py).
+#
+# cdc_mongo_patch_state  no updateLookup - updates carry ONLY
+#                      updateDescription (updatedFields/removedFields);
+#                      cdc/mongo.patch_state folds patches onto the
+#                      latest full-image anchor per key, per field.
+
+_MONGO_ORACLE = """
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_mongo_state", oracle=_MONGO_ORACLE, tags=("cdc", "mongo"))
+def cdc_mongo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.mongo import parse_mongo_changestream
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    img = F.struct(F.col("user_id"), F.col("value"))
+    op = (
+        F.when(is_del, "delete")
+        .when(F.col("event_id") % 3 == 0, "insert")
+        .when(F.col("event_id") % 3 == 1, "replace")
+        .otherwise("update")
+    )
+    doc = F.struct(
+        F.struct(
+            F.lpad(F.col("event_id").cast("string"), 40, "0").alias("_data"),
+        ).alias("_id"),
+        op.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(0).cast("long").alias("i")
+        ).alias("clusterTime"),
+        F.when(~is_del, img).alias("fullDocument"),
+        F.struct(F.col("user_id")).alias("documentKey"),
+        F.struct(F.lit("app").alias("db"), F.lit("events").alias("coll")).alias("ns"),
+    )
+    raw = events.select(F.to_json(doc).alias("value"))
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    key_schema = StructType([StructField("user_id", LongType())])
+    parsed = parse_mongo_changestream(raw, row_schema=row_schema, key_schema=key_schema)
+    changes = apply_pipeline(parsed)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select("user_id", F.col("value").alias("last_value")).orderBy("user_id")
+
+
+# Patch mode: full images only on inserts/replaces (event_id % 5 == 0) and
+# deletes; every other event is a partial update touching ONE field:
+#   % 3 == 0 -> set value        (updatedFields: {"value": ...})
+#   % 3 == 1 -> set etype        (updatedFields: {"etype": ...})
+#   % 3 == 2 -> remove etype     (removedFields: ["etype"])
+# Final state per user: anchor = latest full-image event; each field =
+# latest patch after the anchor, else the anchor's field; a user whose
+# anchor is a delete is gone unless a later patch recreates the document.
+_MONGO_PATCH_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_id % 5 = 0 THEN 'f'
+              ELSE 'p' END AS kind,
+         value, event_type AS etype
+  FROM events
+),
+anchor AS (
+  SELECT user_id,
+         MAX_BY(event_id, event_id) AS aid,
+         MAX_BY(kind = 'd', event_id) AS adel,
+         MAX_BY(value, event_id) AS avalue,
+         MAX_BY(etype, event_id) AS aetype
+  FROM ev WHERE kind IN ('d', 'f') GROUP BY user_id
+),
+pv AS (  -- latest value-patch per user after its anchor
+  SELECT e.user_id, MAX_BY(e.value, e.event_id) AS pvalue, MAX(e.event_id) AS pid
+  FROM ev e LEFT JOIN anchor a USING (user_id)
+  WHERE e.kind = 'p' AND e.event_id % 3 = 0 AND (a.aid IS NULL OR e.event_id > a.aid)
+  GROUP BY e.user_id
+),
+pe AS (  -- latest etype set/remove per user after its anchor; the action
+         -- is encoded non-null ('S:'||v / 'R') so MAX_BY's winner is
+         -- well-defined when the latest action is a remove
+  SELECT e.user_id,
+         MAX_BY(CASE WHEN e.event_id % 3 = 1 THEN 'S:' || e.etype ELSE 'R' END,
+                e.event_id) AS pact,
+         MAX(e.event_id) AS pid
+  FROM ev e LEFT JOIN anchor a USING (user_id)
+  WHERE e.kind = 'p' AND e.event_id % 3 IN (1, 2) AND (a.aid IS NULL OR e.event_id > a.aid)
+  GROUP BY e.user_id
+),
+u AS (
+  SELECT user_id FROM anchor
+  UNION SELECT user_id FROM pv
+  UNION SELECT user_id FROM pe
+)
+SELECT u.user_id,
+       CASE WHEN pv.pid IS NOT NULL THEN pv.pvalue
+            WHEN NOT COALESCE(a.adel, FALSE) THEN a.avalue END AS value,
+       CASE WHEN pe.pid IS NOT NULL
+              THEN CASE WHEN pe.pact LIKE 'S:%' THEN substr(pe.pact, 3) END
+            WHEN NOT COALESCE(a.adel, FALSE) THEN a.aetype END AS etype
+FROM u
+LEFT JOIN anchor a USING (user_id)
+LEFT JOIN pv USING (user_id)
+LEFT JOIN pe USING (user_id)
+WHERE NOT COALESCE(a.adel, FALSE) OR pv.pid IS NOT NULL OR pe.pid IS NOT NULL
+ORDER BY user_id
+"""
+
+
+@query("cdc_mongo_patch_state", oracle=_MONGO_PATCH_ORACLE, tags=("cdc", "mongo", "patch"))
+def cdc_mongo_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from ..cdc.mongo import parse_mongo_changestream, patch_state
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    is_full = ~is_del & (F.col("event_id") % 5 == 0)
+    is_patch = ~is_del & (F.col("event_id") % 5 != 0)
+    img = F.struct(
+        F.col("user_id"), F.col("value"), F.col("event_type").alias("etype")
+    )
+    upd = F.when(
+        F.col("event_id") % 3 == 0,
+        F.map_from_arrays(
+            F.array(F.lit("value")), F.array(F.col("value").cast("string"))
+        ),
+    ).when(
+        F.col("event_id") % 3 == 1,
+        F.map_from_arrays(F.array(F.lit("etype")), F.array(F.col("event_type"))),
+    )
+    rem = F.when(F.col("event_id") % 3 == 2, F.array(F.lit("etype")))
+    doc = F.struct(
+        F.struct(F.lpad(F.col("event_id").cast("string"), 40, "0").alias("_data")).alias(
+            "_id"
+        ),
+        F.when(is_del, "delete")
+        .when(is_full, "replace")
+        .otherwise("update")
+        .alias("operationType"),
+        F.when(is_full, img).alias("fullDocument"),
+        F.struct(F.col("user_id")).alias("documentKey"),
+        F.when(
+            is_patch, F.struct(upd.alias("updatedFields"), rem.alias("removedFields"))
+        ).alias("updateDescription"),
+    )
+    raw = events.select(F.to_json(doc).alias("value"))
+    row_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("etype", StringType()),
+        ]
+    )
+    key_schema = StructType([StructField("user_id", LongType())])
+    parsed = parse_mongo_changestream(raw, row_schema=row_schema, key_schema=key_schema)
+    return patch_state(parsed, row_schema, keys=["user_id"]).orderBy("user_id")
+
+
 # --- evolving CDC state (online additive schema evolution, driver-checked) ---
 # The events table re-read as an envelope stream whose upstream schema
 # GROWS mid-stream: changes with event_id >= _EVOLVE_CUTOFF carry an

@@ -226,3 +226,139 @@ def test_compact_tombstones_safety(spark):
     rows_a = {(r["id"], r["lsn"], r["op"], r["v"]) for r in a.collect()}
     rows_b = {(r["id"], r["lsn"], r["op"], r["v"]) for r in b.collect()}
     assert rows_a == rows_b  # id 2's old tombstone was outranked either way
+
+
+# --- MongoDB change-stream adapter (cdc/mongo.py) ----------------------------
+
+
+MONGO_ROW_SCHEMA = None  # built lazily (needs pyspark types at session time)
+
+
+def _mongo_schemas():
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    row = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("status", IntegerType()),
+        ]
+    )
+    key = StructType([StructField("id", LongType())])
+    return row, key
+
+
+def _cs(i, op, full=None, key=None, upd=None, rem=None, token=True):
+    doc = {
+        "_id": {"_data": f"{i:040d}"} if token else None,
+        "operationType": op,
+        "clusterTime": {"t": i, "i": 0},
+        "fullDocument": full,
+        "documentKey": key if key is not None else (
+            {"id": full["id"]} if full else None
+        ),
+        "ns": {"db": "app", "coll": "things"},
+    }
+    if upd is not None or rem is not None:
+        doc["updateDescription"] = {"updatedFields": upd, "removedFields": rem}
+    return json.dumps(doc)
+
+
+def mongo_fixture_lines():
+    return [
+        _cs(1, "insert", full={"id": 1, "name": "Ada", "status": 1}),
+        _cs(2, "insert", full={"id": 2, "name": "Grace", "status": 1}),
+        _cs(3, "update", full={"id": 1, "name": "Ada", "status": 2}),  # updateLookup
+        _cs(4, "replace", full={"id": 2, "name": "Hopper", "status": 1}),
+        _cs(5, "delete", key={"id": 1}),
+        _cs(6, "drop"),          # control: no image, falls out at extraction
+        _cs(7, "invalidate"),    # control
+        "not-json {{",           # malformed -> dead letter
+    ]
+
+
+def test_mongo_golden_materialization(spark):
+    from pgcdc_spark.cdc.mongo import parse_mongo_changestream
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    row, key = _mongo_schemas()
+    raw = spark.createDataFrame([(l,) for l in mongo_fixture_lines()], ["value"])
+    changes = apply_pipeline(parse_mongo_changestream(raw, row, key))
+    state = latest_state(changes, keys=["id"], order_by=["lsn"], op_col="op")
+    rows = {r["id"]: (r["name"], r["status"]) for r in state.collect()}
+    # id 1 deleted at lsn 5 (after its update); id 2's replace wins
+    assert rows == {2: ("Hopper", 1)}
+
+
+def test_mongo_envelope_mapping_and_dead_letter(spark):
+    from pgcdc_spark.cdc.mongo import parse_mongo_changestream
+
+    row, key = _mongo_schemas()
+    raw = spark.createDataFrame([(l,) for l in mongo_fixture_lines()], ["value"])
+    env = parse_mongo_changestream(raw, row, key).collect()
+    tags = [r["tag"] for r in env[:7]]
+    assert tags == ["insert", "insert", "update", "update", "delete",
+                    "drop", "invalidate"]
+    # the delete's old image is the documentKey lifted into the row shape
+    d = env[4]
+    assert d["old"]["id"] == 1 and d["old"]["name"] is None and d["new"] is None
+    # every event carries its typed key
+    assert [r["key"]["id"] for r in env[:5]] == [1, 2, 1, 2, 1]
+    corrupt = [r for r in env if r["_corrupt"] is not None]
+    assert len(corrupt) == 1 and "not-json" in corrupt[0]["_corrupt"]
+
+
+def test_mongo_clustertime_lsn_fallback(spark):
+    """A token-less (synthetic replay) feed orders by (clusterTime.t, i)."""
+    from pgcdc_spark.cdc.mongo import parse_mongo_changestream
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    row, key = _mongo_schemas()
+    lines = [
+        _cs(10, "insert", full={"id": 1, "name": "first", "status": 1}, token=False),
+        _cs(12, "update", full={"id": 1, "name": "last", "status": 1}, token=False),
+        _cs(11, "update", full={"id": 1, "name": "middle", "status": 1}, token=False),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    changes = apply_pipeline(parse_mongo_changestream(raw, row, key))
+    state = latest_state(changes, keys=["id"], order_by=["lsn"], op_col="op")
+    assert [r["name"] for r in state.collect()] == ["last"]
+
+
+def test_mongo_patch_state_semantics(spark):
+    """Partial updates: set, remove, patch-after-delete recreation, and
+    patch-before-anchor suppression."""
+    from pgcdc_spark.cdc.mongo import parse_mongo_changestream, patch_state
+
+    row, key = _mongo_schemas()
+    lines = [
+        # id 1: insert then two patches (set status, remove name)
+        _cs(1, "insert", full={"id": 1, "name": "Ada", "status": 1}),
+        _cs(2, "update", key={"id": 1}, upd={"status": "5"}),
+        _cs(3, "update", key={"id": 1}, rem=["name"]),
+        # id 2: patches BEFORE the anchor are overridden by the replace
+        _cs(4, "update", key={"id": 2}, upd={"name": "stale"}),
+        _cs(5, "replace", full={"id": 2, "name": "Hopper", "status": 2}),
+        # id 3: delete then a patch -> document recreated from the patch
+        _cs(6, "insert", full={"id": 3, "name": "Alan", "status": 1}),
+        _cs(7, "delete", key={"id": 3}),
+        _cs(8, "update", key={"id": 3}, upd={"name": "Turing"}),
+        # id 4: deleted, no later patch -> absent
+        _cs(9, "insert", full={"id": 4, "name": "Gone", "status": 1}),
+        _cs(10, "delete", key={"id": 4}),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    parsed = parse_mongo_changestream(raw, row, key)
+    state = patch_state(parsed, row, keys=["id"])
+    rows = {r["id"]: (r["name"], r["status"]) for r in state.collect()}
+    assert rows == {
+        1: (None, 5),        # status patched to 5, name removed
+        2: ("Hopper", 2),    # pre-anchor patch suppressed
+        3: ("Turing", None),  # recreated by patch-upsert; status never set
+    }

@@ -32,24 +32,35 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, "QueryDef"] = {}
 
 # Modules that define queries; imported lazily by all_queries().
+#
+# Registration order matters operationally: the driver's CORRECTNESS run
+# samples the first 50 queries in registry iteration order.  Rounds 1-3
+# always sampled the relational/TPC-H block, so the CDC/LLM/window/setop
+# surface never earned a driver-side oracle row despite passing the full
+# independent sweep (scripts/parity_sweep.py).  Order below puts the
+# never-driver-verified modules first — cdc_state(6) + llm_dedup(8) +
+# llm_similarity(5) + windows(7) + setops(9) + events_json(5) +
+# collections(4) + udfs(3) + reshape(3) = exactly 50 — then llm_text +
+# multimodal (next round's sample), then the three-rounds-green
+# relational/TPC-H block.
 _MODULES = (
+    "cdc_state",
+    "llm_dedup",
+    "llm_similarity",
+    "windows",
+    "setops",
+    "events_json",
+    "collections",
+    "udfs",
+    "reshape",
+    "llm_text",
+    "multimodal",
     "relational",
     "tpch_extra",
     "tpch_rest",
     "joins",
     "subqueries",
     "aggregates",
-    "windows",
-    "setops",
-    "reshape",
-    "events_json",
-    "collections",
-    "cdc_state",
-    "llm_text",
-    "llm_dedup",
-    "llm_similarity",
-    "multimodal",
-    "udfs",
 )
 
 

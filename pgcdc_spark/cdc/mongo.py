@@ -15,8 +15,10 @@ Field mapping (change-stream document -> engine envelope):
                                   (a full-image upsert), update -> update,
                                   delete -> delete; drop / rename /
                                   dropDatabase / invalidate pass through
-                                  and fall out at image extraction (no
-                                  row image), like pgoutput control tags
+                                  the parse and are dropped by
+                                  filter_control_messages (see
+                                  CONTROL_OPERATIONS), like pgoutput
+                                  control tags
     fullDocument       -> new     present on insert/replace, and on
                                   update when the stream runs with
                                   fullDocument=updateLookup
@@ -53,11 +55,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_LSN_PAD = 40  # resume tokens are long; clusterTime-derived lsns pad to match
+# Width every lsn is left-padded to.  Real resume tokens (_id._data) are
+# KeyString hex, typically 60-180 chars; the pad width must comfortably
+# exceed that because Spark's lpad TRUNCATES inputs longer than the pad
+# width — a truncated token collides with every token sharing its prefix
+# and silently corrupts max_by ordering.  Tokens longer than the pad are
+# rejected loudly (raise_error) rather than truncated.
+_LSN_PAD = 256
 
 # operationTypes that carry no row image — the Mongo analogues of
 # pgoutput's begin/commit/relation control messages. They survive the
-# parse (visible to monitoring) and fall out at extract_images.
+# parse (visible to monitoring) and are dropped explicitly by
+# cdc/transform.filter_control_messages, which filters on this constant.
 CONTROL_OPERATIONS = ("drop", "rename", "dropDatabase", "invalidate")
 
 
@@ -112,20 +121,50 @@ def _lsn_expr() -> F.Column:
     (clusterTime.t, clusterTime.i) composite — zero-padded so the engine's
     lexicographic lsn order equals the stream order either way.
 
-    The two encodings are NOT mutually comparable: a feed must be uniform
-    (all-token, the normal case, or all-clusterTime for synthetic
-    replays). Tokens embed clusterTime as their prefix, so within either
-    encoding lexicographic order equals stream order."""
-    from_token = F.lpad(F.col("_cs._id._data"), _LSN_PAD, "0")
-    from_time = F.lpad(
-        F.concat(
-            F.lpad(F.col("_cs.clusterTime.t").cast("string"), 20, "0"),
-            F.lpad(F.col("_cs.clusterTime.i").cast("string"), 20, "0"),
+    The two encodings are NOT mutually comparable, so each lsn carries a
+    one-char encoding-rank prefix: ``c`` (clusterTime) < ``t`` (token).
+    A uniform feed (the normal case — all-token, or all-clusterTime for
+    synthetic replays) is untouched by the prefix; a MIXED feed no longer
+    interleaves nondeterministically — every clusterTime-derived lsn
+    orders before every token-derived one, deterministically, and the
+    ``lsn_encoding`` column emitted by parse_mongo_changestream makes the
+    mix observable upstream.
+
+    Tokens longer than _LSN_PAD raise (Spark lpad would otherwise
+    truncate them, colliding every token that shares the prefix)."""
+    tok = F.col("_cs._id._data")
+    from_token = F.when(
+        F.length(tok) > _LSN_PAD,
+        F.raise_error(
+            F.concat(
+                F.lit(f"mongo resume token exceeds _LSN_PAD={_LSN_PAD} chars: "), tok
+            )
         ),
-        _LSN_PAD,
-        "0",
+    ).otherwise(F.concat(F.lit("t"), F.lpad(tok, _LSN_PAD, "0")))
+    from_time = F.concat(
+        F.lit("c"),
+        F.lpad(
+            F.concat(
+                F.lpad(F.col("_cs.clusterTime.t").cast("string"), 20, "0"),
+                F.lpad(F.col("_cs.clusterTime.i").cast("string"), 20, "0"),
+            ),
+            _LSN_PAD,
+            "0",
+        ),
     )
-    return F.coalesce(from_token, from_time)
+    return F.when(tok.isNotNull(), from_token).otherwise(from_time)
+
+
+def _lsn_encoding_expr() -> F.Column:
+    """Which lsn encoding each event used — ``token`` or ``clustertime``.
+
+    Monitoring surface for the mixed-feed guard: a healthy stream shows
+    exactly one distinct value; a mix means the producer interleaved
+    token-less synthetic events into a real feed (ordered c-before-t by
+    construction, see _lsn_expr)."""
+    return F.when(F.col("_cs._id._data").isNotNull(), F.lit("token")).otherwise(
+        F.lit("clustertime")
+    )
 
 
 def _key_as_row(row_schema: StructType, key_schema: StructType) -> F.Column:
@@ -151,7 +190,9 @@ def parse_mongo_changestream(
 ) -> DataFrame:
     """Parse change-stream JSON lines into engine envelope columns
     ``(lsn, tag, new, old, _corrupt)`` plus the patch columns
-    ``(patch, removed)`` consumed by ``patch_state``.
+    ``(patch, removed)`` consumed by ``patch_state`` and the
+    ``lsn_encoding`` monitoring column (``token``/``clustertime``,
+    see _lsn_encoding_expr).
 
     The envelope subset feeds cdc/transform.apply_pipeline unchanged
     (updateLookup/full-image mode); the patch columns make the same
@@ -182,6 +223,7 @@ def parse_mongo_changestream(
     )
     return parsed.select(
         _lsn_expr().alias("lsn"),
+        _lsn_encoding_expr().alias("lsn_encoding"),
         _tag_expr(op).alias("tag"),
         F.col("_cs.fullDocument").alias("new"),
         F.when(op == "delete", _key_as_row(row_schema, key_schema)).alias("old"),

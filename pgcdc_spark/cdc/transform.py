@@ -27,8 +27,16 @@ Transformer = Callable[[DataFrame], DataFrame]
 
 
 def filter_control_messages(df: DataFrame) -> DataFrame:
-    """R4: keep only row-change messages."""
-    return df.filter(~F.col("tag").isin(*CONTROL_TAGS))
+    """R4: keep only row-change messages.
+
+    Drops pgoutput transaction-control tags AND MongoDB change-stream
+    control operationTypes (drop/rename/dropDatabase/invalidate, which
+    _tag_expr passes through verbatim) — this filter, not the
+    null-image fallthrough in extract_images, is the sanctioned drop
+    point for control traffic from every adapter."""
+    from .mongo import CONTROL_OPERATIONS
+
+    return df.filter(~F.col("tag").isin(*CONTROL_TAGS, *CONTROL_OPERATIONS))
 
 
 def extract_images(df: DataFrame) -> DataFrame:

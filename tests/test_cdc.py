@@ -231,9 +231,6 @@ def test_compact_tombstones_safety(spark):
 # --- MongoDB change-stream adapter (cdc/mongo.py) ----------------------------
 
 
-MONGO_ROW_SCHEMA = None  # built lazily (needs pyspark types at session time)
-
-
 def _mongo_schemas():
     from pyspark.sql.types import (
         IntegerType,
@@ -362,3 +359,79 @@ def test_mongo_patch_state_semantics(spark):
         2: ("Hopper", 2),    # pre-anchor patch suppressed
         3: ("Turing", None),  # recreated by patch-upsert; status never set
     }
+
+
+def test_mongo_overlong_resume_token_fails_loudly(spark):
+    """A resume token longer than _LSN_PAD must raise, not be silently
+    truncated (Spark lpad truncates, which would collide every token
+    sharing the prefix and corrupt max_by ordering). Real tokens run
+    60-180 hex chars; _LSN_PAD must stay comfortably above that."""
+    import pytest
+
+    from pgcdc_spark.cdc.mongo import _LSN_PAD, parse_mongo_changestream
+
+    assert _LSN_PAD >= 256  # headroom over real-world token lengths
+    row, key = _mongo_schemas()
+    doc = {
+        "_id": {"_data": "a" * (_LSN_PAD + 1)},
+        "operationType": "insert",
+        "clusterTime": {"t": 1, "i": 0},
+        "fullDocument": {"id": 1, "name": "x", "status": 1},
+        "documentKey": {"id": 1},
+        "ns": {"db": "app", "coll": "things"},
+    }
+    raw = spark.createDataFrame([(json.dumps(doc),)], ["value"])
+    with pytest.raises(Exception, match="resume token exceeds"):
+        parse_mongo_changestream(raw, row, key).collect()
+    # a token exactly at the pad width is fine
+    doc["_id"]["_data"] = "a" * _LSN_PAD
+    raw = spark.createDataFrame([(json.dumps(doc),)], ["value"])
+    assert parse_mongo_changestream(raw, row, key).count() == 1
+
+
+def test_mongo_mixed_lsn_encodings_order_deterministically(spark):
+    """Token and clusterTime lsn encodings are not mutually comparable;
+    a mixed feed must order DETERMINISTICALLY (every clusterTime-derived
+    lsn before every token-derived one, via the c/t rank prefix) and be
+    observable via the lsn_encoding column — never interleave on the
+    accident of zero-padded lengths."""
+    from pgcdc_spark.cdc.mongo import parse_mongo_changestream
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    row, key = _mongo_schemas()
+    lines = [
+        # token event with a numerically SMALL token...
+        _cs(1, "insert", full={"id": 1, "name": "token-armed", "status": 1}),
+        # ...vs a token-less event with a huge clusterTime.t: without the
+        # rank prefix the clusterTime lsn would win on zero-padded compare
+        _cs(999999, "update",
+            full={"id": 1, "name": "clocked", "status": 2}, token=False),
+    ]
+    raw = spark.createDataFrame([(line,) for line in lines], ["value"])
+    parsed = parse_mongo_changestream(raw, row, key)
+    encs = {r["lsn_encoding"] for r in parsed.collect()}
+    assert encs == {"token", "clustertime"}
+    lsns = {r["lsn_encoding"]: r["lsn"] for r in parsed.collect()}
+    assert lsns["clustertime"] < lsns["token"]  # documented rank: c < t
+    changes = apply_pipeline(parsed)
+    state = latest_state(changes, keys=["id"], order_by=["lsn"], op_col="op")
+    assert [r["name"] for r in state.collect()] == ["token-armed"]
+
+
+def test_mongo_control_ops_dropped_by_filter_control_messages(spark):
+    """CONTROL_OPERATIONS is load-bearing: filter_control_messages drops
+    Mongo control events explicitly (not incidentally via extract_images'
+    null-image fallthrough)."""
+    from pgcdc_spark.cdc.mongo import CONTROL_OPERATIONS, parse_mongo_changestream
+    from pgcdc_spark.cdc.transform import filter_control_messages
+
+    row, key = _mongo_schemas()
+    raw = spark.createDataFrame(
+        [(line,) for line in mongo_fixture_lines()[:-1]], ["value"]
+    )
+    parsed = parse_mongo_changestream(raw, row, key)
+    before = {r["tag"] for r in parsed.collect()}
+    assert {"drop", "invalidate"} <= before
+    after = {r["tag"] for r in filter_control_messages(parsed).collect()}
+    assert after.isdisjoint(CONTROL_OPERATIONS)
+    assert {"insert", "update", "delete"} <= after

@@ -48,11 +48,72 @@ HEADLINE = [
 ]
 
 
+def _streaming_benchmarks(spark, sf_dir: str, runs: dict) -> dict[str, float]:
+    """End-to-end streaming CDC upsert: replay the events table as
+    envelope JSON lines through start_upsert_stream (availableNow, 4
+    micro-batches) and time source->transform->bucketed-merge->commit.
+    With the bucketed store each micro-batch's merge cost tracks the
+    BATCH's touched buckets, not total state size — this entry is the
+    regression guard on that contract."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.streaming.pipeline import (
+        read_envelope_stream,
+        start_upsert_stream,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    is_del = F.col("event_type") == "error"
+    img = F.struct(F.col("user_id"), F.col("value"))
+    line = F.to_json(
+        F.struct(
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("lsn"),
+            F.when(is_del, "delete").otherwise("update").alias("tag"),
+            F.when(~is_del, img).alias("new"),
+            F.when(is_del, img).alias("old"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="pgcdc-bench-stream-")
+    try:
+        src = os.path.join(work, "src")
+        (
+            events.select(line.alias("value"))
+            .repartition(8)
+            .write.mode("overwrite")
+            .format("text")
+            .save(src)
+        )
+        per_run: list[float] = []
+        for i in range(3):
+            state = os.path.join(work, f"state{i}")
+            ckpt = os.path.join(work, f"ckpt{i}")
+            changes = read_envelope_stream(
+                spark, src, row_schema, max_files_per_trigger=2
+            )
+            t0 = time.perf_counter()
+            q = start_upsert_stream(changes, state, ckpt, keys=["user_id"])
+            q.awaitTermination()
+            per_run.append(round(time.perf_counter() - t0, 4))
+        runs["streaming_upsert_e2e"] = per_run
+        return {"streaming_upsert_e2e": sorted(per_run)[1]}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    from pgcdc_spark.cache import release_shared
     from pgcdc_spark.session import get_spark
     from pgcdc_spark.queries import all_queries
 
@@ -61,24 +122,44 @@ def main() -> None:
     qs = all_queries()
 
     # Power-test style: per query, one warm-up run (JVM codegen + JIT +
-    # parquet footers) immediately followed by the measured run — the
-    # steady state a long-running job sees for that plan.
+    # parquet footers), then THREE measured runs; report the median.  A
+    # single measured run on a shared sandbox swings +-50-150% with machine
+    # load (a round-3 "regression" adjudicated to pure noise), drowning
+    # real round-over-round deltas; the median of 3 makes >20% deltas
+    # meaningful.  Per-run times ship in the JSON tail for auditability.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         qd = qs[name]
         qd.fn(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        rows = qd.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
+        release_shared()  # shared-subplan blocks must not carry across runs
+        per_run: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = qd.fn(spark, sf_dir).collect()
+            per_run.append(round(time.perf_counter() - t0, 4))
+            release_shared()
+            assert rows is not None
+        runs[name] = per_run
+        timings[name] = sorted(per_run)[1]
 
-    total = round(sum(timings.values()), 4)
+    # "value" stays the sum of the 21 BATCH headline queries so it is
+    # comparable to BENCH_r01-r03; the streaming end-to-end entry is new
+    # in r4 and reported alongside (queries + runs + totals.streaming).
+    batch_total = round(sum(timings.values()), 4)
+    streaming = _streaming_benchmarks(spark, sf_dir, runs)
+    timings.update(streaming)
     print(json.dumps({
         "metric": "headline_queries_total",
-        "value": total,
+        "value": batch_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "totals": {
+            "batch": batch_total,
+            "streaming": round(sum(streaming.values()), 4),
+        },
+        "runs": runs,
     }))
 
 

@@ -107,6 +107,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> Parit
 def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> list[ParityResult]:
     from .queries import all_queries
 
+    from .cache import release_shared
+
     qs = all_queries()
     con = duck_connect(sf_dir)
     results = []
@@ -121,4 +123,6 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> list[Parit
             results.append(compare(qname, spark_pdf, duck_pdf))
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             results.append(ParityResult(qname, False, f"EXCEPTION {type(e).__name__}: {e}"))
+        finally:
+            release_shared()  # free shared-subplan blocks after the action
     return results

@@ -32,7 +32,7 @@ from pyspark.sql.types import StructType
 from ..cdc.envelope import STUDENT_SCHEMA, parse_envelope
 from ..cdc.transform import apply_pipeline
 from ..cdc.upsert import latest_state
-from .statestore import AtomicStateStore
+from .statestore import BucketedStateStore, open_state_store
 
 
 def read_envelope_stream(
@@ -55,40 +55,37 @@ def start_upsert_stream(
     checkpoint_dir: str,
     keys: list[str],
     order_by: list[str] = ("lsn",),
+    n_buckets: int = 64,
 ) -> StreamingQuery:
-    """foreachBatch sink: merge each micro-batch into the parquet state.
+    """foreachBatch sink: merge each micro-batch into the bucketed parquet
+    state, rewriting ONLY the key-hash buckets the batch touches.
 
-    Crash-atomic: each merge commits a fresh version dir and atomically
-    repoints the store manifest (statestore.AtomicStateStore) — a crash
+    Crash-atomic: each merge commits fresh per-bucket files and atomically
+    repoints the store manifest (statestore.BucketedStateStore) — a crash
     mid-write leaves the previous complete state live, and the replayed
-    batch re-commits idempotently. This (offsets advance only after sink
+    batch re-merges idempotently. This (offsets advance only after sink
     success + an atomic sink commit) fully closes the reference's
     ack-before-send loss window (PostgresOperation.ts:24-29).
 
-    Scale note: per batch this reads current state + unions the batch +
-    re-materializes — correct and simple. At 100 TB the same merge targets
-    a Delta/Iceberg MERGE INTO or a key-bucketed table so only touched
-    buckets rewrite; the dedup logic (latest image per key, deletes win)
-    is identical and lives in cdc/upsert.py either way.
+    Scale note: per batch the merge cost is O(touched buckets + batch),
+    not O(total state) — at 100 TB state a micro-batch touching k keys
+    reads and rewrites at most k buckets (~state/n_buckets each), which is
+    the same touched-partition contract as a Delta/Iceberg MERGE INTO.
+    The dedup logic (latest image per key, deletes win, tombstones kept)
+    lives in cdc/upsert.py and is identical at every scale.
     """
-    spark = changes.sparkSession
-    store = AtomicStateStore(state_dir)
+    store = BucketedStateStore(state_dir, n_buckets=n_buckets)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        current = store.read(spark)
-        combined = (
-            batch_df if current is None else current.unionByName(batch_df)
+        # keep_deletes inside store.merge: tombstones stay in the stored
+        # state so merge order cannot resurrect a deleted key (file-stream
+        # batches are NOT guaranteed to arrive in filename order);
+        # read_state filters them.
+        store.merge(
+            batch_df, keys=list(keys), order_by=list(order_by), label=str(batch_id)
         )
-        # keep_deletes: tombstones stay in the stored state so merge order
-        # cannot resurrect a deleted key (file-stream batches are NOT
-        # guaranteed to arrive in filename order); read_state filters them.
-        new_state = latest_state(
-            combined, keys=list(keys), order_by=list(order_by), op_col="op",
-            keep_deletes=True,
-        )
-        store.commit(new_state, label=str(batch_id))
 
     return (
         changes.writeStream.foreachBatch(merge)
@@ -99,8 +96,9 @@ def start_upsert_stream(
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Read the materialized table: live rows only (tombstones filtered)."""
-    df = AtomicStateStore(state_dir).read(spark)
+    """Read the materialized table: live rows only (tombstones filtered).
+    Reads bucketed and legacy single-version stores alike."""
+    df = open_state_store(state_dir).read(spark)
     if df is None:
         raise FileNotFoundError(f"no committed state under {state_dir}")
     return df.filter(F.col("op") != "D")
@@ -149,8 +147,10 @@ def snapshot_then_stream(
         image = (
             snapshot.withColumn("op", F.lit("I")).withColumn("lsn", F.lit(snapshot_lsn))
         )
-        seeded = latest_state(image, keys=list(keys), order_by=["lsn"], op_col="op",
-                              keep_deletes=True)
-        AtomicStateStore(state_dir).commit(seeded, label="snapshot")
+        # merge() dedups to latest-per-key (keep_deletes) and seeds the
+        # same bucketed layout the stream's incremental merges target.
+        BucketedStateStore(state_dir).merge(
+            image, keys=list(keys), order_by=["lsn"], label="snapshot"
+        )
     changes = read_envelope_stream(spark, source_dir, row_schema)
     return start_upsert_stream(changes, state_dir, checkpoint_dir, keys=list(keys))

@@ -302,3 +302,23 @@ def test_codec_registry_dispatch_and_unregistered_raise(spark):
         assert feat[1] == pytest.approx(expected)
     finally:
         mm._REGISTRY.pop("shout", None)
+
+
+# --- shared-subplan (persist) lifecycle --------------------------------------
+
+
+def test_verified_pairs_releases_persisted_blocks(spark, sf_smoke):
+    """verified_candidate_pairs persists two shared subplans; after the
+    consuming action, cache.release_shared() must leave ZERO persisted
+    RDD blocks behind (delta vs whatever earlier tests pinned) — the
+    bench/driver loop must not accumulate blocks across invocations."""
+    from pgcdc_spark.cache import release_shared
+
+    release_shared()  # drop anything a prior test leaked
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    df = _df("dedup_verified_pairs", spark, sf_smoke)
+    assert df.count() >= 0  # the consuming action
+    released = release_shared()
+    assert released == 2  # pairs + gated shingle sets
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    assert after <= before  # nothing new left pinned

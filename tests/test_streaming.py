@@ -137,6 +137,69 @@ def test_statestore_replay_same_label_no_clobber(spark, tmp_path):
     assert {r["id"] for r in store.read(spark).collect()} == {1, 2}
 
 
+def _bucket_files(store, manifest):
+    """bucket id -> set of live parquet file paths, via the manifest."""
+    out = {}
+    for b, v in manifest["buckets"].items():
+        d = os.path.join(store.root, v, f"{store.BUCKET_COL}={b}")
+        out[b] = {os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")}
+    return out
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The incremental-merge contract: a batch touching one key rewrites
+    exactly that key's bucket; every other bucket keeps pointing at its
+    old version dir and its old files stay on disk untouched."""
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    store = BucketedStateStore(str(tmp_path / "st"), n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"{i:03d}", "I", f"v{i}") for i in range(20)],
+        "id LONG, lsn STRING, op STRING, v STRING",
+    )
+    store.merge(base, keys=["id"], order_by=["lsn"], label="0")
+    man0 = store.current_manifest()
+    files0 = _bucket_files(store, man0)
+    assert len(man0["buckets"]) > 1  # 20 keys spread over several buckets
+
+    batch = spark.createDataFrame(
+        [(7, "100", "U", "updated")], "id LONG, lsn STRING, op STRING, v STRING"
+    )
+    store.merge(batch, keys=["id"], order_by=["lsn"], label="1")
+    man1 = store.current_manifest()
+
+    changed = {b for b, v in man1["buckets"].items() if man0["buckets"].get(b) != v}
+    assert len(changed) == 1  # exactly the bucket holding id=7
+    for b, v in man0["buckets"].items():
+        if b in changed:
+            continue
+        assert man1["buckets"][b] == v  # untouched bucket: same version...
+        for p in files0[b]:
+            assert os.path.exists(p)  # ...and the same files, not rewritten
+
+    rows = {r["id"]: r["v"] for r in store.read(spark).filter("op <> 'D'").collect()}
+    assert len(rows) == 20 and rows[7] == "updated" and rows[3] == "v3"
+
+
+def test_bucketed_store_compaction_bounds_fanin_and_gcs(spark, tmp_path):
+    """Version fan-in stays bounded by compact_after (LSM-style fold) and
+    version dirs no longer referenced by any bucket are deleted."""
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    store = BucketedStateStore(str(tmp_path / "st"), n_buckets=4, compact_after=2)
+    for i in range(6):
+        batch = spark.createDataFrame(
+            [(i, f"{i:03d}", "I", f"v{i}")], "id LONG, lsn STRING, op STRING, v STRING"
+        )
+        store.merge(batch, keys=["id"], order_by=["lsn"], label=str(i))
+    man = store.current_manifest()
+    assert len(set(man["buckets"].values())) <= store.compact_after
+    on_disk = {d for d in os.listdir(store.root) if d.startswith("v-")}
+    assert on_disk == set(man["buckets"].values())  # unreferenced dirs GC'd
+    rows = {r["id"]: r["v"] for r in store.read(spark).collect()}
+    assert rows == {i: f"v{i}" for i in range(6)}
+
+
 def _event_stream(spark, tmp_path, rows):
     """rows: (event_id, iso_ts, user_id, event_type, value)"""
     src = str(tmp_path / "events_src")

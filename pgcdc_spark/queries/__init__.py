@@ -53,6 +53,7 @@ _MODULES = (
     "collections",
     "udfs",
     "reshape",
+    "llm_extra",  # new in r4 — after the 50-query sample boundary
     "llm_text",
     "multimodal",
     "relational",

@@ -1,0 +1,309 @@
+"""Extended LLM-pipeline operators: product-quantization ANN and
+incremental (new-batch-vs-corpus) dedup.
+
+These extend the similarity/dedup families (llm_similarity.py,
+llm_dedup.py) with the two remaining shapes a 100 TB training-data
+pipeline runs constantly:
+
+- ``emb_pq_adc_topk``: product quantization + asymmetric distance
+  computation (ADC) — the memory-bounded ANN serving path (Jegou et al.,
+  "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+  Vectors are stored as m small codebook ids instead of floats (here
+  m=8 codes for 64 dims: 8 bytes/vector instead of 256), and query
+  scoring is a lookup-table sum — no float vector is touched at query
+  time. Complements the IVF (cell-pruned) and LSH (bucket-pruned)
+  variants: PQ prunes MEMORY, they prune CANDIDATES; production systems
+  compose them (IVF-PQ).
+- ``dedup_incremental_new_docs``: the dedup shape real ingestion runs —
+  a NEW batch of documents arrives and must be checked against the
+  EXISTING corpus (not all-pairs over everything). New docs gate on
+  LSH bucket collisions against corpus docs, candidates verify with
+  exact shingle Jaccard, and every new doc gets a keep/drop verdict
+  with its best corpus match. Composes the same MinHash machinery as
+  dedup_minhash_lsh / dedup_verified_pairs.
+
+Determinism discipline (same as the IVF quantizer): the PQ codebook is
+derived by a fixed rule (``vec_id % _PQ_CB_MOD == 1`` donates its
+subvectors), not by k-means, so DuckDB can mirror the whole pipeline and
+the driver hash-checks it bit-for-bit. Distances use the shared
+sequential-fold arithmetic (functions/vectors.py) and the
+``nsq(a) + nsq(b) - 2*dot(a,b)`` expansion on BOTH engines, so argmin
+comparisons see bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load
+from ..functions.vectors import dot_fold_expr
+from . import query
+from .llm_dedup import (
+    _MINHASH_CTES,
+    _MINHASH_PAIRS_SELECT,
+    minhash_candidate_pairs,
+    shingle_sets,
+)
+
+_DIMS = 64
+_N_QUERIES = 8
+_TOP_K = 10
+
+# PQ layout: m subquantizers over contiguous 8-dim subvectors.
+_PQ_M = 8
+_PQ_SUB = _DIMS // _PQ_M
+# Codebook donors: every vector with vec_id % _PQ_CB_MOD == 1 contributes
+# its m subvectors as codewords (k ~ n/127 codewords per subspace — the
+# deterministic stand-in for per-subspace k-means, cf. ivf_centroids).
+_PQ_CB_MOD = 127
+
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {_PQ_SUB} + 1, (t.s + 1) * {_PQ_SUB}) AS sub
+  FROM e, (SELECT UNNEST(range(0, {_PQ_M})) AS s) t
+),
+cb AS (
+  SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id % {_PQ_CB_MOD} = 1
+),
+dist AS (
+  SELECT x.vec_id, x.s, c.cid,
+         list_dot_product(x.sub, x.sub) + list_dot_product(c.csub, c.csub)
+           - 2 * list_dot_product(x.sub, c.csub) AS d2
+  FROM subs x JOIN cb c USING (s)
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, s, cid, d2 FROM dist WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.qid, c.vec_id,
+         CAST(SUM(CAST(l.d2 AS DECIMAL(28,9))) AS DOUBLE) AS approx_dist2
+  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+  WHERE l.qid <> c.vec_id
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid, vec_id AS neighbor_id, approx_dist2, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dist2, vec_id) AS rank
+  FROM adc
+) WHERE rank <= {_TOP_K}
+"""
+
+
+def _sub_d2(a: str, b: str) -> F.Column:
+    """Squared L2 between two subvector columns via the norm expansion —
+    three shared sequential folds, bit-identical to the oracle's
+    list_dot_product expansion (never a fused (x-y)^2 fold, which would
+    round differently)."""
+    return (
+        dot_fold_expr(a, a) + dot_fold_expr(b, b) - 2 * dot_fold_expr(a, b)
+    )
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Encode every vector as m codebook ids: ``(vec_id, s, cid)``.
+
+    Scale shape: the codebook (k*m rows of 8 doubles) broadcasts; encode
+    is a map-side broadcast join scoring n*m subvectors against k
+    codewords each, reduced by ONE aggregate shuffle on (vec_id, s) via
+    min(struct(d2, cid)) — argmin with deterministic cid tie-break, with
+    map-side partial combine so the shuffle carries one candidate per
+    (vec_id, s, input-partition). No float vectors survive: downstream
+    stores 8 small ints per vector (the 32x memory cut that makes a
+    100 TB float corpus a ~3 TB serving index)."""
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> slice(CAST(embedding AS ARRAY<DOUBLE>), s * {_PQ_SUB} + 1, {_PQ_SUB}))"
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("csub")
+    )
+    scored = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "cid", _sub_d2("sub", "csub").alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+    )
+
+
+@query("emb_pq_adc_topk", oracle=_PQ_ORACLE, tags=("llm", "similarity", "pq"))
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k: rank the whole corpus for each query using ONLY the
+    stored codes plus a per-query lookup table.
+
+    ADC: lut[q][s][cid] = d2(query subvector s, codeword cid); the
+    approximate distance of any stored vector is the sum of its m LUT
+    entries. The LUT (queries * m * k rows) broadcasts; scoring joins the
+    codes table on (s, cid) — map-side — and reduces with one aggregate
+    shuffle on (qid, vec_id). The decimal-cast on the m-term sum keeps
+    the ranking key deterministic under Spark's unordered aggregation
+    (exact decimal sum, cast back to double — the standard oracle-parity
+    discipline)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> slice(CAST(embedding AS ARRAY<DOUBLE>), s * {_PQ_SUB} + 1, {_PQ_SUB}))"
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("csub")
+    )
+    dist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "cid", _sub_d2("sub", "csub").alias("d2")
+    )
+    codes = (
+        dist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+    )
+    lut = dist.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "s", "cid", "d2"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("d2").cast("decimal(28,9)")).cast("double").alias("approx_dist2")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "approx_dist2", "rank")
+    )
+
+
+# --- incremental dedup: new batch vs existing corpus -------------------------
+# Split rule (deterministic, oracle-mirrorable): doc_id % 10 == 0 is the
+# arriving batch, the rest is the standing corpus. Verdict per new doc:
+# near-dup iff its best LSH-candidate corpus match has exact shingle
+# Jaccard >= _INC_THRESHOLD.
+
+_INC_THRESHOLD = 0.5
+
+_INC_ORACLE = f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+cross_pairs AS (
+  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS old_id
+  FROM pairs
+  WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT p.new_id, p.old_id, COUNT(*) AS n_common
+  FROM cross_pairs p
+  JOIN sh a ON a.doc_id = p.new_id
+  JOIN sh b ON b.doc_id = p.old_id AND b.shingle = a.shingle
+  GROUP BY p.new_id, p.old_id
+),
+jac AS (
+  SELECT p.new_id, p.old_id,
+         CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+           / CAST(sa.n + sb.n - COALESCE(c.n_common, 0) AS DOUBLE) AS j
+  FROM cross_pairs p
+  LEFT JOIN common c ON c.new_id = p.new_id AND c.old_id = p.old_id
+  JOIN sizes sa ON sa.doc_id = p.new_id
+  JOIN sizes sb ON sb.doc_id = p.old_id
+),
+best AS (
+  SELECT new_id, old_id, j FROM (
+    SELECT new_id, old_id, j,
+           ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY j DESC, old_id) AS rn
+    FROM jac
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(b.j >= {_INC_THRESHOLD}, FALSE) AS is_dup,
+       CASE WHEN b.j >= {_INC_THRESHOLD} THEN b.old_id END AS match_doc_id,
+       CASE WHEN b.j >= {_INC_THRESHOLD} THEN b.j END AS match_jaccard
+FROM documents d
+LEFT JOIN best b ON b.new_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
+@query("dedup_incremental_new_docs", oracle=_INC_ORACLE,
+       tags=("llm", "dedup", "lsh", "incremental"))
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict for each arriving doc against the standing corpus.
+
+    Scale shape: candidate pairs come from the SAME bucketed LSH pipeline
+    as dedup_minhash_lsh (never new x corpus all-pairs); only pairs that
+    cross the batch/corpus boundary survive; exact Jaccard runs on the
+    candidate-gated shingle sets (semi-join, so shingle arrays ship only
+    for matched docs); the per-new-doc winner is an aggregate argmax
+    (max(struct)) — map-side combinable, no window over a skewable
+    partition. In production the corpus side's bands/shingles are
+    precomputed once and stored (e.g. in the bucketed state store), so an
+    arriving batch costs O(batch + collisions), not O(corpus) — exactly
+    the CDC-incremental contract of streaming/statestore."""
+    (docs,) = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    pairs = minhash_candidate_pairs(docs)
+    cross = pairs.filter(
+        (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0)
+    ).select(
+        F.when(F.col("doc_a") % 10 == 0, F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("new_id"),
+        F.when(F.col("doc_a") % 10 == 0, F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("old_id"),
+    )
+    cand_ids = (
+        cross.select(F.col("new_id").alias("doc_id"))
+        .union(cross.select(F.col("old_id").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_sets(docs.join(cand_ids, "doc_id", "left_semi"))
+    sa = sets.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("shb"))
+    common = F.size(F.array_intersect("sha", "shb"))
+    jac = common.cast("double") / (
+        F.size("sha") + F.size("shb") - common
+    ).cast("double")
+    best = (
+        cross.join(sa, "new_id")
+        .join(sb, "old_id")
+        .select("new_id", "old_id", jac.alias("j"))
+        .groupBy("new_id")
+        .agg(F.max(F.struct(F.col("j"), (-F.col("old_id")).alias("no"),
+                            F.col("old_id"))).alias("b"))
+        .select("new_id", F.col("b.old_id").alias("old_id"), F.col("b.j").alias("j"))
+    )
+    dup = F.col("j") >= _INC_THRESHOLD
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(dup, F.lit(False)).alias("is_dup"),
+            F.when(dup, F.col("old_id")).alias("match_doc_id"),
+            F.when(dup, F.col("j")).alias("match_jaccard"),
+        )
+    )

@@ -54,6 +54,8 @@ _MODULES = (
     "udfs",
     "reshape",
     "llm_extra",  # new in r4 — after the 50-query sample boundary
+    "timeseries",
+    "sqlfns",
     "llm_text",
     "multimodal",
     "relational",

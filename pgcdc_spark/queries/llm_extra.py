@@ -36,7 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..functions.vectors import dot_fold_expr
 from . import query
 from .llm_dedup import (
@@ -306,4 +306,107 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dup, F.col("old_id")).alias("match_doc_id"),
             F.when(dup, F.col("j")).alias("match_jaccard"),
         )
+    )
+
+
+# --- exact substring (duplicated n-gram span) dedup --------------------------
+# The third dedup granularity after document-level (dedup_exact) and
+# near-doc-level (MinHash/Jaccard): SUBSTRING-level duplication — which
+# token spans of each document also occur verbatim in OTHER documents
+# (Lee et al., "Deduplicating Training Data Makes Language Models Better",
+# ACL 2022, which used suffix arrays single-node). The distributed
+# re-expression: every token k-gram position hashes once; a gram is
+# "duplicated" iff it occurs in >= 2 distinct documents; each doc reports
+# how many of its gram positions are covered by duplicated grams.
+
+_SPAN_K = 3
+
+_DUP_SPANS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tot AS (
+  SELECT doc_id, GREATEST(len(w) - {_SPAN_K - 1}, 0) AS n_grams FROM tok
+),
+g AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ')) AS gh
+  FROM tok, UNNEST(range(1, len(w) - {_SPAN_K - 2})) t(i)
+),
+pg AS (
+  SELECT doc_id, gh, COUNT(*) AS n_pos FROM g GROUP BY doc_id, gh
+),
+gd AS (
+  SELECT gh, COUNT(*) AS n_docs FROM pg GROUP BY gh
+),
+dup AS (
+  SELECT p.doc_id, CAST(SUM(p.n_pos) AS BIGINT) AS dup_positions
+  FROM pg p JOIN gd ON gd.gh = p.gh AND gd.n_docs >= 2
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(d.dup_positions, 0) AS dup_positions,
+       CASE WHEN t.n_grams > 0
+            THEN CAST(COALESCE(d.dup_positions, 0) AS DOUBLE)
+                   / CAST(t.n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+"""
+
+
+@query("dedup_dup_ngram_spans", oracle=_DUP_SPANS_ORACLE,
+       tags=("llm", "dedup", "substring"))
+def dedup_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring profile: how many of its token
+    {k}-gram positions occur verbatim in at least one OTHER document.
+
+    Scale shape: the only data-sized stage streams each gram through one
+    md5 (never shuffling text — grams travel as 128-bit hashes). The
+    per-(doc, gram) position count reduces map-side before its shuffle;
+    the gram->distinct-doc count then aggregates the already-collapsed
+    (doc, gram) table, so the second shuffle carries one row per distinct
+    gram per doc, not per position. The duplicated-gram join is a hash
+    join on the gram hash against the (typically small) n_docs >= 2
+    subset. At 100 TB the published refinement is to replace the exact gd
+    table with a frequency sketch / Bloom filter broadcast — the
+    candidate-gating trick the MinHash pipeline above already uses; the
+    exact form here is the oracle-checkable core with the same shuffle
+    skeleton."""
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = fan_out(docs).select("doc_id", F.split("text", " ").alias("w"))
+    tot = toks.select(
+        "doc_id",
+        F.greatest(F.size("w") - (_SPAN_K - 1), F.lit(0)).alias("n_grams"),
+    )
+    grams = toks.filter(F.size("w") >= _SPAN_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_SPAN_K - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {_SPAN_K})))"
+            )
+        ).alias("gram"),
+    )
+    pg = (
+        grams.select("doc_id", F.md5(F.col("gram").cast("binary")).alias("gh"))
+        .groupBy("doc_id", "gh")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
+    gd = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (
+        pg.join(gd.filter(F.col("n_docs") >= 2), "gh")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pos").alias("dup_positions"))
+    )
+    dup_pos = F.coalesce(F.col("dup_positions"), F.lit(0).cast("long"))
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        dup_pos.alias("dup_positions"),
+        F.when(
+            F.col("n_grams") > 0,
+            dup_pos.cast("double") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
     )

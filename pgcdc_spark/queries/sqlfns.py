@@ -1,0 +1,230 @@
+"""SQL-surface widening: exact median + deterministic mode, width_bucket
+histograms, try_* safe arithmetic, ordered string aggregation, and
+posexplode with ordinals.
+
+None of these exist in the reference (no query surface beyond SELECT *,
+src/utilities/query.ts:13); all are table-stakes engine functions a user
+migrating analytical workloads expects, and all are pure built-ins —
+no UDFs, no collect, each query at most two small shuffles.
+
+Oracle-parity notes (the usual discipline, see queries/__init__ docstring):
+- median: Spark ``percentile(x, 0.5)`` and DuckDB ``quantile_cont(x, 0.5)``
+  both linearly interpolate; l_quantity holds small integers-as-doubles so
+  midpoints are exact halves — bit-identical on both engines;
+- mode: NEVER the built-in ``mode()`` (tie-breaking is engine-arbitrary);
+  both sides compute count-per-value then argmax with an explicit
+  (count DESC, value ASC) total order;
+- try_cast/try_divide: Spark's try_* return NULL on failure; DuckDB
+  mirrors with TRY_CAST and NULLIF-guarded division.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load
+from . import query
+
+# --- exact median + deterministic mode ---------------------------------------
+
+_MEDIAN_MODE_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+),
+cnt AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+md AS (
+  SELECT l_returnflag, l_linestatus AS mode_status FROM (
+    SELECT l_returnflag, l_linestatus,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY c DESC, l_linestatus) AS rn
+    FROM cnt
+  ) WHERE rn = 1
+)
+SELECT m.l_returnflag, m.median_qty, d.mode_status, m.n_rows
+FROM med m JOIN md d ON d.l_returnflag = m.l_returnflag
+"""
+
+
+@query("agg_median_mode", oracle=_MEDIAN_MODE_ORACLE, tags=("agg", "percentile"))
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + deterministic mode per group.
+
+    Median is the exact ``percentile`` aggregate (sort-based within each
+    group — fine because groups here are few and, at scale, percentile
+    switches to approx_percentile as the documented knob). Mode is a
+    two-level aggregate: count per (group, value) with map-side partial
+    combine, then an argmax window over the tiny per-group value counts —
+    the skew-safe shape (the heavy shuffle carries one row per distinct
+    value, not per input row)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    cnt = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_linestatus")
+    )
+    md = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
+    )
+    return med.join(md, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_status", "n_rows"
+    )
+
+
+# --- width_bucket histogram --------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_N = 900.0, 105000.0, 20
+
+# DuckDB (this build) has no width_bucket; the oracle mirrors Spark's
+# exact WidthBucket formula — floor(n * (v - lo) / (hi - lo)) + 1 with
+# underflow -> 0 and v >= hi -> n + 1 — in the same operand order, so the
+# boundary doubles round identically.
+_HISTOGRAM_ORACLE = f"""
+SELECT CASE WHEN l_extendedprice < {_HIST_LO} THEN 0
+            WHEN l_extendedprice >= {_HIST_HI} THEN {_HIST_N + 1}
+            ELSE CAST(FLOOR({_HIST_N}.0 * (l_extendedprice - {_HIST_LO})
+                            / ({_HIST_HI} - {_HIST_LO})) AS BIGINT) + 1
+       END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM lineitem
+GROUP BY bucket
+"""
+
+
+@query("agg_histogram_width_bucket", oracle=_HISTOGRAM_ORACLE, tags=("agg",))
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via the SQL-standard width_bucket: bucket
+    assignment is a row-local expression inside the scan stage, so the
+    whole histogram is one partial+final aggregate over <= n_buckets + 2
+    keys — the cheapest possible distribution profile at any scale
+    (underflow -> bucket 0, overflow -> n+1, per the standard)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket(
+                "l_extendedprice", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_N)
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# --- try_* safe arithmetic ---------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS pri_num,
+       TRY_CAST(o_orderkey % 300 AS TINYINT) AS small_key,
+       o_totalprice / NULLIF(o_custkey % 5, 0) AS price_ratio,
+       string_split(o_orderpriority, '-')[3] AS third_token
+FROM orders
+"""
+
+
+@query("scalar_try_arith", oracle=_TRY_ORACLE, tags=("scalar", "errors"))
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-failure expression surface: try_cast (malformed string,
+    integer overflow), try_divide (zero denominator), try_element_at
+    (out-of-bounds). All row-local codegen'd expressions — the
+    error-tolerant path costs nothing over the throwing path, which is
+    why a 100 TB pipeline uses try_* + a dead-letter filter instead of
+    job-killing exceptions (the engine-side analogue of the reference's
+    io-ts decode-or-Left, src/config/ioConfig.ts:5-13)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("pri_num"),
+        F.expr("try_cast(o_orderkey % 300 AS TINYINT)").alias("small_key"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias(
+            "price_ratio"
+        ),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias(
+            "third_token"
+        ),
+    )
+
+
+# --- ordered string aggregation ----------------------------------------------
+
+_STRING_AGG_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT c.c_mktsegment, o.o_orderstatus
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT c_mktsegment,
+         string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+  FROM d GROUP BY c_mktsegment
+),
+n AS (
+  SELECT c.c_mktsegment, COUNT(*) AS n_orders
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT a.c_mktsegment, a.statuses, n.n_orders
+FROM agg a JOIN n ON n.c_mktsegment = a.c_mktsegment
+"""
+
+
+@query("agg_string_agg_ordered", oracle=_STRING_AGG_ORACLE, tags=("agg", "string"))
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation: collect_set -> sort_array
+    -> array_join gives an order-insensitive, duplicate-free result no
+    matter how partitions arrive (collect_list would be partition-order
+    dependent — never hashable cross-engine). The fact-side join is a
+    broadcast (customer segment dim is small relative to orders at any
+    scale ratio here) and the set per group is bounded by the value
+    domain, not the row count."""
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- posexplode with ordinals ------------------------------------------------
+
+_POSEXPLODE_ORACLE = """
+WITH tok AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+)
+SELECT p_partkey, i - 1 AS pos, w[i] AS word
+FROM tok, UNNEST(range(1, least(len(w), 3) + 1)) t(i)
+"""
+
+
+@query("scalar_posexplode_ordinal", oracle=_POSEXPLODE_ORACLE, tags=("scalar", "lateral"))
+def scalar_posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral expansion with ordinals: posexplode over a bounded slice of
+    the token array (first 3 words). Generators run inside the scan stage
+    (no shuffle at all); bounding the slice keeps the fan-out constant per
+    row — the pattern for prefix features at corpus scale."""
+    (part,) = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.slice(F.split("p_name", " "), 1, 3)).alias("pos", "word"),
+    )

@@ -1,0 +1,159 @@
+"""Time-series repair operators over `events`: last-observation-carried-
+forward (LOCF) fill and linear interpolation between observations.
+
+The reference has no time-series surface at all (its only query is
+``SELECT * FROM students``, src/utilities/query.ts:13); these are the two
+standard gap-repair primitives any analytics engine over CDC-materialized
+event state needs, and both map to pure window built-ins:
+
+- LOCF: ``last(metric, ignorenulls=True)`` over an unbounded-preceding
+  frame — one shuffle on the partition key, sequential frame scan, no UDF;
+- interpolation: the same trick in both directions (``last`` backward,
+  ``first`` forward) to locate the bracketing observations, then a pure
+  row-local arithmetic expression.
+
+Scale shape: both queries shuffle ONCE on ``user_id`` (the natural key —
+millions of independent series at 100 TB, so partitions stay balanced and
+each series sorts locally); the frames are running frames, which Spark
+evaluates incrementally (no O(n^2) re-scan per row). Determinism: frame
+order is ``(ts, event_id)`` — a total order — and the interpolation
+expression is written identically on both engines so IEEE doubles match
+bit-for-bit (deltas subtracted in int64 first; the ratio is the only
+division).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load
+from . import query
+
+# Observation rule (deterministic, oracle-mirrorable): `purchase` events
+# carry the metric; every other event type is a gap to repair.
+_OBS = "event_type = 'purchase'"
+
+_LOCF_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+         CASE WHEN {_OBS} THEN value END AS metric
+  FROM events
+)
+SELECT event_id, user_id, ts_ns, metric,
+       LAST_VALUE(metric IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_ns, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM base
+"""
+
+
+@query("events_locf_fill", oracle=_LOCF_ORACLE, tags=("timeseries", "window"))
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry each user's most recent observed metric forward across gaps.
+
+    ``last(ignorenulls)`` over a running frame is the canonical LOCF: the
+    state per series is one value, the pass is a single ordered scan per
+    partition — exactly the shape that survives 100 TB (each user's
+    series is processed independently after one hash shuffle)."""
+    (events,) = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_ns"),
+        F.when(F.expr(_OBS), F.col("value")).alias("metric"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.withColumn(
+        "locf_value", F.last("metric", ignorenulls=True).over(w)
+    )
+
+
+_INTERP_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+         CASE WHEN {_OBS} THEN value END AS metric
+  FROM events
+),
+brk AS (
+  SELECT event_id, user_id, ts_ns, metric,
+    LAST_VALUE(metric IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_ns, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN metric IS NOT NULL THEN ts_ns END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_ns, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    FIRST_VALUE(metric IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_ns, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN metric IS NOT NULL THEN ts_ns END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_ns, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM base
+)
+SELECT event_id, user_id, ts_ns, metric,
+  CASE WHEN pv IS NULL OR nv IS NULL THEN NULL
+       WHEN nt = pt THEN pv
+       ELSE pv + (nv - pv) * (CAST(ts_ns - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+  END AS interp_value
+FROM brk
+"""
+
+
+@query("events_linear_interp", oracle=_INTERP_ORACLE, tags=("timeseries", "window"))
+def events_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly interpolate gap rows between each series' bracketing
+    observations; edges (no observation on one side) stay null, observed
+    rows return their own value (the ``nt = pt`` branch).
+
+    The bracketing values come from two running frames (backward ``last``,
+    forward ``first``, both ignorenulls) over ONE sort of each series —
+    Spark evaluates both directions from the same windowed sort, so the
+    whole repair is one shuffle + one local sort per series. Timestamp
+    deltas are subtracted in int64 before the double cast: epoch-ns
+    magnitudes (~1.7e18) exceed double's 2^53 integer range, but deltas
+    don't."""
+    (events,) = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_ns"),
+        F.when(F.expr(_OBS), F.col("value")).alias("metric"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("metric").isNotNull(), F.col("ts_ns"))
+    brk = base.select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        "metric",
+        F.last("metric", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(back).alias("pt"),
+        F.first("metric", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_ts, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    frac = (F.col("ts_ns") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return brk.select(
+        "event_id", "user_id", "ts_ns", "metric", interp.alias("interp_value")
+    )

@@ -243,3 +243,43 @@ def test_cbo_stats_reorder_star_join(spark):
     # the selective nation-filtered dim join first (nationkey)
     assert "c_custkey" in innermost_join_cond(baseline)
     assert "n_nationkey" in innermost_join_cond(reordered)
+
+
+def test_histogram_partial_agg_single_shuffle(spark):
+    """width_bucket assignment is row-local inside the scan stage; the
+    histogram must be ONE exchange with a partial HashAggregate below it
+    (the shuffle carries <= n_buckets + 2 keys per input partition)."""
+    plan = _plan(spark, "agg_histogram_width_bucket")
+    assert plan.count("Exchange") == 1
+    below = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in below, "no map-side partial agg below the shuffle"
+
+
+def test_timeseries_single_shuffle_per_series(spark):
+    """LOCF and interpolation must shuffle ONCE on user_id — both window
+    directions share the same partitioning + sort, so Catalyst plans a
+    single Exchange (and at most one sort) per series."""
+    for name in ("events_locf_fill", "events_linear_interp"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dup_spans_no_text_shuffle(spark):
+    """Substring-span dedup must never shuffle document text: every
+    Exchange below the gram aggregates carries only the md5 hash (gh),
+    doc ids and counts."""
+    plan = _plan(spark, "dedup_dup_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        partitioning_key = seg[: seg.index(")")]
+        assert "text" not in partitioning_key, "document text reached a shuffle key"
+
+
+def test_posexplode_no_shuffle(spark):
+    """Generators run inside the scan stage: the lateral expansion plan
+    must contain a Generate node and no Exchange at all."""
+    plan = _plan(spark, "scalar_posexplode_ordinal")
+    assert "Generate" in plan
+    assert "Exchange" not in plan

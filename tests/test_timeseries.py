@@ -1,0 +1,104 @@
+"""Semantic edge cases for the time-series repair operators and the
+substring-span dedup — the cases the sf oracles can't isolate: series
+with no observations, leading/trailing gaps, single-observation series,
+and span-dedup invariants (self-repetition is not duplication; exact
+copies are fully covered)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+
+
+def _repair(df, name):
+    """Run the registered query fn's logic on a crafted frame by cloning
+    its windowed expression path via a temp parquet round-trip."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pgcdc-ts-test-")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from pgcdc_spark.queries import all_queries
+
+    return all_queries()[name].fn(df.sparkSession, d)
+
+
+def test_locf_edges(spark):
+    rows = [
+        # user 1: leading gap, then obs, then gaps carried forward
+        (1, 1, 100, "click", 5.0),
+        (2, 1, 200, "purchase", 10.0),
+        (3, 1, 300, "click", 7.0),
+        (4, 1, 400, "purchase", 20.0),
+        (5, 1, 500, "error", 1.0),
+        # user 2: no observations at all
+        (6, 2, 100, "click", 3.0),
+        (7, 2, 200, "view", 4.0),
+    ]
+    out = {
+        r["event_id"]: r["locf_value"]
+        for r in _repair(_series(spark, rows), "events_locf_fill").collect()
+    }
+    assert out[1] is None, "leading gap must stay null"
+    assert out[2] == 10.0 and out[3] == 10.0
+    assert out[4] == 20.0 and out[5] == 20.0
+    assert out[6] is None and out[7] is None, "no-observation series stays null"
+
+
+def test_interp_brackets_and_edges(spark):
+    rows = [
+        (1, 1, 100, "click", 99.0),  # leading edge -> null
+        (2, 1, 200, "purchase", 10.0),
+        (3, 1, 300, "click", 0.0),  # midpoint of 10 -> 30 over 200..600
+        (4, 1, 500, "view", 0.0),  # 3/4 of the way
+        (5, 1, 600, "purchase", 30.0),
+        (6, 1, 700, "error", 0.0),  # trailing edge -> null
+        # single-observation series: only the observed row non-null
+        (7, 2, 100, "purchase", 5.0),
+        (8, 2, 200, "click", 0.0),
+    ]
+    out = {
+        r["event_id"]: r["interp_value"]
+        for r in _repair(_series(spark, rows), "events_linear_interp").collect()
+    }
+    assert out[1] is None and out[6] is None
+    assert out[2] == 10.0 and out[5] == 30.0, "observed rows return their value"
+    assert out[3] == 10.0 + 20.0 * (100.0 / 400.0)
+    assert out[4] == 10.0 + 20.0 * (300.0 / 400.0)
+    assert out[7] == 5.0 and out[8] is None
+
+
+def test_dup_spans_invariants(spark):
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),  # copied verbatim by doc 2
+            (2, "a b c d e", "en", "s", 9),
+            (3, "x x x x x", "en", "s", 9),  # self-repetition only
+            (4, "q r", "en", "s", 3),  # shorter than k=3 -> no grams
+            (5, "c d e f g", "en", "s", 9),  # shares one gram with 1/2
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="pgcdc-span-test-")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    from pgcdc_spark.queries import all_queries
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["dedup_dup_ngram_spans"].fn(spark, d).collect()
+    }
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    # self-repetition within one doc is NOT cross-doc duplication
+    assert out[3]["dup_positions"] == 0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+    # doc 5: grams {c d e, d e f, e f g}; only "c d e" is shared
+    assert out[5]["n_grams"] == 3 and out[5]["dup_positions"] == 1
+    assert abs(out[5]["dup_frac"] - 1.0 / 3.0) < 1e-15

@@ -47,6 +47,17 @@ HEADLINE = [
     "dedup_verified_pairs",
 ]
 
+# Timed and reported alongside, but NOT in "value": the headline sum must
+# stay the same 21-query set to be comparable with BENCH_r01-r03. These
+# are the r4 additions whose plans matter at 100 TB (substring-span
+# dedup's gram shuffle, bitmap distinct's fixed-size state, per-series
+# window repair).
+EXTRA = [
+    "dedup_dup_ngram_spans",
+    "agg_bitmap_distinct",
+    "events_linear_interp",
+]
+
 
 def _streaming_benchmarks(spark, sf_dir: str, runs: dict) -> dict[str, float]:
     """End-to-end streaming CDC upsert: replay the events table as
@@ -129,7 +140,7 @@ def main() -> None:
     # meaningful.  Per-run times ship in the JSON tail for auditability.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         qd = qs[name]
         qd.fn(spark, sf_dir).collect()
         release_shared()  # shared-subplan blocks must not carry across runs
@@ -144,9 +155,10 @@ def main() -> None:
         timings[name] = sorted(per_run)[1]
 
     # "value" stays the sum of the 21 BATCH headline queries so it is
-    # comparable to BENCH_r01-r03; the streaming end-to-end entry is new
-    # in r4 and reported alongside (queries + runs + totals.streaming).
-    batch_total = round(sum(timings.values()), 4)
+    # comparable to BENCH_r01-r03; the streaming end-to-end entry and the
+    # r4 extras are reported alongside (queries + runs + totals.*).
+    batch_total = round(sum(timings[n] for n in HEADLINE), 4)
+    extras_total = round(sum(timings[n] for n in EXTRA), 4)
     streaming = _streaming_benchmarks(spark, sf_dir, runs)
     timings.update(streaming)
     print(json.dumps({
@@ -157,6 +169,7 @@ def main() -> None:
         "sf": sf,
         "totals": {
             "batch": batch_total,
+            "extras": extras_total,
             "streaming": round(sum(streaming.values()), 4),
         },
         "runs": runs,

@@ -56,6 +56,7 @@ _MODULES = (
     "llm_extra",  # new in r4 — after the 50-query sample boundary
     "timeseries",
     "sqlfns",
+    "sketches",
     "llm_text",
     "multimodal",
     "relational",

@@ -130,3 +130,37 @@ def subq_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny aggregate job, then a pushdown-friendly scan filter.
     _views(spark, sf_dir, "orders")
     return spark.sql(_GLOBAL_SQL)
+
+
+# --- correlated LATERAL subquery (per-row top-n) -----------------------------
+# The SQL-standard way to ask "for each dim row, the top-n related rows"
+# without a window over the whole fact table. Spark decorrelates the
+# LATERAL into a join + per-group limit; DuckDB executes it natively —
+# both see the same deterministic (count DESC, name ASC) total order.
+
+_LATERAL_SQL = """
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, COUNT(*) AS n_customers
+  FROM nation n
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+
+@query("subq_lateral_topn", oracle=_LATERAL_SQL, tags=("subquery", "lateral"))
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 nations by customer count per region via LATERAL.
+
+    Scale shape: the customer->nation aggregate reduces with map-side
+    partial combine before its shuffle; the lateral's per-region
+    ORDER BY/LIMIT applies to the tiny aggregated set. The region side
+    broadcasts. Nothing here iterates per driver row — LATERAL is a plan
+    construct, not a loop."""
+    _views(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

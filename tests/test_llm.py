@@ -322,3 +322,31 @@ def test_verified_pairs_releases_persisted_blocks(spark, sf_smoke):
     assert released == 2  # pairs + gated shingle sets
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
     assert after <= before  # nothing new left pinned
+
+
+def test_hll_sketch_bounds_and_union_merge(spark, sf_correct):
+    """HLL_4 at default lgK=12 has ~1.6% relative standard error; pin a
+    conservative 5% bound against exact distinct counts, and prove the
+    stored per-type sketches union to the same estimate as a direct
+    global sketch (mergeability is the whole point of storing sketches)."""
+    out = {
+        r["event_type"]: r["n_users_est"]
+        for r in all_queries()["sketch_hll_distinct"].fn(spark, sf_correct).collect()
+    }
+    events = spark.read.parquet(f"{sf_correct}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(out[et] - n) <= max(0.05 * n, 2.0), (et, out[et], n)
+    global_exact = events.select("user_id").distinct().count()
+    assert abs(out["__all__"] - global_exact) <= max(0.05 * global_exact, 2.0)
+    # direct one-level sketch over all rows == two-level union of stored
+    # per-type sketches (register-maxima merge is associative)
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert out["__all__"] == direct

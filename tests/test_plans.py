@@ -283,3 +283,21 @@ def test_posexplode_no_shuffle(spark):
     plan = _plan(spark, "scalar_posexplode_ordinal")
     assert "Generate" in plan
     assert "Exchange" not in plan
+
+
+def test_bitmap_distinct_fixed_size_shuffles(spark):
+    """The bitmap distinct-count must aggregate partially below BOTH
+    exchanges (bits packed map-side) and never shuffle raw user ids: every
+    hash exchange keys on (event_type[, bucket]) over already-aggregated
+    bitmap state."""
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert plan.count("Exchange hashpartitioning") == 2
+    segs = plan.split("Exchange hashpartitioning")
+    # below the (event_type) exchange: map-side partial popcount sums
+    assert "partial_sum" in segs[1]
+    # below the (event_type, bucket) exchange: map-side partial bitmap OR
+    # (SortAggregate — bitmap state is not hash-aggregable, which is fine:
+    # the point is bits pack BEFORE the shuffle)
+    assert "partial_bitmap_construct_agg" in segs[2]
+    for seg in segs[1:]:  # no exchange partitions on the raw user id
+        assert "user_id" not in seg[: seg.index(")")]

@@ -94,3 +94,50 @@ def test_binned_range_join_left_outer_null_payload_no_dup(spark):
     ).collect()
     got = sorted((r["pid"], r["iid"]) for r in rows)
     assert got == [(1, 10), (2, None), (3, 10)]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_correct, tmp_path):
+    """Files written along the Z-curve of (user_id, ts) must have narrow
+    min-max boxes on BOTH dimensions: a point-user predicate overlaps few
+    files, and a time-range predicate still overlaps few files — whereas
+    a ts-sorted layout leaves every file covering all users."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.zorder import write_zordered
+
+    (events,) = load(spark, sf_correct, "events")
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "linear")
+    write_zordered(events, zdir, ["user_id", "ts"], n_files=16)
+    (events.repartitionByRange(16, "ts").sortWithinPartitions("ts")
+     .write.mode("overwrite").parquet(ldir))
+
+    def file_boxes(path):
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"), "user_id", "ts"
+        )
+        return df.groupBy("f").agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("ts").alias("tlo"), F.max("ts").alias("thi"),
+        ).collect()
+
+    zb, lb = file_boxes(zdir), file_boxes(ldir)
+    assert len(zb) == 16 and len(lb) == 16
+
+    probe_user = 42
+    z_user_hits = sum(1 for r in zb if r["ulo"] <= probe_user <= r["uhi"])
+    l_user_hits = sum(1 for r in lb if r["ulo"] <= probe_user <= r["uhi"])
+    # linear-by-ts layout cannot prune on user_id at all
+    assert l_user_hits == 16
+    assert z_user_hits <= 8, f"z-order user pruning too weak: {z_user_hits}/16"
+
+    # a 10%-of-range time slice must still prune most z-ordered files
+    tlo = min(r["tlo"] for r in zb)
+    thi = max(r["thi"] for r in zb)
+    t0, t1 = tlo, tlo + (thi - tlo) // 10
+    z_time_hits = sum(1 for r in zb if not (r["thi"] < t0 or r["tlo"] > t1))
+    assert z_time_hits <= 8, f"z-order time pruning too weak: {z_time_hits}/16"
+
+    # row content is preserved exactly
+    assert spark.read.parquet(zdir).count() == events.count()

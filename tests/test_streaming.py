@@ -490,3 +490,52 @@ def test_streaming_dedup_within_watermark_restamped(spark, tmp_path):
     total = spark.sql("SELECT COUNT(*) c FROM dedup_wm_t").collect()[0]["c"]
     assert n == len(EVENTS)
     assert total == len(EVENTS)
+
+
+def test_observed_metrics_per_batch_and_totals(spark, tmp_path):
+    """observe() metrics must arrive via the listener for every completed
+    micro-batch and sum to the fixture's known op histogram — computed
+    inside the running plan (no second pass over the batch)."""
+    import time
+
+    from pgcdc_spark.streaming.metrics import attach_collector, observe_cdc_metrics
+
+    src = str(tmp_path / "src")
+    lines = fixture_lines()
+    _write_chunks(src, lines)
+
+    collector = attach_collector(spark)
+    try:
+        changes = observe_cdc_metrics(
+            read_envelope_stream(spark, src, max_files_per_trigger=1)
+        )
+        q = (changes.writeStream.format("memory").queryName("obs_t")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener bus delivers asynchronously after query termination
+        deadline = time.time() + 30
+        want_rows = sum(
+            1 for l in lines if '"insert"' in l or '"update"' in l or '"delete"' in l
+        )
+        while time.time() < deadline:
+            if collector.totals().get("n_rows", 0) >= want_rows:
+                break
+            time.sleep(0.5)
+        totals = collector.totals()
+        per_op = {"I": 0, "U": 0, "D": 0}
+        for l in lines:
+            for tag, op in (("insert", "I"), ("update", "U"), ("delete", "D")):
+                if f'"{tag}"' in l:
+                    per_op[op] += 1
+        assert totals["n_rows"] == want_rows
+        assert totals["n_inserts"] == per_op["I"]
+        assert totals["n_updates"] == per_op["U"]
+        assert totals["n_deletes"] == per_op["D"]
+        batches = collector.snapshot()
+        assert len(batches) >= 2, "per-batch granularity lost (one batch only)"
+        assert totals["max_lsn"] == max(
+            json.loads(l)["lsn"] for l in lines
+            if json.loads(l)["tag"] in ("insert", "update", "delete")
+        )
+    finally:
+        spark.streams.removeListener(collector)

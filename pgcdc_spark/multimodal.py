@@ -132,12 +132,18 @@ def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
                 decode_payload(p, m, fake=fake, codecs=codecs)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
+            # real decoders return ndarrays -> real features; the
+            # byte-level stand-in falls back to the md5 fake
+            feats = [
+                image_feature(d) if hasattr(d, "shape") else _fake_feature(d)
+                for d in decoded
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "feature": [_fake_feature(d) for d in decoded],
+                    "feature": feats,
                 }
             )
 
@@ -182,6 +188,9 @@ def resize_images(mm: DataFrame, width: int, height: int, fake: bool = True) -> 
             out = []
             for p, m in zip(pdf["payload"], pdf["modality"]):
                 decoded = decode_payload(p, m, fake=fake, codecs=codecs)
+                if hasattr(decoded, "shape"):  # real image: NN resample
+                    out.append(encode_ppm(resize_nearest(decoded, width, height)))
+                    continue
                 raw = bytes(decoded)
                 out.append(raw[:target].ljust(target, b"\0"))
             yield pd.DataFrame(
@@ -237,3 +246,78 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return mm.mapInPandas(run, schema=MM_FRAME_SCHEMA)
+
+
+# --- real image codec: PPM (P6), pure numpy ----------------------------------
+# Proof that the registry carries REAL decoders, not only the byte-level
+# stand-in: PPM/P6 is a complete uncompressed raster format decodable
+# with numpy alone (no image libraries needed in this container). On a
+# real cluster, PIL/torchvision codecs register through the exact same
+# seam; the Arrow batch shape, schemas, and partitioning are identical.
+
+
+class PpmImageCodec:
+    """Decode binary PPM (magic ``P6``) into an HxWx3 uint8 ndarray.
+
+    Strict parser: malformed payloads raise ValueError at the decode
+    site, so a corrupt blob fails the task with the offending doc's
+    context rather than producing silent garbage features."""
+
+    def decode(self, payload: bytes) -> "Any":
+        header, pos = [], 0
+        while len(header) < 4:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+                eol = payload.find(b"\n", pos)
+                pos = len(payload) if eol < 0 else eol + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated PPM header")
+            header.append(payload[start:pos])
+        pos += 1  # single whitespace after maxval, then raster
+        if header[0] != b"P6":
+            raise ValueError(f"not a P6 PPM: magic={header[0]!r}")
+        w, h, maxval = int(header[1]), int(header[2]), int(header[3])
+        if maxval <= 0 or maxval > 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        need = w * h * 3
+        raster = payload[pos : pos + need]
+        if len(raster) != need:
+            raise ValueError(f"PPM raster truncated: {len(raster)} != {need}")
+        import numpy as np
+
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(img: "Any") -> bytes:
+    """Inverse of PpmImageCodec for the resize round-trip."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def image_feature(img: "Any") -> list[float]:
+    """Real 8-dim feature from a decoded image: per-channel mean and std
+    (scaled to [0,1]) + height/width (scaled) — a deterministic stand-in
+    with actual signal, unlike the md5 fake."""
+    import numpy as np
+
+    arr = img.astype(np.float64)
+    means = arr.mean(axis=(0, 1)) / 255.0
+    stds = arr.std(axis=(0, 1)) / 255.0
+    return [float(x) for x in (*means, *stds, img.shape[0] / 4096.0,
+                               img.shape[1] / 4096.0)]
+
+
+def resize_nearest(img: "Any", width: int, height: int) -> "Any":
+    """Nearest-neighbor resample via index arithmetic (the numpy idiom
+    every real resizer reduces to for NN)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return img[rows][:, cols]

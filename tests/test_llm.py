@@ -350,3 +350,69 @@ def test_hll_sketch_bounds_and_union_merge(spark, sf_correct):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
     ).collect()[0]["e"]
     assert out["__all__"] == direct
+
+
+def _ppm_bytes(w, h, pixel_fn):
+    body = bytes(
+        c for y in range(h) for x in range(w) for c in pixel_fn(x, y)
+    )
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + body
+
+
+def test_ppm_codec_real_decode_features_and_resize(spark):
+    """The registry carries REAL decoders: a pure-numpy PPM codec decodes
+    to HxWx3, features are true channel statistics, and resize is a real
+    nearest-neighbor resample re-encoded as PPM — all through the same
+    Arrow mapInPandas plumbing as the stubs."""
+    import numpy as np
+
+    from pgcdc_spark.multimodal import (
+        PpmImageCodec,
+        extract_features,
+        register_codec,
+        registered_codecs,
+        resize_images,
+    )
+
+    register_codec("image", PpmImageCodec())
+    try:
+        # 4x2: left half red, right half blue
+        img1 = _ppm_bytes(4, 2, lambda x, y: (255, 0, 0) if x < 2 else (0, 0, 255))
+        # 2x2 uniform gray
+        img2 = _ppm_bytes(2, 2, lambda x, y: (128, 128, 128))
+        mm = spark.createDataFrame(
+            [(1, "image", bytearray(img1)), (2, "image", bytearray(img2))],
+            "doc_id long, modality string, payload binary",
+        )
+        feats = {r["doc_id"]: r["feature"]
+                 for r in extract_features(mm, fake=False).collect()}
+        # doc 1: mean red = mean blue = 127.5/255, green 0; std identical R/B
+        assert abs(feats[1][0] - 0.5) < 1e-6  # R mean
+        assert feats[1][1] == 0.0             # G mean
+        assert abs(feats[1][2] - 0.5) < 1e-6  # B mean
+        assert abs(feats[1][3] - 0.5) < 1e-6  # R std (values are 0 or 255)
+        # doc 2: uniform -> std 0, mean 128/255
+        assert abs(feats[2][0] - 128.0 / 255.0) < 1e-6
+        assert feats[2][3] == 0.0 and feats[2][4] == 0.0 and feats[2][5] == 0.0
+
+        resized = {r["doc_id"]: bytes(r["payload"])
+                   for r in resize_images(mm, 2, 2, fake=False).collect()}
+        # doc 1 at 2x2 keeps one red and one blue column
+        dec = PpmImageCodec().decode(resized[1])
+        assert dec.shape == (2, 2, 3)
+        assert (dec[:, 0] == [255, 0, 0]).all() and (dec[:, 1] == [0, 0, 255]).all()
+
+        # corrupt payloads fail loudly at the decode site
+        import pytest as _pytest
+
+        bad = spark.createDataFrame(
+            [(3, "image", bytearray(b"P6\n4 2\n255\nshort"))],
+            "doc_id long, modality string, payload binary",
+        )
+        with _pytest.raises(Exception, match="truncated"):
+            extract_features(bad, fake=False).collect()
+    finally:
+        registered_codecs().pop("image", None)  # snapshot; live registry below
+        from pgcdc_spark import multimodal as _mm
+
+        _mm._REGISTRY.pop("image", None)

@@ -57,6 +57,7 @@ _MODULES = (
     "timeseries",
     "sqlfns",
     "sketches",
+    "funnels",
     "llm_text",
     "multimodal",
     "relational",

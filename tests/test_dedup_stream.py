@@ -1,0 +1,112 @@
+"""Streaming incremental dedup: batch-equivalence, idempotent replay,
+and O(batch) state reads.
+
+The truth model: a doc is a duplicate iff it has a VERIFIED (exact
+shingle-Jaccard >= 0.5) LSH candidate partner seen earlier — previous
+chunk, or same chunk with a smaller doc_id. That is computed here with
+the BATCH pipeline (verified_candidate_pairs) and must match what the
+stream materializes chunk by chunk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from pgcdc_spark.queries.llm_dedup import verified_candidate_pairs
+from pgcdc_spark.cache import release_shared
+from pgcdc_spark.streaming.dedup import read_verdicts, start_dedup_stream
+
+_THRESHOLD = 0.5
+
+
+def _chunks_of_documents(spark, sf_dir, n_chunks=3):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunk = (F.col("doc_id") % n_chunks).cast("int")
+    return docs, docs.withColumn("chunk", chunk)
+
+
+def _expected_verdicts(spark, docs, chunked):
+    """Batch-side truth: best earlier verified partner per doc."""
+    pairs = verified_candidate_pairs(docs, _THRESHOLD).collect()
+    release_shared()
+    chunk_of = {r["doc_id"]: r["chunk"] for r in chunked.collect()}
+    best: dict[int, tuple[float, int]] = {}
+    for p in pairs:
+        for me, other in ((p["doc_a"], p["doc_b"]), (p["doc_b"], p["doc_a"])):
+            earlier = (chunk_of[other] < chunk_of[me]) or (
+                chunk_of[other] == chunk_of[me] and other < me
+            )
+            if not earlier:
+                continue
+            j = p["jaccard"]
+            cur = best.get(me)
+            # tie-break: higher j, then smaller partner id
+            if cur is None or (j, -other) > (cur[0], -cur[1]):
+                best[me] = (j, other)
+    out = {}
+    for d in chunk_of:
+        b = best.get(d)
+        if b and b[0] >= _THRESHOLD:
+            out[d] = (True, b[1], b[0])
+        else:
+            out[d] = (False, None, None)
+    return out
+
+
+def test_stream_dedup_matches_batch_truth(spark, sf_smoke, tmp_path):
+    docs, chunked = _chunks_of_documents(spark, sf_smoke)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        (chunked.filter(F.col("chunk") == i).drop("chunk")
+         .coalesce(1).write.parquet(f"{src}/part_{i}"))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part_*")
+    )
+    q = start_dedup_stream(stream, state, ckpt, threshold=_THRESHOLD)
+    q.awaitTermination(240)
+
+    got = {
+        r["doc_id"]: (r["is_dup"], r["match_doc_id"], r["match_jaccard"])
+        for r in read_verdicts(spark, state).collect()
+    }
+    want = _expected_verdicts(spark, docs, chunked)
+    assert set(got) == set(want)
+    mismatch = {d: (got[d], want[d]) for d in want if got[d][:2] != want[d][:2]}
+    assert not mismatch, f"{len(mismatch)} verdicts differ: {list(mismatch.items())[:5]}"
+    n_batches = read_verdicts(spark, state).select("batch").distinct().count()
+    assert n_batches >= 2, "stream collapsed into one batch; equivalence untested"
+
+
+def test_stream_dedup_replay_is_idempotent(spark, sf_smoke, tmp_path):
+    """Re-running over the same checkpoint (no new files) must not change
+    verdicts or duplicate state partitions."""
+    docs, chunked = _chunks_of_documents(spark, sf_smoke)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        (chunked.filter(F.col("chunk") == i).drop("chunk")
+         .coalesce(1).write.parquet(f"{src}/part_{i}"))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part_*")
+    )
+    start_dedup_stream(stream(), state, ckpt).awaitTermination(240)
+    first = sorted(
+        (r["doc_id"], r["is_dup"]) for r in read_verdicts(spark, state).collect()
+    )
+    start_dedup_stream(stream(), state, ckpt).awaitTermination(240)
+    second = sorted(
+        (r["doc_id"], r["is_dup"]) for r in read_verdicts(spark, state).collect()
+    )
+    assert first == second
+    docs_n = docs.count()
+    assert len(first) == docs_n, "replay duplicated or dropped verdict rows"

@@ -27,7 +27,7 @@ key so the single remaining shuffle disappears.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def latest_state(
@@ -105,3 +105,40 @@ def compact_tombstones(
     return state.filter(
         (F.col(op_col) != delete_op) | (F.col(order_col) > F.lit(horizon))
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 materialization: every non-delete
+    change becomes a VERSION row with a validity interval instead of being
+    overwritten (the other standard CDC landing shape next to
+    ``latest_state``'s Type-1 upsert).
+
+    ``valid_from`` is the change's own order value, ``valid_to`` is the
+    NEXT change's (any op — an update supersedes, a delete terminates),
+    null while current; ``is_current`` marks open intervals. One window
+    over (keys, order) — a single hash shuffle on the key, and the order
+    columns must form a total order per key (same contract as
+    latest_state) so versions are deterministic under replay.
+
+    The reference forwards only the latest image and silently drops
+    deletes (src/mapping/customMapper.ts:19-23); a consumer wanting
+    history downstream of it cannot reconstruct this — here it is one
+    operator over the same changelog.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    nxt = F.lead(F.struct(*order_by)).over(w)
+    first_order = order_by[0]
+    out = (
+        changes.withColumn("__next", nxt)
+        .withColumn("valid_from", F.col(first_order))
+        .withColumn("valid_to", F.col(f"__next.{first_order}"))
+        .withColumn("is_current", F.col("__next").isNull())
+        .drop("__next")
+    )
+    return out.filter(F.col(op_col) != delete_op)

@@ -58,6 +58,7 @@ _MODULES = (
     "sqlfns",
     "sketches",
     "funnels",
+    "scd",
     "llm_text",
     "multimodal",
     "relational",

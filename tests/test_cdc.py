@@ -435,3 +435,37 @@ def test_mongo_control_ops_dropped_by_filter_control_messages(spark):
     after = {r["tag"] for r in filter_control_messages(parsed).collect()}
     assert after.isdisjoint(CONTROL_OPERATIONS)
     assert {"insert", "update", "delete"} <= after
+
+
+def test_scd2_intervals_and_type1_consistency(spark, sf_smoke):
+    """SCD2 invariants: per key, version intervals are disjoint and
+    chain (each valid_to equals some later change's valid_from or null);
+    exactly the keys with a live Type-1 state have a current version, and
+    the current version's image equals the Type-1 upsert image."""
+    from collections import defaultdict
+
+    from pgcdc_spark.queries import all_queries
+
+    hist = all_queries()["cdc_scd2_history"].fn(spark, sf_smoke).collect()
+    state = {
+        r["user_id"]: (r["last_event_id"], r["last_value"])
+        for r in all_queries()["cdc_upsert_state"].fn(spark, sf_smoke).collect()
+    }
+    by_key = defaultdict(list)
+    for r in hist:
+        by_key[r["user_id"]].append(r)
+    current = {}
+    for uid, rows in by_key.items():
+        rows.sort(key=lambda r: (r["valid_from_us"], r["version_event_id"]))
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_from_us"] <= a["valid_to_us"], "inverted interval"
+            # next version starts at or after this one's end (a delete can
+            # leave a hole between them, but never an overlap)
+            assert b["valid_from_us"] >= a["valid_to_us"]
+        currents = [r for r in rows if r["is_current"]]
+        assert len(currents) <= 1, f"user {uid}: multiple current versions"
+        if currents:
+            assert currents[0]["valid_to_us"] is None
+            current[uid] = (currents[0]["version_event_id"], currents[0]["value"])
+    # Type-2 current == Type-1 state, key for key
+    assert current == state

@@ -410,3 +410,226 @@ def dedup_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+# --- containment similarity (asymmetric near-superset detection) -------------
+# Jaccard misses the quote/inclusion case: a short doc fully contained in
+# a long one has tiny |A∩B|/|A∪B| but containment |A∩B|/|A| ≈ 1. The
+# standard dedup pass for boilerplate/quotation detection scores BOTH
+# directions on the LSH candidate pairs (Broder's containment, the
+# motivation for bottom-k sketches).
+
+_CONTAIN_THRESHOLD = 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(sa.n AS DOUBLE)
+         AS contain_a_in_b,
+       CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(sb.n AS DOUBLE)
+         AS contain_b_in_a,
+       GREATEST(CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                CAST(COALESCE(c.n_common, 0) AS DOUBLE) / CAST(sb.n AS DOUBLE))
+         >= {_CONTAIN_THRESHOLD} AS near_superset
+FROM pairs p
+LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+@query("dedup_containment", oracle=_CONTAIN_ORACLE,
+       tags=("llm", "dedup", "containment"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment on LSH candidate pairs.
+
+    Same candidate-gated scale shape as dedup_verified_pairs (pairs are
+    LSH-bounded, shingle arrays semi-join to candidates, per-row
+    array_intersect); only the scoring differs — |A∩B| normalized by each
+    side's own size, so a boilerplate fragment embedded in a larger doc
+    is caught even when Jaccard stays tiny."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_sets(docs.join(cand_ids, "doc_id", "left_semi"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    common = F.size(F.array_intersect("sha", "shb")).cast("double")
+    c_ab = common / F.size("sha").cast("double")
+    c_ba = common / F.size("shb").cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+            (F.greatest(c_ab, c_ba) >= _CONTAIN_THRESHOLD).alias("near_superset"),
+        )
+    )
+
+
+# --- IVF-PQ: the composed production ANN -------------------------------------
+# IVF prunes CANDIDATES (only nprobe cells are scored), PQ prunes MEMORY
+# (candidates are scored from 8-byte codes via the ADC lookup table, no
+# float vectors touched). Composing them is exactly how production ANN
+# services run (FAISS IVFPQ); both component rules (centroid mod-53,
+# codebook mod-127) are the deterministic k-means stand-ins already used
+# by emb_ivf_ann_topk and emb_pq_adc_topk, so DuckDB mirrors the whole
+# composition.
+
+_IVFPQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid_c, v AS cv FROM e WHERE vec_id % 53 = 1
+),
+asg AS (
+  SELECT vec_id, cid_c FROM (
+    SELECT e.vec_id, c.cid_c,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid_c) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT qid, cid_c FROM (
+    SELECT q.vec_id AS qid, c.cid_c,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_dot_product(q.v, c.cv)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid_c) AS rn
+    FROM e q, cent c WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probe p JOIN asg a ON a.cid_c = p.cid_c
+  WHERE a.vec_id <> p.qid
+),
+subs AS (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {_PQ_SUB} + 1, (t.s + 1) * {_PQ_SUB}) AS sub
+  FROM e, (SELECT UNNEST(range(0, {_PQ_M})) AS s) t
+),
+cb AS (
+  SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id % {_PQ_CB_MOD} = 1
+),
+dist AS (
+  SELECT x.vec_id, x.s, c.cid,
+         list_dot_product(x.sub, x.sub) + list_dot_product(c.csub, c.csub)
+           - 2 * list_dot_product(x.sub, c.csub) AS d2
+  FROM subs x JOIN cb c USING (s)
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, s, cid, d2 FROM dist WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT cd.qid, cd.vec_id,
+         CAST(SUM(CAST(l.d2 AS DECIMAL(28,9))) AS DOUBLE) AS approx_dist2
+  FROM cand cd
+  JOIN codes c ON c.vec_id = cd.vec_id
+  JOIN lut l ON l.qid = cd.qid AND l.s = c.s AND l.cid = c.cid
+  GROUP BY cd.qid, cd.vec_id
+)
+SELECT qid, vec_id AS neighbor_id, approx_dist2, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dist2, vec_id) AS rank
+  FROM adc
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("emb_ivf_pq_topk", oracle=_IVFPQ_ORACLE, tags=("llm", "similarity", "ivf", "pq"))
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: probe the nprobe nearest cells, score ONLY their
+    members, and score them from PQ codes via the broadcast ADC table.
+
+    Scale shape: centroids + probe list + LUT all broadcast (tiny);
+    the corpus-sized tables are the cell assignments and the codes —
+    both 8-16 bytes/vector, shuffled once on their join keys; the final
+    reduce is one aggregate shuffle on (qid, vec_id) over the
+    cell-pruned candidate set. This is the end state of the ANN family:
+    candidates pruned by IVF, memory pruned by PQ."""
+    from .llm_similarity import ivf_centroids, nearest_cells
+
+    from ..functions.vectors import norm_fold_expr
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    cent = ivf_centroids(base)
+    asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
+    probe = nearest_cells(
+        base.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "e", "n"),
+        cent, "qid", 2,
+    ).select("qid", "cid")
+    cand = (
+        asg.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> slice(CAST(embedding AS ARRAY<DOUBLE>), s * {_PQ_SUB} + 1, {_PQ_SUB}))"
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
+        F.col("vec_id").alias("pqcid"), "s", F.col("sub").alias("csub")
+    )
+    dist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "pqcid", _sub_d2("sub", "csub").alias("d2")
+    )
+    codes = (
+        dist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "pqcid")).alias("m"))
+        .select("vec_id", "s", F.col("m.pqcid").alias("pqcid"))
+    )
+    lut = dist.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "s", "pqcid", "d2"
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "s", "pqcid"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("d2").cast("decimal(28,9)")).cast("double").alias("approx_dist2")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "approx_dist2", "rank")
+    )

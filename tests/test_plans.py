@@ -301,3 +301,44 @@ def test_bitmap_distinct_fixed_size_shuffles(spark):
     assert "partial_bitmap_construct_agg" in segs[2]
     for seg in segs[1:]:  # no exchange partitions on the raw user id
         assert "user_id" not in seg[: seg.index(")")]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join must split a pathologically hot key's partition at
+    runtime (OptimizeSkewedJoin -> 'skew=true' in the final plan) — the
+    no-code-change answer to skew that operators/salted.py complements
+    for the planned-salting cases."""
+    import pyspark.sql.functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        pad = F.lpad(F.lit("x"), 32, "x")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            pad.alias("payload"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        out = left.join(right, "k")
+        # collect() (not count()) so the final adaptive plan belongs to
+        # THIS DataFrame's QueryExecution — count() plans a separate one
+        # and the un-executed original would never show the runtime split
+        assert len(out.collect()) > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -633,3 +633,153 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "approx_dist2", "rank")
     )
+
+
+# --- SimHash hamming-ball pairing --------------------------------------------
+# From signatures to PAIRS: Manku et al. (WWW'07) block decomposition —
+# hamming(a, b) <= 3 over 16 bits implies at least one of the four 4-bit
+# blocks matches exactly (pigeonhole), so candidate pairs come from
+# per-(block, value) buckets and only candidates pay the exact hamming
+# check. With production-width 64-bit signatures the bucket key is a
+# 16-bit quarter (population n/65536); the shapes are identical.
+
+_HAM_MAX = 3
+_HAM_BLOCKS = 4
+_HAM_BITS = 4  # bits per block
+
+
+def _ham_terms(a: str, b: str, nbits: int = 16, idiv: str = "//") -> str:
+    # identical integer arithmetic on both engines: no xor/bit_count
+    # builtins (DuckDB's and Spark's differ in type behavior) — a sum of
+    # per-bit parity mismatches. Integer division spells `//` in DuckDB
+    # and `div` in Spark SQL; the operand structure is identical.
+    return " + ".join(
+        f"((({a} {idiv} {1 << j}) % 2 + ({b} {idiv} {1 << j}) % 2) % 2)"
+        for j in range(nbits)
+    )
+
+
+from .llm_dedup import _simhash_ctes  # noqa: E402  (shares the sig CTEs)
+
+_SIMHAM_ORACLE = f"""
+WITH {_simhash_ctes()},
+blocks AS (
+  SELECT doc_id, t.b AS b, (simhash // POWER(2, t.b * {_HAM_BITS})::BIGINT) % {1 << _HAM_BITS} AS bv
+  FROM sig, (SELECT UNNEST(range(0, {_HAM_BLOCKS})) AS b) t
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM blocks x JOIN blocks y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({_ham_terms('sa.simhash', 'sb.simhash')} AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE {_ham_terms('sa.simhash', 'sb.simhash')} <= {_HAM_MAX}
+"""
+
+
+@query("dedup_simhash_hamming", oracle=_SIMHAM_ORACLE,
+       tags=("llm", "dedup", "simhash"))
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= 3, blocked on exact
+    4-bit signature blocks.
+
+    Scale shape: signatures are ONE long per doc; blocking explodes to 4
+    rows per doc and buckets on (block, value); the exact hamming check
+    is integer arithmetic on the candidate pairs only. (The toy 16-bit
+    width makes buckets population n/16 here; production uses 64-bit
+    sigs where the same plan buckets at n/65536 — noted so the constant,
+    not the shape, is read as the scale limit.)"""
+    from .llm_dedup import simhash_signatures
+
+    (docs,) = load(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    blocks = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_HAM_BLOCKS - 1}),"
+                f" b -> (simhash div CAST(pow(2, b * {_HAM_BITS}) AS BIGINT)) % {1 << _HAM_BITS})"
+            )
+        ).alias("b", "bv"),
+    )
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.expr(_ham_terms("ha", "hb", idiv="div")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _HAM_MAX)
+    )
+
+
+# --- end-to-end keep/drop decision over near-dup clusters --------------------
+# The terminal dedup artifact: per connected component of verified
+# near-dups, keep the best document (longest text, tie -> smallest id)
+# and mark the rest for dropping — what a training-data pipeline
+# actually writes out.
+
+from .llm_dedup import _CC_ORACLE, dedup_cc_clusters  # noqa: E402
+
+_KEEP_BEST_ORACLE = f"""
+WITH comp AS (
+  SELECT doc_id, cluster_id FROM ({_CC_ORACLE})
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT r.doc_id, r.cluster_id,
+       (r.rn = 1) AS keep,
+       k.doc_id AS kept_doc_id
+FROM ranked r
+JOIN (SELECT cluster_id, doc_id FROM ranked WHERE rn = 1) k
+  ON k.cluster_id = r.cluster_id
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE,
+       tags=("llm", "dedup", "clustering"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: keep the
+    longest doc (tie -> smallest id), map every member to its keeper.
+
+    Composes the iterative CC operator with one join to doc metadata and
+    a per-cluster argmax window — the window partitions on cluster_id
+    whose population is LSH-bounded, and the final mapping join's build
+    side is one row per cluster (AQE broadcasts it)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    comp = dedup_cc_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    ranked = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("kept_doc_id")
+    )
+    return (
+        ranked.join(keepers, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("rn") == 1).alias("keep"),
+            "kept_doc_id",
+        )
+    )

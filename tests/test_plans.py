@@ -93,7 +93,8 @@ def test_no_collect_in_query_surface(spark):
     # cdc_evolving_state's schema DISCOVERY is the other sanctioned one:
     # it collects the distinct image column-name set (O(columns) metadata,
     # not data — cdc/evolution.py) before the checked parse can be planned.
-    iterative = {"dedup_cc_clusters", "cdc_evolving_state"}
+    iterative = {"dedup_cc_clusters", "cdc_evolving_state",
+                 "dedup_keep_best"}  # composes the iterative CC operator
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

@@ -135,3 +135,42 @@ def test_upsert_90pct_single_key_skew(spark):
             expect[k] = (lsn, op, payload)
     expect = {k: (lsn, p) for k, (lsn, op, p) in expect.items() if op != "D"}
     assert state == expect
+
+
+@given(changes=st.lists(_change, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_scd2_partitions_changelog_and_agrees_with_type1(spark, changes):
+    """For ANY changelog: (a) SCD2 emits exactly the non-delete changes as
+    versions; (b) per key the intervals chain ordered; (c) the current
+    versions equal the Type-1 upsert state computed independently."""
+    from pgcdc_spark.cdc.upsert import scd2_history
+
+    log = _mk_log(spark, changes)
+    hist = scd2_history(log, keys=["id"], order_by=["lsn"]).collect()
+    rows = sorted(map(tuple, log.collect()))
+    n_updates = sum(1 for r in rows if r[1] != "D")
+    assert len(hist) == n_updates
+
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["id"], []).append(r)
+    # replay in python: per key, order by lsn; valid_to = next change's lsn
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        key_changes = sorted(r for r in rows if r[0] == k)  # not lsn-sorted
+        key_lsns = sorted(r[2] for r in rows if r[0] == k)
+        for v in versions:
+            assert v["valid_from"] == v["lsn"]
+            later = [l for l in key_lsns if l > v["lsn"]]
+            want_to = later[0] if later else None
+            assert v["valid_to"] == want_to
+            assert v["is_current"] == (want_to is None)
+
+    current = {
+        r["id"]: (r["lsn"], r["val"]) for r in hist if r["is_current"]
+    }
+    t1 = {
+        r["id"]: (r["lsn"], r["val"])
+        for r in latest_state(log, keys=["id"], order_by=["lsn"]).collect()
+    }
+    assert current == t1

@@ -143,3 +143,25 @@ def test_jdbc_partitioned_pushdown_smoke(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:200]
     assert df.count() >= 0
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A partitioned fact joined to a FILTERED dim on the partition column
+    must prune partitions at RUNTIME (dynamicpruning subquery in the scan)
+    — the selective values are only known after the dim filter runs, so
+    static pruning can't do this; at scale DPP is the difference between
+    scanning one status partition and scanning the table."""
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    pdir = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(pdir)
+    fact = spark.read.parquet(pdir)
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "done"), ("P", "pending")], "st string, label string"
+    )
+    sel = dim.filter(F.col("label") == "open")
+    j = fact.join(sel.hint("broadcast"), fact.o_orderstatus == sel.st)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from scan"
+    assert j.count() == orders.filter(F.col("o_orderstatus") == "O").count()

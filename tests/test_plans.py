@@ -343,3 +343,33 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """With runtime bloom filters on, a selective non-partition-column
+    join must inject might_contain onto the probe side's scan — rows that
+    cannot match are dropped BEFORE the shuffle (the row-level analogue
+    of dynamic partition pruning; at scale this is what keeps a 1%-
+    selective dim join from shuffling the whole fact table)."""
+    import pyspark.sql.functions as F
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -783,3 +783,99 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_doc_id",
         )
     )
+
+
+# --- MinHash Jaccard estimation vs ground truth ------------------------------
+# The property the whole LSH stack rests on: P[minhash_p(A) = minhash_p(B)]
+# = J(A, B), so the fraction of agreeing permutations estimates Jaccard.
+# This query materializes estimate, exact value, and error per candidate
+# pair — the quality gauge you run when tuning banding parameters.
+
+from .llm_dedup import _N_PERM, minhash_signatures  # noqa: E402
+
+_EST_ORACLE = f"""
+WITH {_MINHASH_CTES},
+pairs AS ({_MINHASH_PAIRS_SELECT}),
+agree AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_agree
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.doc_a
+  JOIN mh b ON b.doc_id = p.doc_b AND b.perm = a.perm AND b.h = a.h
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(g.n_agree, 0) AS DOUBLE) / {_N_PERM} AS jaccard_est,
+       CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+         / CAST(sa.n + sb.n - COALESCE(c.n_common, 0) AS DOUBLE) AS jaccard_exact,
+       ABS(CAST(COALESCE(g.n_agree, 0) AS DOUBLE) / {_N_PERM}
+           - CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(c.n_common, 0) AS DOUBLE)) AS abs_err
+FROM pairs p
+LEFT JOIN agree g ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b
+LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+@query("dedup_minhash_estimate", oracle=_EST_ORACLE,
+       tags=("llm", "dedup", "minhash"))
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact Jaccard per LSH candidate pair.
+
+    Signatures are k=8 ints per doc (columns, not rows), so the estimate
+    join ships 8 longs per side; the exact value reuses the
+    candidate-gated shingle machinery. The agreement count is row-local
+    integer comparison after two linear joins — nothing here scales with
+    anything but the candidate list."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    sig = minhash_signatures(docs)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{p}").alias(f"ha{p}") for p in range(_N_PERM)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{p}").alias(f"hb{p}") for p in range(_N_PERM)],
+    )
+    n_agree = None
+    for p in range(_N_PERM):
+        t = F.when(F.col(f"ha{p}") == F.col(f"hb{p}"), 1).otherwise(0)
+        n_agree = t if n_agree is None else n_agree + t
+    est = n_agree.cast("double") / F.lit(float(_N_PERM))
+
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_sets(docs.join(cand_ids, "doc_id", "left_semi"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    common = F.size(F.array_intersect("sha", "shb")).cast("double")
+    exact = common / (
+        F.size("sha") + F.size("shb") - F.size(F.array_intersect("sha", "shb"))
+    ).cast("double")
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -43,6 +43,11 @@ REGISTRY: dict[str, "QueryDef"] = {}
 # collections(4) + udfs(3) + reshape(3) = exactly 50 — then llm_text +
 # multimodal (next round's sample), then the three-rounds-green
 # relational/TPC-H block.
+# ROUND-5 NOTE: once CORRECTNESS_r04 lands green rows for the first-50
+# sample below, rotate llm_text/multimodal/llm_extra/timeseries/sqlfns/
+# sketches/funnels/scd into the leading positions so the next driver
+# sample covers the still-unsampled surface (and relational/TPC-H, green
+# in r1-r3, stays last). Do NOT reorder mid-round.
 _MODULES = (
     "cdc_state",
     "llm_dedup",

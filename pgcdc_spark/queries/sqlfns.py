@@ -267,3 +267,54 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.count("missing").alias("n_missing_hits"),
     )
+
+
+# --- grouped-aggregate pandas UDF --------------------------------------------
+
+_GROUPED_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("udf_pandas_grouped_agg", oracle=_GROUPED_AGG_ORACLE, tags=("udf", "agg"))
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the vectorized UDAF surface (the fourth
+    Python-extension shape next to scalar pandas UDF, grouped-map
+    applyInPandas, and UDTF in queries/udfs.py).
+
+    Each group's values arrive as ONE pandas Series (Arrow-batched);
+    Spark runs it as a real aggregate, so it composes with groupBy and
+    partial shuffle like built-ins (final-only: Python aggregates do not
+    partial-combine — the reason built-ins stay preferred in hot paths,
+    documented tradeoff). Determinism: the values are integers-as-doubles,
+    so the float sum is order-independent and the mean is exact on both
+    engines."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mean_qty(v):
+        return float(v.sum() / len(v))
+
+    # real annotation objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints, and pandas_udf
+    # infers SERIES_TO_SCALAR (grouped agg) from the live types
+    _mean_qty.__annotations__ = {"v": pd.Series, "return": float}
+    mean_qty = pandas_udf("double")(_mean_qty)
+
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_rows = pandas_udf("long")(_n)
+
+    # Spark forbids mixing grouped-agg pandas UDFs with non-pandas
+    # aggregates in one agg() — so the count is a pandas aggregate too.
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        mean_qty("l_quantity").alias("mean_qty"),
+        n_rows("l_quantity").alias("n"),
+    )

@@ -110,3 +110,25 @@ def test_stream_dedup_replay_is_idempotent(spark, sf_smoke, tmp_path):
     assert first == second
     docs_n = docs.count()
     assert len(first) == docs_n, "replay duplicated or dropped verdict rows"
+
+
+def test_prior_state_read_partition_prunes(spark, tmp_path):
+    """The O(batch) contract's read side: _read_prior must push the
+    `batch < id` predicate into PartitionFilters so a replayed batch's
+    own leftover partition (and nothing newer) is pruned at plan time,
+    not filtered after a full state scan."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.streaming.dedup import BANDS_SCHEMA, _read_prior
+
+    base = str(tmp_path / "bands")
+    for b in range(3):
+        (spark.createDataFrame([(b * 10, b, f"sig{b}")], BANDS_SCHEMA)
+         .write.mode("overwrite").parquet(f"{base}/batch={b}"))
+    prior = _read_prior(spark, base, BANDS_SCHEMA, batch_id=2)
+    plan = prior._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1][:120]
+    assert "batch" in pf, f"batch predicate not in partition filters: {pf}"
+    got = sorted(r["doc_id"] for r in prior.collect())
+    assert got == [0, 10], "replayed partition (batch=2) leaked into prior state"

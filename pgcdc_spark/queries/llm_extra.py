@@ -109,17 +109,13 @@ def _sub_d2(a: str, b: str) -> F.Column:
     )
 
 
-def pq_codes(emb: DataFrame) -> DataFrame:
-    """Encode every vector as m codebook ids: ``(vec_id, s, cid)``.
+def pq_distances(emb: DataFrame, cid_col: str = "cid") -> DataFrame:
+    """``(vec_id, s, <cid_col>, d2)`` — every vector's subvector scored
+    against every codeword of its subspace.
 
-    Scale shape: the codebook (k*m rows of 8 doubles) broadcasts; encode
-    is a map-side broadcast join scoring n*m subvectors against k
-    codewords each, reduced by ONE aggregate shuffle on (vec_id, s) via
-    min(struct(d2, cid)) — argmin with deterministic cid tie-break, with
-    map-side partial combine so the shuffle carries one candidate per
-    (vec_id, s, input-partition). No float vectors survive: downstream
-    stores 8 small ints per vector (the 32x memory cut that makes a
-    100 TB float corpus a ~3 TB serving index)."""
+    Scale shape: the codebook (k*m rows of 8 doubles) broadcasts; this is
+    a map-side broadcast join, no shuffle. Shared root of the codes table
+    (argmin below), the ADC lookup tables, and the IVF-PQ composition."""
     subs = emb.select(
         "vec_id",
         F.posexplode(
@@ -130,15 +126,37 @@ def pq_codes(emb: DataFrame) -> DataFrame:
         ).alias("s", "sub"),
     )
     cb = subs.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
-        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("csub")
+        F.col("vec_id").alias(cid_col), "s", F.col("sub").alias("csub")
     )
-    scored = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "cid", _sub_d2("sub", "csub").alias("d2")
+    return subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", cid_col, _sub_d2("sub", "csub").alias("d2")
     )
+
+
+def pq_codes(emb: DataFrame, cid_col: str = "cid") -> DataFrame:
+    """Encode every vector as m codebook ids: ``(vec_id, s, <cid_col>)``.
+
+    One aggregate shuffle on (vec_id, s) via min(struct(d2, cid)) —
+    argmin with deterministic cid tie-break and map-side partial combine.
+    No float vectors survive: downstream stores 8 small ints per vector
+    (the 32x memory cut that makes a 100 TB float corpus a ~3 TB serving
+    index)."""
+    return _pq_codes_from(pq_distances(emb, cid_col), cid_col)
+
+
+def _pq_codes_from(dist: DataFrame, cid_col: str = "cid") -> DataFrame:
     return (
-        scored.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"))
+        dist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", cid_col)).alias("m"))
+        .select("vec_id", "s", F.col(f"m.{cid_col}").alias(cid_col))
+    )
+
+
+def _pq_lut(dist: DataFrame, cid_col: str = "cid") -> DataFrame:
+    """Per-query ADC lookup table (broadcast side): the query rows of the
+    distance table keyed for the (s, cid) probe join."""
+    return dist.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "s", cid_col, "d2"
     )
 
 
@@ -156,29 +174,9 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact decimal sum, cast back to double — the standard oracle-parity
     discipline)."""
     (emb,) = load(spark, sf_dir, "embeddings")
-    subs = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}),"
-                f" s -> slice(CAST(embedding AS ARRAY<DOUBLE>), s * {_PQ_SUB} + 1, {_PQ_SUB}))"
-            )
-        ).alias("s", "sub"),
-    )
-    cb = subs.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
-        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("csub")
-    )
-    dist = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "cid", _sub_d2("sub", "csub").alias("d2")
-    )
-    codes = (
-        dist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", "s", F.col("m.cid").alias("cid"))
-    )
-    lut = dist.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "s", "cid", "d2"
-    )
+    dist = pq_distances(emb)
+    codes = _pq_codes_from(dist)
+    lut = _pq_lut(dist)
     adc = (
         codes.join(F.broadcast(lut), ["s", "cid"])
         .filter(F.col("qid") != F.col("vec_id"))
@@ -596,29 +594,9 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
-    subs = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}),"
-                f" s -> slice(CAST(embedding AS ARRAY<DOUBLE>), s * {_PQ_SUB} + 1, {_PQ_SUB}))"
-            )
-        ).alias("s", "sub"),
-    )
-    cb = subs.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
-        F.col("vec_id").alias("pqcid"), "s", F.col("sub").alias("csub")
-    )
-    dist = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "pqcid", _sub_d2("sub", "csub").alias("d2")
-    )
-    codes = (
-        dist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "pqcid")).alias("m"))
-        .select("vec_id", "s", F.col("m.pqcid").alias("pqcid"))
-    )
-    lut = dist.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "s", "pqcid", "d2"
-    )
+    dist = pq_distances(emb, "pqcid")
+    codes = _pq_codes_from(dist, "pqcid")
+    lut = _pq_lut(dist, "pqcid")
     adc = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["qid", "s", "pqcid"])

@@ -206,13 +206,23 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # direct comparison to DuckDB is flaky; both sides compute the textbook
 # (n*sum(x^2) - sum(x)^2) / (n*(n-1)) from EXACT decimal sums instead.
 
+# Every intermediate is EXACT decimal until the single final
+# double cast: factors cast to DECIMAL(12,2) BEFORE multiplying (a
+# double PRODUCT cast to decimal rounds via shortest-repr in Spark vs
+# exact-binary in DuckDB and diverges once products exceed ~1e8 — found
+# at sf0.1), products/(sums) stay exact, and the n*Sxx - Sx^2 moment
+# subtraction happens in decimal. Widths sized for sf <= ~100 (documented
+# overflow point, not a silent one — decimal overflow errors loudly).
 _STDDEV_ORACLE = """
 SELECT
   c_mktsegment,
   COUNT(*) AS n,
-  SQRT(GREATEST(
-    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
-      - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE))
+  SQRT(GREATEST(CAST(
+    (CAST(COUNT(*) AS DECIMAL(8,0))
+       * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(20,4))
+     - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(19,2))
+       * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(19,2)))
+    AS DOUBLE)
     / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)), 0.0)) AS stddev_bal
 FROM customer
 GROUP BY c_mktsegment
@@ -224,9 +234,11 @@ ORDER BY c_mktsegment
 def agg_stddev_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cust,) = load(spark, sf_dir, "customer")
     n = F.count(F.lit(1)).cast("double")
-    sum_x = F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
-    sum_x2 = F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(30,8)")).cast("double")
-    var = (n * sum_x2 - sum_x * sum_x) / (n * (n - F.lit(1.0)))
+    xd = F.col("c_acctbal").cast("decimal(12,2)")
+    nd = F.count(F.lit(1)).cast("decimal(8,0)")
+    sum_x = F.sum(xd).cast("decimal(19,2)")
+    sum_x2 = F.sum(xd * xd).cast("decimal(20,4)")
+    var = (nd * sum_x2 - sum_x * sum_x).cast("double") / (n * (n - F.lit(1.0)))
     return (
         cust.groupBy("c_mktsegment")
         .agg(
@@ -304,28 +316,29 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- correlation / covariance from exact decimal moments --------------------
 
-_CORR_ORACLE = """
+# Same exact-decimal-end-to-end scheme as _STDDEV_ORACLE: factors cast
+# to DECIMAL(12,2) before any multiplication, sums down-cast to tight
+# exact widths so n*Sxy and Sx*Sy stay under precision 38.
+_CORR_NUM = """(CAST(COUNT(*) AS DECIMAL(8,0))
+       * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,4))
+     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(19,2))
+       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)))"""
+
+_CORR_VAR = """(CAST(COUNT(*) AS DECIMAL(8,0))
+       * CAST(SUM(CAST({c} AS DECIMAL(12,2)) * CAST({c} AS DECIMAL(12,2))) AS DECIMAL(20,4))
+     - CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DECIMAL(19,2))
+       * CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DECIMAL(19,2)))"""
+
+_CORR_ORACLE = f"""
 SELECT
   l_returnflag,
   COUNT(*) AS n,
-  CAST(
-    (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8)))
-     - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
-    AS DOUBLE)
-  / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS covar_qty_price,
+  ROUND(CAST({_CORR_NUM} AS DOUBLE)
+  / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)), 9) AS covar_qty_price,
   ROUND(
-    CAST(
-      (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8)))
-       - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
-      AS DOUBLE)
-    / (SQRT(CAST(
-        (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,8)))
-         - SUM(CAST(l_quantity AS DECIMAL(18,4))) * SUM(CAST(l_quantity AS DECIMAL(18,4))))
-        AS DOUBLE))
-       * SQRT(CAST(
-          (CAST(COUNT(*) AS DECIMAL(12,0)) * SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,8)))
-           - SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * SUM(CAST(l_extendedprice AS DECIMAL(18,4))))
-          AS DOUBLE))),
+    CAST({_CORR_NUM} AS DOUBLE)
+    / (SQRT(CAST({_CORR_VAR.format(c="l_quantity")} AS DOUBLE))
+       * SQRT(CAST({_CORR_VAR.format(c="l_extendedprice")} AS DOUBLE))),
     9) AS corr_qty_price
 FROM lineitem
 GROUP BY l_returnflag
@@ -340,19 +353,27 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, cast to double only afterwards. In doubles that
     subtraction cancels ~6 orders of magnitude, so engine-level FMA
     contraction differences blow up to ~500 ulps — exact decimals make the
-    numerator a single correctly-rounded value on both engines. (The
-    decimal(25,8) second moments hold to ~sf10; widen for larger corpora.)
-    Built-in corr/covar_samp stream doubles in partition order and cannot
-    hash-match across engines at all."""
+    numerator a single correctly-rounded value on both engines. Factors
+    cast to decimal BEFORE multiplying: a double PRODUCT cast to decimal
+    rounds via shortest-repr in Spark vs exact binary in DuckDB and
+    diverges once products exceed ~1e8 (found at sf0.1). Widths hold to
+    ~sf100, then decimal overflow errors loudly. Built-in corr/covar_samp
+    stream doubles in partition order and cannot hash-match across
+    engines at all. Covar (like corr) is emitted ROUND(...,9): the exact
+    decimal numerator exceeds int64, and DuckDB's int128-decimal->double
+    conversion double-rounds (unscaled->double, then /10^scale) vs
+    Java's single correctly-rounded conversion — a 1-ulp divergence at
+    sf0.1 that the 9-decimal emission absorbs."""
     (li,) = load(spark, sf_dir, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    xd = F.col("l_quantity").cast("decimal(12,2)")
+    yd = F.col("l_extendedprice").cast("decimal(12,2)")
     n = F.count(F.lit(1)).cast("double")
-    nd = F.count(F.lit(1)).cast("decimal(12,0)")
-    sx = F.sum(x.cast("decimal(18,4)"))
-    sy = F.sum(y.cast("decimal(18,4)"))
-    sxy = F.sum((x * y).cast("decimal(25,8)"))
-    sxx = F.sum((x * x).cast("decimal(25,8)"))
-    syy = F.sum((y * y).cast("decimal(25,8)"))
+    nd = F.count(F.lit(1)).cast("decimal(8,0)")
+    sx = F.sum(xd).cast("decimal(19,2)")
+    sy = F.sum(yd).cast("decimal(19,2)")
+    sxy = F.sum(xd * yd).cast("decimal(20,4)")
+    sxx = F.sum(xd * xd).cast("decimal(20,4)")
+    syy = F.sum(yd * yd).cast("decimal(20,4)")
     num_xy = (nd * sxy - sx * sy).cast("double")
     var_x = (nd * sxx - sx * sx).cast("double")
     var_y = (nd * syy - sy * sy).cast("double")
@@ -362,7 +383,7 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            cov.alias("covar_qty_price"),
+            F.round(cov, 9).alias("covar_qty_price"),
             corr.alias("corr_qty_price"),
         )
         .orderBy("l_returnflag")

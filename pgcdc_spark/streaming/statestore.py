@@ -215,6 +215,10 @@ class BucketedStateStore(AtomicStateStore):
 
     # -- write side ----------------------------------------------------------
 
+    def applied_labels(self) -> list[str]:
+        man = self.current_manifest()
+        return list(man.get("applied", [])) if man else []
+
     def merge(
         self,
         batch: DataFrame,
@@ -222,20 +226,40 @@ class BucketedStateStore(AtomicStateStore):
         order_by: list[str],
         label: str,
         op_col: str = "op",
+        on_transition=None,
     ) -> str | None:
         """Merge a change batch into the state, rewriting only the buckets
         the batch touches; returns the new version dir (None for an empty
         batch). Tombstones are kept (keep_deletes) so reordered batches
         cannot resurrect deleted keys — identical semantics to the
-        full-rewrite path, per bucket."""
+        full-rewrite path, per bucket.
+
+        Exactly-once by label: applied labels are recorded in the manifest
+        (bounded window), and a merge whose label is already applied is a
+        NO-OP. This is what lets derived artifacts (the IVM delta log,
+        streaming/ivm.py) hook the state TRANSITION via ``on_transition``:
+        a foreachBatch replay after a successful publish must not re-run
+        the hook against the post-merge state (it would derive a zero
+        delta and clobber the real one) — the label skip makes the whole
+        (hook + merge + publish) unit replay-exactly-once, while a replay
+        after a crash BEFORE publish recomputes both against the identical
+        previous state.
+
+        ``on_transition(current, new_state, touched)`` runs before the
+        manifest publish; ``current`` is the pre-merge content of the
+        touched buckets (None on first batch), ``new_state`` their
+        post-merge content (tombstones included). Its writes must be
+        idempotent per label (e.g. overwrite a per-label partition)."""
         from ..cdc.upsert import latest_state
 
         spark = batch.sparkSession
+        man = self.current_manifest()
+        if man and label in man.get("applied", []):
+            return None
         b = batch.withColumn(self.BUCKET_COL, self.bucket_expr(keys))
         touched = sorted(r[0] for r in b.select(self.BUCKET_COL).distinct().collect())
         if not touched:
             return None
-        man = self.current_manifest()
         current = self.read_buckets(spark, touched)
         combined = b if current is None else current.unionByName(
             b, allowMissingColumns=True
@@ -247,6 +271,8 @@ class BucketedStateStore(AtomicStateStore):
         version = f"v-{label}-{uuid.uuid4().hex[:8]}"
         target = os.path.join(self.root, version)
         new_state.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(target)
+        if on_transition is not None:
+            on_transition(current, new_state, touched)
         written = {
             d.split("=", 1)[1]
             for d in os.listdir(target)
@@ -258,7 +284,8 @@ class BucketedStateStore(AtomicStateStore):
                 buckets[str(t)] = version
             else:  # merged away entirely (e.g. post-compaction empty bucket)
                 buckets.pop(str(t), None)
-        self._publish_manifest(buckets)
+        applied = (self.applied_labels() + [label])[-64:]
+        self._publish_manifest(buckets, applied)
         if len(set(buckets.values())) > self.compact_after:
             self.compact(spark, label=f"{label}c")
         return version
@@ -277,11 +304,17 @@ class BucketedStateStore(AtomicStateStore):
             for d in os.listdir(target)
             if d.startswith(self.BUCKET_COL + "=")
         }
-        self._publish_manifest({b: version for b in written})
+        self._publish_manifest({b: version for b in written}, self.applied_labels())
         return version
 
-    def _publish_manifest(self, buckets: dict[str, str]) -> None:
-        manifest = {"n_buckets": self.n_buckets, "buckets": buckets}
+    def _publish_manifest(
+        self, buckets: dict[str, str], applied: list[str] | None = None
+    ) -> None:
+        manifest = {
+            "n_buckets": self.n_buckets,
+            "buckets": buckets,
+            "applied": applied if applied is not None else self.applied_labels(),
+        }
         self._publish(json.dumps(manifest))
         self._gc_unreferenced(set(buckets.values()))
 

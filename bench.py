@@ -56,6 +56,9 @@ EXTRA = [
     "dedup_dup_ngram_spans",
     "agg_bitmap_distinct",
     "events_linear_interp",
+    "cdc_scd2_history",
+    "emb_ivf_pq_topk",
+    "events_funnel_conversion",
 ]
 
 

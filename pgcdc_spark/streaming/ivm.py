@@ -25,6 +25,13 @@ maintains the view from STATE TRANSITIONS instead:
 
 This is the classic delta/retraction IVM design (e.g. Materialize/Flink
 retraction streams, DBSP) expressed in plain Spark batch primitives.
+
+Scope: SUM/COUNT (and anything derivable from them — AVG, rates) are
+fully retractable from deltas. MIN/MAX are NOT: retracting the current
+extremum requires the remaining group members, i.e. a per-group re-read
+— the standard IVM limitation; serve those from the state table itself
+(one touched-bucket aggregate at read time) or keep per-group top-k
+support sets, both outside this module's delta-log contract.
 """
 
 from __future__ import annotations

@@ -10,8 +10,6 @@ stream materializes chunk by chunk.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 
 from pgcdc_spark.queries.llm_dedup import verified_candidate_pairs

@@ -318,3 +318,33 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_qty("l_quantity").alias("mean_qty"),
         n_rows("l_quantity").alias("n"),
     )
+
+
+# --- boolean / conditional aggregates ----------------------------------------
+
+_BOOL_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'P') AS any_pending,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) = COUNT(*) AS all_finished
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_boolean_predicates", oracle=_BOOL_AGG_ORACLE, tags=("agg", "boolean"))
+def agg_boolean_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregation surface: count_if / bool_and / bool_or —
+    the data-quality-assertion aggregates ("all rows positive", "any
+    pending"). All partial-combinable built-ins: the shuffle carries one
+    (count, bool, bool, count) tuple per group per partition."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        (F.count_if(F.col("o_orderstatus") == "F") == F.count(F.lit(1))).alias(
+            "all_finished"
+        ),
+    )

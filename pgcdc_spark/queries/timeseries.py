@@ -157,3 +157,55 @@ def events_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brk.select(
         "event_id", "user_id", "ts_ns", "metric", interp.alias("interp_value")
     )
+
+
+# --- OHLC (open-high-low-close) hourly candles -------------------------------
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+         epoch_ns(ts) AS ts_ns, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY hour_bucket ORDER BY ts_ns, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY hour_bucket ORDER BY ts_ns DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT hour_bucket,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_trades
+FROM ranked
+GROUP BY hour_bucket
+"""
+
+
+@query("events_ohlc_hourly", oracle=_OHLC_ORACLE, tags=("timeseries", "agg"))
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles over purchase events.
+
+    Open/close are argmin/argmax by the (ts, event_id) total order,
+    computed as min/max over (ts, event_id, value) STRUCTS — one
+    partial-combinable aggregate, ONE shuffle carrying a constant-size
+    candle state per (bucket, partition). The window formulation the
+    oracle uses (rank both directions, then filter) would sort every
+    bucket; the struct-aggregate form is the one that survives a 100 TB
+    tick table. Lexicographic struct comparison equals the (ts,
+    event_id) order because the pair is unique per event."""
+    (events,) = load(spark, sf_dir, "events")
+    base = events.filter(F.col("event_type") == "purchase").select(
+        F.expr("ts div 3600000000000").alias("hour_bucket"),
+        F.struct(F.col("ts").alias("t"), "event_id", "value").alias("s"),
+        "value",
+    )
+    return base.groupBy("hour_bucket").agg(
+        F.min("s").getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("s").getField("value").alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )

@@ -102,3 +102,32 @@ def test_dup_spans_invariants(spark):
     # doc 5: grams {c d e, d e f, e f g}; only "c d e" is shared
     assert out[5]["n_grams"] == 3 and out[5]["dup_positions"] == 1
     assert abs(out[5]["dup_frac"] - 1.0 / 3.0) < 1e-15
+
+
+def test_ohlc_single_trade_and_order(spark):
+    rows = [
+        # one bucket with three trades in a known order
+        (1, 1, 3_600_000_000_000 * 10 + 100, "purchase", 5.0),
+        (2, 1, 3_600_000_000_000 * 10 + 200, "purchase", 9.0),
+        (3, 1, 3_600_000_000_000 * 10 + 300, "purchase", 2.0),
+        # same-ts tie broken by event_id: 5 arrives "before" 6
+        (5, 1, 3_600_000_000_000 * 11, "purchase", 7.0),
+        (6, 1, 3_600_000_000_000 * 11, "purchase", 3.0),
+        # single-trade bucket: open == high == low == close
+        (7, 1, 3_600_000_000_000 * 12 + 50, "purchase", 4.0),
+        (8, 1, 3_600_000_000_000 * 12 + 60, "click", 99.0),  # not a trade
+    ]
+    out = {
+        r["hour_bucket"]: r
+        for r in _repair(_series(spark, rows), "events_ohlc_hourly").collect()
+    }
+    b10 = out[10]
+    assert (b10["open"], b10["high"], b10["low"], b10["close"], b10["n_trades"]) == (
+        5.0, 9.0, 2.0, 2.0, 3,
+    )
+    b11 = out[11]
+    assert (b11["open"], b11["close"]) == (7.0, 3.0), "event_id tie-break lost"
+    b12 = out[12]
+    assert (b12["open"], b12["high"], b12["low"], b12["close"], b12["n_trades"]) == (
+        4.0, 4.0, 4.0, 4.0, 1,
+    )

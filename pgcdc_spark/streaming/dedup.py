@@ -64,13 +64,19 @@ def _read_prior(
 ) -> DataFrame:
     """All state partitions from batches BEFORE ``batch_id``. A replayed
     batch's own leftover partition is excluded by the partition filter
-    (pruned at plan time), which is what makes replay idempotent."""
-    try:
-        df = spark.read.schema(
-            StructType(list(schema.fields) + [StructField("batch", LongType())])
-        ).parquet(path)
-    except Exception:
+    (pruned at plan time), which is what makes replay idempotent.
+
+    Only the no-state-yet case (first batch: directory absent) maps to an
+    empty frame; a present-but-unreadable store RAISES — silently treating
+    corrupted state as empty would mis-verdict every arriving doc as
+    novel."""
+    import os
+
+    if not os.path.isdir(path):
         return spark.createDataFrame([], schema)
+    df = spark.read.schema(
+        StructType(list(schema.fields) + [StructField("batch", LongType())])
+    ).parquet(path)
     return df.filter(F.col("batch") < batch_id).drop("batch")
 
 

@@ -32,22 +32,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, "QueryDef"] = {}
 
 # Modules that define queries; imported lazily by all_queries().
-#
-# Registration order matters operationally: the driver's CORRECTNESS run
-# samples the first 50 queries in registry iteration order.  Rounds 1-3
-# always sampled the relational/TPC-H block, so the CDC/LLM/window/setop
-# surface never earned a driver-side oracle row despite passing the full
-# independent sweep (scripts/parity_sweep.py).  Order below puts the
-# never-driver-verified modules first — cdc_state(6) + llm_dedup(8) +
-# llm_similarity(5) + windows(7) + setops(9) + events_json(5) +
-# collections(4) + udfs(3) + reshape(3) = exactly 50 — then llm_text +
-# multimodal (next round's sample), then the three-rounds-green
-# relational/TPC-H block.
-# ROUND-5 NOTE: once CORRECTNESS_r04 lands green rows for the first-50
-# sample below, rotate llm_text/multimodal/llm_extra/timeseries/sqlfns/
-# sketches/funnels/scd into the leading positions so the next driver
-# sample covers the still-unsampled surface (and relational/TPC-H, green
-# in r1-r3, stays last). Do NOT reorder mid-round.
 _MODULES = (
     "cdc_state",
     "llm_dedup",
@@ -58,7 +42,7 @@ _MODULES = (
     "collections",
     "udfs",
     "reshape",
-    "llm_extra",  # new in r4 — after the 50-query sample boundary
+    "llm_extra",
     "timeseries",
     "sqlfns",
     "sketches",
@@ -72,6 +56,79 @@ _MODULES = (
     "joins",
     "subqueries",
     "aggregates",
+)
+
+# Registry iteration order matters operationally: the driver's CORRECTNESS
+# run samples the first 50 queries in iteration order.  Rounds 1-4
+# cumulatively greenlit 100/149 names; the 49 below have never earned a
+# driver-side oracle row (they pass the independent sweep,
+# scripts/parity_sweep.py).  all_queries() yields these first — plus the
+# round-5 addition join_asof_tolerance, making exactly 50 — then every
+# already-driver-green query in registration order.
+# ROUND-6 NOTE: once CORRECTNESS_r05 lands green rows for this block,
+# replace _PRIORITY with whatever names remain un-sampled (expected: only
+# queries added in round 6+). Do NOT reorder mid-round.
+_PRIORITY = (
+    # llm_extra (8)
+    "emb_pq_adc_topk",
+    "dedup_incremental_new_docs",
+    "dedup_dup_ngram_spans",
+    "dedup_containment",
+    "emb_ivf_pq_topk",
+    "dedup_simhash_hamming",
+    "dedup_keep_best",
+    "dedup_minhash_estimate",
+    # timeseries (3)
+    "events_locf_fill",
+    "events_linear_interp",
+    "events_ohlc_hourly",
+    # sqlfns (8)
+    "agg_median_mode",
+    "agg_histogram_width_bucket",
+    "scalar_try_arith",
+    "agg_string_agg_ordered",
+    "scalar_posexplode_ordinal",
+    "events_variant_extract",
+    "udf_pandas_grouped_agg",
+    "agg_boolean_predicates",
+    # sketches (2)
+    "agg_bitmap_distinct",
+    "sketch_hll_distinct",
+    # funnels (2)
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    # scd (2)
+    "cdc_scd2_history",
+    "cdc_scd2_point_in_time",
+    # llm_text (17)
+    "docs_token_stats",
+    "docs_lang_profile",
+    "docs_lang_id",
+    "docs_quality_score",
+    "docs_fingerprint",
+    "docs_tfidf",
+    "docs_hash_sample",
+    "docs_chunk_windows",
+    "docs_repetition",
+    "docs_redact",
+    "corpus_prep_pipeline",
+    "docs_top_bigrams",
+    "docs_stratified_sample",
+    "docs_token_bpe_regex",
+    "docs_unigram_logprob",
+    "docs_decontam_overlap",
+    "docs_pack_sequences",
+    # multimodal (4)
+    "mm_binary_meta",
+    "mm_extract_features",
+    "mm_resize",
+    "mm_frame_sample",
+    # stragglers from otherwise-green modules (3)
+    "subq_lateral_topn",
+    "agg_grouping_sets",
+    "agg_corr_covar",
+    # round-5 new surface (1) — total 50
+    "join_asof_tolerance",
 )
 
 
@@ -105,4 +162,11 @@ def _load_all() -> None:
 
 def all_queries() -> dict[str, QueryDef]:
     _load_all()
-    return dict(REGISTRY)
+    ordered: dict[str, QueryDef] = {}
+    for name in _PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, qd in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = qd
+    return ordered

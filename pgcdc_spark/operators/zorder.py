@@ -13,8 +13,12 @@ from public Spark primitives only:
 2. each row maps to a ``bits``-wide integer per dimension (row-local
    arithmetic, codegen'd — no UDF);
 3. bits interleave into one long (an unrolled shift/or expression);
-4. ``repartitionByRange`` on the key (range exchange with sampled
-   bounds) + ``sortWithinPartitions`` + parquet write.
+4. EXACT key quantiles (``approxQuantile`` with relativeError=0) become
+   explicit split points; each row's bucket maps through a murmur3
+   pre-image table so hash partitioning places bucket ``b`` in partition
+   ``b`` — a deterministic range exchange, unlike ``repartitionByRange``
+   whose reservoir-sampled bounds wobble run-to-run;
+5. ``sortWithinPartitions`` on the key + parquet write.
 
 The whole operator is one extra shuffle at write time; reads need no
 engine support at all (min-max pruning is already how scans work).
@@ -23,9 +27,10 @@ engine support at all (min-max pruning is already how scans work).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 
-#: Bits per dimension; 2 dims x 20 bits = 40-bit Morton keys (fits long).
+#: Bits per dimension; 2 dims x 16 bits = 32-bit Morton keys (fits long —
+#: morton_key raises if bits * ndims would reach the sign bit).
 DEFAULT_BITS = 16
 
 
@@ -49,6 +54,11 @@ def morton_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Colu
     """Morton (Z-curve) key over ``cols``: bit i of dimension j lands at
     position ``i * len(cols) + j`` of the key. Unrolled into a flat
     OR-of-shifts expression so whole-stage codegen sees plain long ops."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits * ndims = {bits * len(cols)} would reach the long sign "
+            f"bit; use bits <= {63 // len(cols)} for {len(cols)} columns"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
@@ -63,6 +73,28 @@ def morton_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Colu
     return key
 
 
+def _identity_salts(spark: SparkSession, n: int) -> list[int]:
+    """Small ints ``s_0..s_{n-1}`` with ``pmod(hash(s_b), n) == b``.
+
+    ``DataFrame.repartition(n, col)`` places a row in partition
+    ``pmod(murmur3(col), n)``; relabeling bucket ``b`` as ``s_b`` before
+    the exchange therefore pins bucket ``b`` to partition ``b`` exactly —
+    a deterministic identity "range partitioner" built from the public
+    hash exchange. Found by one tiny driver-side job over a candidate
+    range (murmur3 is a fixed pure function, so the search is stable)."""
+    found: dict[int, int] = {}
+    lo = 0
+    while len(found) < n:
+        cand = spark.range(lo, lo + 64 * n).select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        ).collect()
+        for r in cand:
+            found.setdefault(r["p"], r["v"])
+        lo += 64 * n
+    return [found[b] for b in range(n)]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -72,16 +104,27 @@ def write_zordered(
 ) -> None:
     """Write ``df`` as parquet laid out along the Z-curve of ``cols``.
 
-    ``repartitionByRange`` gives each output file a contiguous key range
-    (hyper-rectangle-ish region of the dimension space), and the local
-    sort tightens row-group stats within the file. Reads prune with
-    ordinary min-max statistics — no reader-side cooperation needed."""
-    key = morton_key(df, cols, bits)
+    Exact key quantiles (``approxQuantile`` with relativeError=0, a
+    bounded driver-side list of ``n_files - 1`` longs) define the file
+    boundaries, so each output file owns a fixed contiguous key range
+    (hyper-rectangle-ish region of the dimension space) and the layout is
+    run-to-run deterministic; the local sort tightens row-group stats
+    within the file. Reads prune with ordinary min-max statistics — no
+    reader-side cooperation needed."""
+    spark = df.sparkSession
+    zdf = df.withColumn("__z", morton_key(df, cols, bits))
+    splits = sorted(set(zdf.approxQuantile("__z", [i / n_files for i in range(1, n_files)], 0.0)))
+    # bucket = number of split points <= z  (0..len(splits))
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + F.when(F.col("__z") > F.lit(int(s)), 1).otherwise(0)
+    salts = _identity_salts(spark, len(splits) + 1)
+    salt_arr = F.array(*[F.lit(s) for s in salts])
     (
-        df.withColumn("__z", key)
-        .repartitionByRange(n_files, "__z")
+        zdf.withColumn("__zpart", F.element_at(salt_arr, bucket + 1))
+        .repartition(len(splits) + 1, "__zpart")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__zpart")
         .write.mode("overwrite")
         .parquet(path)
     )

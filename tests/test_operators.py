@@ -96,6 +96,45 @@ def test_binned_range_join_left_outer_null_payload_no_dup(spark):
     assert got == [(1, 10), (2, None), (3, 10)]
 
 
+def test_zorder_morton_key_guards_sign_bit(spark):
+    """bits * ndims must stay below the long sign bit; 16 bits x 4 cols = 64
+    would interleave into bit 63 and alias/negate keys silently."""
+    import pytest
+
+    from pgcdc_spark.operators.zorder import morton_key
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a LONG, b LONG, c LONG, d LONG")
+    with pytest.raises(ValueError, match="sign bit"):
+        morton_key(df, ["a", "b", "c", "d"], bits=16)
+    # 15 bits x 4 cols = 60 is fine
+    assert "__k" in df.withColumn("__k", morton_key(df, ["a", "b", "c", "d"], bits=15)).columns
+
+
+def test_zorder_layout_deterministic(spark, sf_correct, tmp_path):
+    """Two writes of the same data must produce identical per-file min-max
+    boxes — the layout uses exact split points, not sampled range bounds."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.zorder import write_zordered
+
+    (events,) = load(spark, sf_correct, "events")
+    d1, d2 = str(tmp_path / "z1"), str(tmp_path / "z2")
+    write_zordered(events, d1, ["user_id", "ts"], n_files=8)
+    write_zordered(events, d2, ["user_id", "ts"], n_files=8)
+
+    def file_boxes(path):
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"), "user_id", "ts"
+        )
+        rows = df.groupBy("f").agg(
+            F.min("user_id"), F.max("user_id"), F.min("ts"), F.max("ts")
+        ).collect()
+        return sorted(tuple(r)[1:] for r in rows)
+
+    assert file_boxes(d1) == file_boxes(d2)
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, sf_correct, tmp_path):
     """Files written along the Z-curve of (user_id, ts) must have narrow
     min-max boxes on BOTH dimensions: a point-user predicate overlaps few

@@ -294,6 +294,67 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", F.col("event_id_asof").alias("click_event_id"))
 
 
+# 24 hours in µs — the median nearest-click gap at sf0.01 is ~18 h, so this
+# matches ~60% of purchases and leaves ~40% legitimately NULL (both the
+# matched and the out-of-tolerance branch are exercised by the oracle).
+_ASOF_TOL_US = 24 * 3600 * 1_000_000
+
+_ASOF_TOL_ORACLE = f"""
+SELECT p.event_id, p.user_id, c.click_event_id, c.click_delta_us
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+) p
+LEFT JOIN LATERAL (
+  SELECT
+    c.event_id AS click_event_id,
+    abs(epoch_us(c.ts) - p.ts_us) AS click_delta_us
+  FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+    AND abs(epoch_us(c.ts) - p.ts_us) <= {_ASOF_TOL_US}
+  ORDER BY
+    abs(epoch_us(c.ts) - p.ts_us) ASC,
+    (CASE WHEN epoch_us(c.ts) <= p.ts_us THEN 0 ELSE 1 END) ASC,
+    (CASE WHEN epoch_us(c.ts) <= p.ts_us THEN -c.event_id ELSE c.event_id END) ASC
+  LIMIT 1
+) c ON TRUE
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("join", "asof", "custom"))
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click per purchase within a 24-hour tolerance — the
+    ``pandas.merge_asof(direction='nearest', tolerance=...)`` surface.
+    Backward wins exact-distance ties; at equal click ts the backward side
+    picks the largest event_id and the forward side the smallest (the
+    operator's documented tiebreak), which the LATERAL oracle mirrors."""
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.withColumn("ts_us", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_payload=["event_id", "ts_us"],
+        tiebreak="event_id",
+        direction="nearest",
+        tolerance=_ASOF_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("click_event_id"),
+        F.abs(F.col("ts_us") - F.col("ts_us_asof")).alias("click_delta_us"),
+    )
+
+
 # --- salted skew join (engine helper; result identical to plain join) -------
 
 _SALTED_ORACLE = """

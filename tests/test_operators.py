@@ -96,6 +96,50 @@ def test_binned_range_join_left_outer_null_payload_no_dup(spark):
     assert got == [(1, 10), (2, None), (3, 10)]
 
 
+def test_asof_join_directions_and_tolerance(spark):
+    """merge_asof surface: backward / forward / nearest, with and without
+    tolerance; documented tiebreaks at equal timestamps."""
+    import pytest
+
+    from pgcdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 205, "L2"), (2, 50, "L3"), (3, 10, "L4")],
+        "k LONG, ts LONG, lbl STRING",
+    )
+    right = spark.createDataFrame(
+        # k=1: quotes at 90, 200, 210; k=2: only a LATER quote at 70;
+        # k=1 ts=200 has two rows (ids 20, 21) to exercise tiebreaks.
+        [(1, 90, 10), (1, 200, 20), (1, 200, 21), (1, 210, 30), (2, 70, 40)],
+        "k LONG, ts LONG, rid LONG",
+    )
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_payload=["rid"], tiebreak="rid", **kw,
+        ).collect()
+        return {r["lbl"]: r["rid_asof"] for r in rows}
+
+    # backward: latest ts <= left ts; at equal ts largest tiebreak wins
+    assert run() == {"L1": 10, "L2": 21, "L3": None, "L4": None}
+    # forward: earliest ts >= left ts; L2(205) -> 210
+    assert run(direction="forward") == {"L1": 20, "L2": 30, "L3": 40, "L4": None}
+    # nearest: L1(100) nearer to 90 (10) than 200 (100); L2(205) ties
+    # 200 vs 210 at distance 5 -> backward wins -> rid 21
+    assert run(direction="nearest") == {"L1": 10, "L2": 21, "L3": 40, "L4": None}
+    # tolerance clips the k=2 forward match (|70-50|=20 > 15)
+    assert run(direction="nearest", tolerance=15) == {
+        "L1": 10, "L2": 21, "L3": None, "L4": None,
+    }
+    assert run(tolerance=5) == {"L1": None, "L2": 21, "L3": None, "L4": None}
+
+    with pytest.raises(ValueError, match="direction"):
+        run(direction="sideways")
+    with pytest.raises(ValueError, match="tolerance"):
+        run(tolerance=-1)
+
+
 def test_zorder_morton_key_guards_sign_bit(spark):
     """bits * ndims must stay below the long sign bit; 16 bits x 4 cols = 64
     would interleave into bit 63 and alias/negate keys silently."""

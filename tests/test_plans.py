@@ -266,6 +266,16 @@ def test_timeseries_single_shuffle_per_series(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_asof_nearest_single_exchange(spark):
+    """direction='nearest' evaluates a backward and a forward window over
+    the same key partitioning — Catalyst must plan ONE hash exchange (two
+    sorts are expected, the frame directions differ), never a range join."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dup_spans_no_text_shuffle(spark):
     """Substring-span dedup must never shuffle document text: every
     Exchange below the gram aggregates carries only the md5 hash (gh),

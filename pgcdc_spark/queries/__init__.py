@@ -129,6 +129,8 @@ _PRIORITY = (
     "agg_corr_covar",
     # round-5 new surface (1) — total 50
     "join_asof_tolerance",
+    # just past the 50-sample boundary; rotates in next round
+    "mm_audio_resample",
 )
 
 

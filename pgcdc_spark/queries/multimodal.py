@@ -40,12 +40,62 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mm_extract_features", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode/encode pipeline, dispatched through
-    the codec REGISTRY (the 'text' modality resolves to the registered
-    deterministic FakeBytesCodec — a cluster user registers PIL/torchaudio
-    instead). Rows-only driver check; exact values asserted in pytest."""
+    """Arrow-batched mapInPandas feature extraction over a MIXED-modality
+    corpus (text / PPM image / PCM-WAV audio by doc_id % 3), dispatched
+    through the codec REGISTRY in one pass: rasters get channel-stat
+    features, waveforms get duration/RMS/peak/ZCR features, text bytes the
+    deterministic stand-in. A cluster user swaps PIL/torchaudio codecs in
+    through the same seam. Rows-only driver check; exact decode/feature
+    values asserted in pytest (tests/test_llm.py)."""
+    from ..multimodal import documents_as_mixed_multimodal
+
     (docs,) = load(spark, sf_dir, "documents")
-    return extract_features(documents_as_multimodal(docs), fake=False)
+    return extract_features(documents_as_mixed_multimodal(docs), fake=False)
+
+
+# The audio corpus is synthesized arithmetically from doc_id
+# (multimodal._synth_audio: n_in = 160 + (doc_id % 7) * 16 samples at
+# 8000 Hz, 1 + (doc_id % 2) channels), so the relational contract of
+# decode -> linear resample to 3000 Hz -> 16-bit WAV re-encode is exactly
+# recomputable in SQL: n_out = n_in * 3000 // 8000, RIFF size = 44 bytes
+# of header + n_out * channels * 2 of PCM.
+_AUDIO_RESAMPLE_ORACLE = """
+SELECT
+  doc_id,
+  CAST(3000 AS BIGINT) AS sample_rate,
+  CAST(((160 + (doc_id % 7) * 16) * 3000) // 8000 AS BIGINT) AS n_samples,
+  CAST(1 + (doc_id % 2) AS BIGINT) AS channels,
+  CAST((((160 + (doc_id % 7) * 16) * 3000) // 8000) * 1000000 // 3000 AS BIGINT)
+    AS duration_us,
+  CAST(44 + (((160 + (doc_id % 7) * 16) * 3000) // 8000) * (1 + (doc_id % 2)) * 2
+    AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+@query("mm_audio_resample", oracle=_AUDIO_RESAMPLE_ORACLE,
+       tags=("llm", "multimodal", "pandas-udf"))
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode -> linear resample -> WAV re-encode through the
+    registry; the emitted metadata (sample count, channels, duration, and
+    the re-encoded RIFF byte size) comes from the actual decoded payloads,
+    while the oracle recomputes every value arithmetically from doc_id —
+    any codec/resampler framing bug breaks the hash match. Exact waveform
+    values are pinned in pytest."""
+    from ..multimodal import documents_as_mixed_multimodal, resample_audio
+
+    (docs,) = load(spark, sf_dir, "documents")
+    mixed = documents_as_mixed_multimodal(docs)
+    out = resample_audio(mixed, target_rate=3000)
+    return out.filter(F.col("modality") == "audio").select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "channels",
+        "duration_us",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+    )
 
 
 @query("mm_resize", oracle=None, tags=("llm", "multimodal", "pandas-udf"))

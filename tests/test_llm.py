@@ -374,7 +374,7 @@ def test_ppm_codec_real_decode_features_and_resize(spark):
         resize_images,
     )
 
-    register_codec("image", PpmImageCodec())
+    register_codec("image", PpmImageCodec())  # default, re-registered for isolation
     try:
         # 4x2: left half red, right half blue
         img1 = _ppm_bytes(4, 2, lambda x, y: (255, 0, 0) if x < 2 else (0, 0, 255))
@@ -412,7 +412,127 @@ def test_ppm_codec_real_decode_features_and_resize(spark):
         with _pytest.raises(Exception, match="truncated"):
             extract_features(bad, fake=False).collect()
     finally:
-        registered_codecs().pop("image", None)  # snapshot; live registry below
+        # "image" is a DEFAULT registry entry now — restore, don't pop
         from pgcdc_spark import multimodal as _mm
 
-        _mm._REGISTRY.pop("image", None)
+        _mm._REGISTRY["image"] = PpmImageCodec()
+        assert "image" in registered_codecs()
+
+
+def _square_wave_wav():
+    """1 channel, 8000 Hz, 800 samples alternating +0.5 / -0.5."""
+    import numpy as np
+
+    from pgcdc_spark.multimodal import DecodedAudio, encode_wav
+
+    s = np.where(np.arange(800) % 2 == 0, 0.5, -0.5).reshape(-1, 1)
+    return encode_wav(DecodedAudio(s, 8000))
+
+
+def test_wav_codec_decode_roundtrip_and_features(spark):
+    """The second real codec: WAV/PCM decodes bit-exactly, features are
+    true waveform statistics, and corrupt payloads fail loudly — all
+    through the same registry + Arrow mapInPandas seam as the image path."""
+    import numpy as np
+    import pytest
+
+    from pgcdc_spark.multimodal import (
+        DecodedAudio,
+        WavAudioCodec,
+        encode_wav,
+        extract_features,
+    )
+
+    codec = WavAudioCodec()
+
+    # bit-exact encode->decode round trip (16-bit PCM grid values)
+    pcm = (np.arange(-100, 100).reshape(-1, 2)) / 32768.0
+    back = codec.decode(encode_wav(DecodedAudio(pcm, 44100)))
+    assert back.sample_rate == 44100 and back.n_channels == 2
+    assert np.array_equal(back.samples, pcm)
+
+    # feature values on a known square wave: duration 0.1s, rms=peak=0.5,
+    # every consecutive pair flips sign -> zcr 799/799 = 1.0, mean 0
+    sq = _square_wave_wav()
+    silence = encode_wav(DecodedAudio(np.zeros((400, 1)), 8000))
+    mm = spark.createDataFrame(
+        [(1, "audio", bytearray(sq)), (2, "audio", bytearray(silence))],
+        "doc_id long, modality string, payload binary",
+    )
+    feats = {r["doc_id"]: r["feature"]
+             for r in extract_features(mm, fake=False).collect()}
+    dur, rms, peak, zcr, mean = feats[1][:5]
+    assert dur == pytest.approx(0.1)
+    assert rms == pytest.approx(0.5) and peak == pytest.approx(0.5)
+    assert zcr == pytest.approx(1.0) and mean == pytest.approx(0.0)
+    assert feats[2][1] == 0.0 and feats[2][2] == 0.0  # silence: rms=peak=0
+
+    # strict parser: corrupt payloads raise at the decode site
+    with pytest.raises(ValueError, match="RIFF"):
+        codec.decode(b"not a wav")
+    with pytest.raises(ValueError, match="truncated"):
+        codec.decode(sq[:60])  # data chunk declares more bytes than remain
+    with pytest.raises(ValueError, match="missing"):
+        codec.decode(sq[:40])  # cut between chunks: no data chunk at all
+    # 8-bit float format id rejected
+    bad_fmt = bytearray(sq)
+    bad_fmt[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="PCM only"):
+        codec.decode(bytes(bad_fmt))
+
+
+def test_wav_linear_resample_exact_values():
+    """Downsample 2:1 of a linear ramp hits the exact source samples;
+    upsample interpolates midpoints exactly (linear signal)."""
+    import numpy as np
+
+    from pgcdc_spark.multimodal import DecodedAudio, resample_linear
+
+    ramp = (np.arange(16, dtype=np.float64) / 32.0).reshape(-1, 1)
+    aud = DecodedAudio(ramp, 8000)
+
+    down = resample_linear(aud, 4000)
+    assert down.n_samples == 8 and down.sample_rate == 4000
+    assert np.array_equal(down.samples[:, 0], ramp[::2, 0])
+
+    up = resample_linear(aud, 16000)
+    assert up.n_samples == 32
+    # position k maps to source k/2; odd k = midpoint of a linear ramp,
+    # except past the last source sample where interp clamps
+    expect = np.minimum(np.arange(32) / 2.0, 15.0) / 32.0
+    assert np.allclose(up.samples[:, 0], expect)
+
+
+def test_mixed_modality_single_pass_dispatch(spark, sf_smoke):
+    """documents_as_mixed_multimodal + extract_features: one mapInPandas
+    pass dispatches text -> md5 stand-in, image -> channel stats, audio ->
+    waveform stats, keyed purely by the decoded object type."""
+    from pgcdc_spark.multimodal import (
+        WavAudioCodec,
+        audio_feature,
+        documents_as_mixed_multimodal,
+        extract_features,
+        _synth_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    mixed = documents_as_mixed_multimodal(docs)
+    by_mod = {r["modality"]: r["n"] for r in
+              mixed.groupBy("modality").count().withColumnRenamed("count", "n").collect()}
+    assert set(by_mod) == {"text", "image", "audio"}
+
+    feats = extract_features(mixed, fake=False)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    sample = {r["doc_id"]: r for r in rows}
+    # pick one audio doc and recompute its feature locally from the synth
+    aud_id = next(r["doc_id"] for r in rows if r["modality"] == "audio")
+    expected = audio_feature(WavAudioCodec().decode(_synth_audio(int(aud_id))))
+    got = list(sample[aud_id]["feature"])
+    # feature column is array<float>: float32 storage, so ~1e-6 tolerance
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, expected)), (got, expected)
+    # and an image doc routes through the raster branch (8-dim, last two
+    # are h/4096, w/4096 -> tiny but nonzero)
+    img_id = next(r["doc_id"] for r in rows if r["modality"] == "image")
+    img_feat = list(sample[img_id]["feature"])
+    assert len(img_feat) == 8 and img_feat[6] > 0 and img_feat[7] > 0

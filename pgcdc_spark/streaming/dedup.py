@@ -25,6 +25,13 @@ At 100 TB the state tables are the real (bucketed, compacted) corpus
 index; the shapes here — partition-pruned prior-state reads, bucket
 joins, candidate-gated verification — are exactly what survives that
 scale-up.
+
+Filesystem contract: like statestore.py (whose rename-based commit this
+module's batch-partition overwrite mirrors), state existence checks and
+writes go through LOCAL filesystem paths (os.path), not the Hadoop
+FileSystem API — the state root must live on a posix filesystem (or a
+mount that emulates one). Pointing it at an object-store URI would need
+the existence/commit plumbing ported to the FileSystem API first.
 """
 
 from __future__ import annotations

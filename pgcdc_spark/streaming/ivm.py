@@ -32,6 +32,20 @@ extremum requires the remaining group members, i.e. a per-group re-read
 — the standard IVM limitation; serve those from the state table itself
 (one touched-bucket aggregate at read time) or keep per-group top-k
 support sets, both outside this module's delta-log contract.
+
+Join views (JoinView / JoinViewMaintainer): an inner equi-join L ⋈ R over
+two CDC-maintained state tables is delta-maintained with the sequential
+update rule  ΔV = ΔL ⋈ R_old  ∪  L_new ⋈ ΔR,  where ΔL/ΔR are SIGNED row
+diffs (+1 inserted, -1 retracted) computed from each store's transition
+(exceptAll over touched buckets — O(touched + batch), never O(state)).
+Each side's delta lands in its own per-label partition inside that
+store's label gate, so the unit is replay-exactly-once per side even when
+a crash lands between the two merges. The view is the signed fold of the
+log (multiset semantics: net multiplicity per distinct row).
+
+Like the state store, this module's delta-log/compaction protocol
+assumes a local (rename-atomic) filesystem — the same contract
+statestore.py documents for its manifest swap.
 """
 
 from __future__ import annotations
@@ -123,7 +137,9 @@ def start_upsert_stream_with_view(
 def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFrame:
     """Current view contents: fold the delta log. Groups whose rows are
     all gone net to zero count and drop out."""
-    deltas = spark.read.parquet(os.path.join(state_dir, f"view_{view.name}"))
+    root = os.path.join(state_dir, f"view_{view.name}")
+    _recover_compaction(root)
+    deltas = spark.read.parquet(root)
     return (
         deltas.groupBy(*view.group_cols)
         .agg(
@@ -134,23 +150,204 @@ def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFra
     )
 
 
+# --- crash-atomic delta-log compaction ---------------------------------------
+# The fold is the view's ONLY source of truth, so "delete the log, then
+# write the replacement" is a loss window. Protocol (local-FS rename
+# atomicity, same contract as the state store's manifest swap):
+#   1. write the folded result under <root>/_compact/base — the leading
+#      underscore hides it from Spark's parquet reader;
+#   2. fsync a <root>/_compact/COMMIT flag: from here the fold is
+#      authoritative;
+#   3. remove the old delta_batch=* partitions;
+#   4. rename _compact/base -> delta_batch=base and drop _compact.
+# A crash before 2 leaves the log untouched (stale _compact is discarded);
+# a crash after 2 is finished by _recover_compaction on the next
+# read/compact.
+
+_COMPACT_TMP = "_compact"
+
+
+def _recover_compaction(root: str) -> None:
+    import shutil
+
+    tmp = os.path.join(root, _COMPACT_TMP)
+    if not os.path.isdir(tmp):
+        return
+    if os.path.isfile(os.path.join(tmp, "COMMIT")):
+        # fold is authoritative: finish steps 3-4
+        for d in os.listdir(root):
+            if d.startswith("delta_batch="):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        os.rename(os.path.join(tmp, "base"), os.path.join(root, "delta_batch=base"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _compact_delta_log(spark: SparkSession, root: str, fold) -> None:
+    """Fold the delta log into one base partition, crash-atomically.
+    ``fold(df) -> df`` must preserve the log's schema."""
+    import shutil
+
+    _recover_compaction(root)
+    tmp = os.path.join(root, _COMPACT_TMP)
+    fold(spark.read.parquet(root)).write.mode("overwrite").parquet(
+        os.path.join(tmp, "base")
+    )
+    commit = os.path.join(tmp, "COMMIT")
+    with open(commit, "w") as f:
+        f.write("1\n")
+        f.flush()
+        os.fsync(f.fileno())
+    for d in os.listdir(root):
+        if d.startswith("delta_batch="):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    os.rename(os.path.join(tmp, "base"), os.path.join(root, "delta_batch=base"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compact_view(spark: SparkSession, state_dir: str, view: AggView) -> None:
-    """Fold the delta log into a single base partition (read fan-in bound).
-    Not crash-atomic on its own — run it from the maintenance path, not
-    concurrently with an active stream."""
-    root = os.path.join(state_dir, f"view_{view.name}")
-    folded = (
-        spark.read.parquet(root)
-        .groupBy(*view.group_cols)
-        .agg(
+    """Fold the agg-view delta log into a single base partition (read
+    fan-in bound), surviving a crash at any step. Run it from the
+    maintenance path, not concurrently with an active stream."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy(*view.group_cols).agg(
             F.sum("sum_delta").alias("sum_delta"),
             F.sum("count_delta").alias("count_delta"),
         )
-    ).cache()
-    folded.count()
-    import shutil
 
-    for d in os.listdir(root):
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    folded.write.mode("overwrite").parquet(os.path.join(root, "delta_batch=base"))
-    folded.unpersist()
+    _compact_delta_log(spark, os.path.join(state_dir, f"view_{view.name}"), fold)
+
+
+# --- join views ---------------------------------------------------------------
+
+
+class JoinView:
+    """Inner equi-join view definition: rows of ``left_cols`` ⋈ rows of
+    ``right_cols`` on the shared ``on`` columns. ``left_cols`` must
+    include ``on``; ``right_cols`` must not overlap ``left_cols`` except
+    ``on`` (standard join-output hygiene)."""
+
+    def __init__(self, name: str, on: list[str], left_cols: list[str],
+                 right_cols: list[str]) -> None:
+        self.name = name
+        self.on = list(on)
+        self.left_cols = list(left_cols)
+        self.right_cols = list(right_cols)
+        if not set(self.on) <= set(self.left_cols):
+            raise ValueError(f"left_cols must include join cols {self.on}")
+        overlap = (set(self.left_cols) & set(self.right_cols)) - set(self.on)
+        if overlap:
+            raise ValueError(f"ambiguous non-join columns on both sides: {sorted(overlap)}")
+
+    @property
+    def out_cols(self) -> list[str]:
+        return self.left_cols + [c for c in self.right_cols if c not in self.on]
+
+
+def _signed_diff(current: DataFrame | None, new_state: DataFrame,
+                 cols: list[str], op_col: str = "op") -> DataFrame:
+    """Row-level signed transition of the touched buckets: +1 for rows the
+    merge introduced, -1 for rows it retracted (update = -old +new;
+    delete = -old; unchanged rows cancel via exceptAll, so no spurious
+    retract/insert pairs reach the join)."""
+    new_live = new_state.filter(F.col(op_col) != "D").select(*cols)
+    if current is None:
+        return new_live.withColumn("__sign", F.lit(1))
+    old_live = current.filter(F.col(op_col) != "D").select(*cols)
+    plus = new_live.exceptAll(old_live).withColumn("__sign", F.lit(1))
+    minus = old_live.exceptAll(new_live).withColumn("__sign", F.lit(-1))
+    return plus.unionByName(minus)
+
+
+class JoinViewMaintainer:
+    """Two BucketedStateStores + the join view's delta log, updated per
+    batch with  ΔV = ΔL ⋈ R_old ∪ L_new ⋈ ΔR.
+
+    Sequencing per batch label: the LEFT store merges first, so its
+    transition hook sees R at its pre-batch state (R_old); the RIGHT
+    store's hook then sees L post-merge (L_new). Each hook writes its own
+    ``delta_batch=<label>_L|_R`` partition inside its store's label gate:
+    a replay after either side published skips exactly that side, and a
+    replay after a crash before publish recomputes the identical delta —
+    the whole view update is exactly-once per side with no cross-store
+    coordination."""
+
+    def __init__(self, state_dir: str, view: JoinView, left_keys: list[str],
+                 right_keys: list[str], order_by: list[str] = ("lsn",),
+                 n_buckets: int = 64) -> None:
+        self.view = view
+        self.left_store = BucketedStateStore(
+            os.path.join(state_dir, "left"), n_buckets=n_buckets)
+        self.right_store = BucketedStateStore(
+            os.path.join(state_dir, "right"), n_buckets=n_buckets)
+        self.left_keys = list(left_keys)
+        self.right_keys = list(right_keys)
+        self.order_by = list(order_by)
+        self.delta_root = os.path.join(state_dir, f"view_{view.name}")
+
+    def _write_delta(self, part: DataFrame, label: str, side: str) -> None:
+        part.select(*self.view.out_cols, "__sign").write.mode("overwrite").parquet(
+            os.path.join(self.delta_root, f"delta_batch={label}_{side}")
+        )
+
+    def apply_batch(self, left_batch: DataFrame | None,
+                    right_batch: DataFrame | None, label: str) -> None:
+        view = self.view
+        if left_batch is None and right_batch is None:
+            return
+        spark = (left_batch if left_batch is not None else right_batch).sparkSession
+
+        def on_left(current, new_state, touched) -> None:
+            dl = _signed_diff(current, new_state, view.left_cols)
+            r_old = self.right_store.read(spark)
+            if r_old is None:
+                return
+            part = dl.join(
+                r_old.filter(F.col("op") != "D").select(*view.right_cols),
+                on=view.on, how="inner",
+            )
+            self._write_delta(part, label, "L")
+
+        def on_right(current, new_state, touched) -> None:
+            dr = _signed_diff(current, new_state, view.right_cols)
+            l_new = self.left_store.read(spark)
+            if l_new is None:
+                return
+            part = l_new.filter(F.col("op") != "D").select(*view.left_cols).join(
+                dr, on=view.on, how="inner",
+            )
+            self._write_delta(part, label, "R")
+
+        if left_batch is not None and not left_batch.isEmpty():
+            self.left_store.merge(left_batch, keys=self.left_keys,
+                                  order_by=self.order_by, label=label,
+                                  on_transition=on_left)
+        if right_batch is not None and not right_batch.isEmpty():
+            self.right_store.merge(right_batch, keys=self.right_keys,
+                                   order_by=self.order_by, label=label,
+                                   on_transition=on_right)
+
+    def read_view(self, spark: SparkSession) -> DataFrame:
+        """Signed fold of the delta log: net multiplicity per distinct
+        joined row (multiset semantics); net-zero rows drop out."""
+        _recover_compaction(self.delta_root)
+        deltas = spark.read.parquet(self.delta_root)
+        return (
+            deltas.groupBy(*self.view.out_cols)
+            .agg(F.sum("__sign").cast("long").alias("multiplicity"))
+            .filter(F.col("multiplicity") > 0)
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the join-view delta log (crash-atomic, same protocol as
+        compact_view); the folded base keeps the log schema with __sign
+        holding net multiplicities."""
+
+        def fold(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy(*self.view.out_cols)
+                .agg(F.sum("__sign").cast("int").alias("__sign"))
+                .filter(F.col("__sign") != 0)
+            )
+
+        _compact_delta_log(spark, self.delta_root, fold)

@@ -28,13 +28,34 @@ from pyspark.sql.streaming import StreamingQueryListener
 CDC_METRICS = "cdc_metrics"
 
 
+def sortable_lsn(col: F.Column) -> F.Column:
+    """Normalize a pg-style ``HIGH/LOW`` hex LSN to a fixed-width form
+    whose LEXICOGRAPHIC order matches its numeric order.
+
+    Raw pgoutput LSNs are variable-width hex (``0/F`` compares
+    lexicographically GREATER than ``0/16B3748``), so ``max(lsn)`` over
+    raw strings can mis-report offset progress; each 32-bit half pads to
+    8 uppercase hex digits (``00000000/0000000F``), the same fix the
+    Mongo adapter applies to resume tokens (cdc/mongo.py). Non-pg-shaped
+    lsn strings pass through unchanged — callers with other encodings
+    must supply their own fixed-width form."""
+    parts = F.split(col, "/")
+    norm = F.concat_ws(
+        "/",
+        F.lpad(F.upper(parts[0]), 8, "0"),
+        F.lpad(F.upper(parts[1]), 8, "0"),
+    )
+    return F.when(F.size(parts) == 2, norm).otherwise(col)
+
+
 def observe_cdc_metrics(changes: DataFrame, name: str = CDC_METRICS) -> DataFrame:
     """Attach the standard CDC health metrics to an envelope-change frame
     (post ``apply_pipeline``: columns ``op``, ``lsn``, image struct).
 
     Metrics: row count, per-op-kind counts (inserts/updates/deletes), and
-    the max lsn seen — enough to alert on delete storms, empty batches,
-    and offset progress without a second job.
+    the max lsn seen (normalized via :func:`sortable_lsn` so variable-
+    width pg hex LSNs order correctly) — enough to alert on delete
+    storms, empty batches, and offset progress without a second job.
 
     Caveat: with a ``foreachBatch`` sink, every ACTION the batch function
     runs re-executes the source plan including the observe node, so a
@@ -47,7 +68,7 @@ def observe_cdc_metrics(changes: DataFrame, name: str = CDC_METRICS) -> DataFram
         F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_inserts"),
         F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_updates"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
-        F.max("lsn").alias("max_lsn"),
+        F.max(sortable_lsn(F.col("lsn"))).alias("max_lsn"),
     )
 
 

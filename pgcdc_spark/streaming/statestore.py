@@ -45,6 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_CURRENT"
 _KEEP_VERSIONS = 2
+#: exactly-once label window: the manifest retains this many applied
+#: labels. A label older than the oldest retained entry of a FULL window
+#: is ambiguous (it may have been applied and evicted) — merge() fails
+#: loudly instead of silently re-applying (which would re-run
+#: on_transition and double-count derived IVM deltas).
+_APPLIED_WINDOW = 64
 
 
 class AtomicStateStore:
@@ -254,8 +260,26 @@ class BucketedStateStore(AtomicStateStore):
 
         spark = batch.sparkSession
         man = self.current_manifest()
-        if man and label in man.get("applied", []):
+        applied_now = man.get("applied", []) if man else []
+        if label in applied_now:
             return None
+        if len(applied_now) >= _APPLIED_WINDOW:
+            # Structured-streaming replays only resend the most recent
+            # batch, so landing here means something upstream replayed far
+            # beyond the retained window — re-applying would be silent
+            # double-counting for on_transition consumers.
+            try:
+                label_n, oldest = int(label), min(int(x) for x in applied_now)
+            except ValueError:
+                pass  # non-numeric labels: no order to reason about
+            else:
+                if label_n < oldest:
+                    raise ValueError(
+                        f"label {label!r} is older than the oldest retained "
+                        f"applied label ({oldest}) in a full "
+                        f"{_APPLIED_WINDOW}-entry window: cannot tell whether "
+                        "it was already applied; refusing to re-merge"
+                    )
         b = batch.withColumn(self.BUCKET_COL, self.bucket_expr(keys))
         touched = sorted(r[0] for r in b.select(self.BUCKET_COL).distinct().collect())
         if not touched:
@@ -284,7 +308,7 @@ class BucketedStateStore(AtomicStateStore):
                 buckets[str(t)] = version
             else:  # merged away entirely (e.g. post-compaction empty bucket)
                 buckets.pop(str(t), None)
-        applied = (self.applied_labels() + [label])[-64:]
+        applied = (self.applied_labels() + [label])[-_APPLIED_WINDOW:]
         self._publish_manifest(buckets, applied)
         if len(set(buckets.values())) > self.compact_after:
             self.compact(spark, label=f"{label}c")

@@ -133,3 +133,198 @@ def test_view_compaction_preserves_contents(spark, tmp_path):
     droot = os.path.join(state, "view_by_grp")
     assert os.listdir(droot) == ["delta_batch=base"]
     assert _view_rows(spark, state) == before
+
+
+def test_compaction_crash_after_commit_recovers(spark, tmp_path, monkeypatch):
+    """A crash AFTER the COMMIT flag (mid-delete of old delta partitions)
+    must be finished by the next read: the folded base is authoritative
+    and no data is lost."""
+    import shutil
+
+    import pytest
+
+    _, state, _ = _run(spark, tmp_path, "d")
+    before = _view_rows(spark, state)
+
+    monkeypatch.setattr(shutil, "rmtree", _raise_injected)
+    with pytest.raises(OSError, match="injected"):
+        compact_view(spark, state, VIEW)
+    monkeypatch.undo()
+
+    droot = os.path.join(state, "view_by_grp")
+    assert os.path.isfile(os.path.join(droot, "_compact", "COMMIT"))
+    # the next read recovers: same contents, log fully compacted
+    assert _view_rows(spark, state) == before
+    assert os.listdir(droot) == ["delta_batch=base"]
+
+
+def _raise_injected(path, **kw):
+    raise OSError(f"injected crash removing {path}")
+
+
+def test_compaction_crash_before_commit_is_discarded(spark, tmp_path):
+    """An incomplete fold (no COMMIT flag) must be discarded; the delta
+    log stays the source of truth."""
+    _, state, _ = _run(spark, tmp_path, "e")
+    before = _view_rows(spark, state)
+    droot = os.path.join(state, "view_by_grp")
+    junk = os.path.join(droot, "_compact", "base")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "partial.parquet"), "w") as f:
+        f.write("garbage")
+    assert _view_rows(spark, state) == before
+    assert not os.path.isdir(os.path.join(droot, "_compact"))
+
+
+def test_merge_rejects_label_older_than_retained_window(spark, tmp_path):
+    """A label older than a FULL applied-label window is ambiguous (it may
+    have been applied and evicted) — merge must fail loudly, never
+    silently re-apply (ADVICE r4: double-counted IVM deltas)."""
+    import pytest
+
+    store = BucketedStateStore(str(tmp_path / "stlw"), n_buckets=4)
+    batch = spark.createDataFrame(
+        [("0/01", "I", 1, "A", 1.0)],
+        "lsn string, op string, id long, grp string, val double",
+    )
+    store.merge(batch, keys=["id"], order_by=["lsn"], label="100")
+    man = store.current_manifest()
+    # simulate a long-lived stream: a full 64-label window [100..163]
+    store._publish_manifest(man["buckets"], [str(x) for x in range(100, 164)])
+
+    with pytest.raises(ValueError, match="older than the oldest retained"):
+        store.merge(batch, keys=["id"], order_by=["lsn"], label="50")
+    # newer labels and in-window replays still behave
+    assert store.merge(batch, keys=["id"], order_by=["lsn"], label="120") is None
+    assert store.merge(batch, keys=["id"], order_by=["lsn"], label="200") is not None
+
+
+# --- join views ---------------------------------------------------------------
+
+
+def _jv_maintainer(tmp_path, sub):
+    from pgcdc_spark.streaming.ivm import JoinView, JoinViewMaintainer
+
+    view = JoinView("ord_dim", on=["j"], left_cols=["id", "j", "a_val"],
+                    right_cols=["j", "b_val"])
+    return JoinViewMaintainer(
+        str(tmp_path / f"jv{sub}"), view,
+        left_keys=["id"], right_keys=["rid"], n_buckets=4,
+    )
+
+
+def _cdc(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+L_SCHEMA = "lsn string, op string, id long, j long, a_val string"
+R_SCHEMA = "lsn string, op string, rid long, j long, b_val string"
+
+
+def _recompute(spark, m):
+    l_st = m.left_store.read(spark)
+    r_st = m.right_store.read(spark)
+    if l_st is None or r_st is None:
+        return {}
+    joined = (
+        l_st.filter(F.col("op") != "D").select("id", "j", "a_val")
+        .join(r_st.filter(F.col("op") != "D").select("j", "b_val"), on="j")
+    )
+    return {
+        tuple(r)[:-1]: r["multiplicity"]
+        for r in joined.groupBy("id", "j", "a_val", "b_val")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .collect()
+    }
+
+
+def _view_dict(spark, m):
+    return {
+        (r["id"], r["j"], r["a_val"], r["b_val"]): r["multiplicity"]
+        for r in m.read_view(spark).collect()
+    }
+
+
+def test_join_view_tracks_all_transition_kinds(spark, tmp_path):
+    """ΔL⋈R_old ∪ L_new⋈ΔR must equal a full recompute after every batch:
+    inserts both sides, a join-key move on the left, a delete on the
+    right, an in-place value update on the right."""
+    m = _jv_maintainer(tmp_path, "a")
+
+    batches = [
+        (  # b0: base rows both sides (j=1 matches, j=2 matches, j=3 left-only)
+            [("0/01", "I", 1, 1, "a1"), ("0/02", "I", 2, 2, "a2"),
+             ("0/03", "I", 3, 3, "a3")],
+            [("0/01", "I", 10, 1, "b1"), ("0/02", "I", 11, 2, "b2")],
+        ),
+        (  # b1: left key-move id=1 j 1->2; right insert second j=2 row
+            [("0/04", "U", 1, 2, "a1x")],
+            [("0/03", "I", 12, 2, "b2bis")],
+        ),
+        (  # b2: right delete rid=11; right update rid=12 value
+            [],
+            [("0/04", "D", 11, 2, "b2"), ("0/05", "U", 12, 2, "B2BIS")],
+        ),
+    ]
+    for i, (lrows, rrows) in enumerate(batches):
+        m.apply_batch(
+            _cdc(spark, lrows, L_SCHEMA) if lrows else None,
+            _cdc(spark, rrows, R_SCHEMA) if rrows else None,
+            label=str(i),
+        )
+        assert _view_dict(spark, m) == _recompute(spark, m), f"batch {i}"
+
+    # sanity on the final shape: id1 and id2 each join the one surviving
+    # j=2 dim row (rid 12, updated value); j=1 and j=3 have no matches
+    assert _view_dict(spark, m) == {
+        (1, 2, "a1x", "B2BIS"): 1,
+        (2, 2, "a2", "B2BIS"): 1,
+    }
+
+
+def test_join_view_replay_and_split_batch_idempotent(spark, tmp_path):
+    """Replaying a label is a no-op on both sides; a crash between the two
+    store merges (left published, right not) replays to the exact view."""
+    m = _jv_maintainer(tmp_path, "b")
+    l0 = _cdc(spark, [("0/01", "I", 1, 1, "a1")], L_SCHEMA)
+    r0 = _cdc(spark, [("0/01", "I", 10, 1, "b1")], R_SCHEMA)
+    m.apply_batch(l0, r0, label="0")
+    after0 = _view_dict(spark, m)
+    m.apply_batch(l0, r0, label="0")  # full replay: no-op
+    assert _view_dict(spark, m) == after0
+
+    # crash between sides: left merges label 1, right never does ...
+    l1 = _cdc(spark, [("0/02", "U", 1, 1, "a1v2")], L_SCHEMA)
+    r1 = _cdc(spark, [("0/02", "I", 11, 1, "b1bis")], R_SCHEMA)
+    m.apply_batch(l1, None, label="1")
+    # ... then the batch replays whole: left side skips, right applies
+    m.apply_batch(l1, r1, label="1")
+    assert _view_dict(spark, m) == _recompute(spark, m) == {
+        (1, 1, "a1v2", "b1"): 1,
+        (1, 1, "a1v2", "b1bis"): 1,
+    }
+
+
+def test_join_view_compaction_preserves_multiplicities(spark, tmp_path):
+    """Fold keeps multiset semantics (duplicate joined rows net to
+    multiplicity > 1) and survives the crash-atomic protocol."""
+    m = _jv_maintainer(tmp_path, "c")
+    # two left rows with identical (j, a_val) but different ids join the
+    # same dim row -> distinct view rows; plus two dim rows on j=5 give
+    # multiplicity via identical (id, j, a_val, b_val)? make b_val equal:
+    l0 = _cdc(spark, [("0/01", "I", 1, 5, "same")], L_SCHEMA)
+    r0 = _cdc(
+        spark,
+        [("0/01", "I", 20, 5, "dup"), ("0/02", "I", 21, 5, "dup")],
+        R_SCHEMA,
+    )
+    m.apply_batch(l0, r0, label="0")
+    before = _view_dict(spark, m)
+    assert before == {(1, 5, "same", "dup"): 2}
+    m.compact(spark)
+    assert os.listdir(m.delta_root) == ["delta_batch=base"]
+    assert _view_dict(spark, m) == before
+    # and maintenance continues on top of the compacted base
+    m.apply_batch(None, _cdc(spark, [("0/03", "D", 21, 5, "dup")], R_SCHEMA),
+                  label="1")
+    assert _view_dict(spark, m) == {(1, 5, "same", "dup"): 1}

@@ -533,9 +533,33 @@ def test_observed_metrics_per_batch_and_totals(spark, tmp_path):
         assert totals["n_deletes"] == per_op["D"]
         batches = collector.snapshot()
         assert len(batches) >= 2, "per-batch granularity lost (one batch only)"
+        def _norm(lsn):
+            hi, lo = lsn.split("/")
+            return f"{hi.upper().zfill(8)}/{lo.upper().zfill(8)}"
+
         assert totals["max_lsn"] == max(
-            json.loads(l)["lsn"] for l in lines
+            _norm(json.loads(l)["lsn"]) for l in lines
             if json.loads(l)["tag"] in ("insert", "update", "delete")
         )
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_sortable_lsn_orders_variable_width_hex(spark):
+    """Raw string max picks '0/F' over '0/16B3748' (lexicographic trap);
+    the normalized form orders numerically. Non-pg shapes pass through."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.streaming.metrics import sortable_lsn
+
+    df = spark.createDataFrame(
+        [("0/F",), ("0/16B3748",)], "lsn string"
+    )
+    raw_max = df.agg(F.max("lsn")).collect()[0][0]
+    assert raw_max == "0/F"  # the trap this fixes
+    norm_max = df.agg(F.max(sortable_lsn(F.col("lsn")))).collect()[0][0]
+    assert norm_max == "00000000/016B3748"
+
+    passthrough = spark.createDataFrame([("t0042",)], "lsn string")
+    got = passthrough.select(sortable_lsn(F.col("lsn")).alias("s")).collect()[0]["s"]
+    assert got == "t0042"

@@ -129,8 +129,9 @@ _PRIORITY = (
     "agg_corr_covar",
     # round-5 new surface (1) — total 50
     "join_asof_tolerance",
-    # just past the 50-sample boundary; rotates in next round
+    # just past the 50-sample boundary; rotate in next round
     "mm_audio_resample",
+    "merge_into_customer_orders",
 )
 
 

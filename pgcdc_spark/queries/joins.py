@@ -444,3 +444,75 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id")
     )
+
+
+# --- MERGE INTO (engine operator; full three-branch SQL MERGE) ---------------
+
+_MERGE_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey AS k,
+         SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS rev,
+         COUNT(*) AS n
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+),
+src AS (
+  SELECT k, rev, n FROM agg
+  UNION ALL
+  SELECT -k, rev, n FROM agg WHERE k % 97 = 0 AND k <> 0
+)
+SELECT
+  COALESCE(c.c_custkey, s.k) AS c_custkey,
+  CASE WHEN c.c_custkey IS NULL THEN 'backfill' ELSE c.c_name END AS c_name,
+  CAST(CASE
+    WHEN c.c_custkey IS NOT NULL AND s.k IS NOT NULL
+      THEN c.c_acctbal + CAST(s.rev AS DOUBLE)
+    WHEN c.c_custkey IS NULL THEN CAST(s.rev AS DOUBLE)
+  END AS DOUBLE) AS c_acctbal,
+  CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_mktsegment END AS c_mktsegment
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+WHERE NOT (c.c_custkey IS NOT NULL AND s.k IS NOT NULL AND s.n >= 7)
+  AND NOT (s.k IS NULL)
+"""
+
+
+@query("merge_into_customer_orders", oracle=_MERGE_ORACLE, tags=("merge", "upsert"))
+def merge_into_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four MERGE branches in one statement: finished-order revenue
+    per customer updates the account balance (matched UPDATE), heavy
+    buyers are purged (matched DELETE, n >= 7), synthetic negative-key
+    rows backfill as new customers (NOT MATCHED INSERT), and customers
+    with no finished orders age out (NOT MATCHED BY SOURCE DELETE). One
+    full-outer hash join on the key — no per-branch passes. The single
+    double addition (exact-decimal revenue cast to double) is
+    order-independent, keeping cross-engine hashes stable."""
+    from ..operators.merge import S, T, merge_into
+
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    agg = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    synth = agg.filter((F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") != 0)).select(
+        (-F.col("c_custkey")).alias("c_custkey"), "rev", "n"
+    )
+    src = agg.unionByName(synth)
+    tgt = customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    return merge_into(
+        tgt,
+        src,
+        on=["c_custkey"],
+        when_matched_update={
+            "c_acctbal": T("c_acctbal") + S("rev").cast("double"),
+        },
+        when_matched_delete=S("n") >= 7,
+        when_not_matched_insert={
+            "c_name": F.lit("backfill"),
+            "c_acctbal": S("rev").cast("double"),
+            "c_mktsegment": F.lit("NEW"),
+        },
+        when_not_matched_by_source_delete=True,
+    )

@@ -89,6 +89,34 @@ def read_jdbc(
     return reader.load()
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC scan (columnar sibling of parquet; Spark's reader is vectorized
+    and pushes filters/projections the same way). Schema optional here —
+    ORC files embed a strict schema, unlike CSV/JSON — but passing one
+    still enforces the contract at read time."""
+    configure_session(spark)
+    reader = spark.read.format("orc")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from pgcdc_spark.operators.salted import salted_join
@@ -94,6 +96,92 @@ def test_binned_range_join_left_outer_null_payload_no_dup(spark):
     ).collect()
     got = sorted((r["pid"], r["iid"]) for r in rows)
     assert got == [(1, 10), (2, None), (3, 10)]
+
+
+def test_merge_into_all_branches(spark):
+    """One merge statement exercising every branch: matched update,
+    matched delete, not-matched insert, not-matched-by-source delete —
+    with unlisted columns preserved and output schema pinned to target."""
+    import pytest
+
+    from pgcdc_spark.operators.merge import S, T, merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id LONG, name STRING, bal DOUBLE",
+    )
+    source = spark.createDataFrame(
+        # id1 -> update, id2 -> delete (flag), id9 -> insert; id3/id4 absent
+        [(1, 5.0, False), (2, 0.0, True), (9, 99.0, False)],
+        "id LONG, delta DOUBLE, purge BOOLEAN",
+    )
+
+    out = merge_into(
+        target, source, on=["id"],
+        when_matched_update={"bal": T("bal") + S("delta")},
+        when_matched_delete=S("purge"),
+        when_not_matched_insert={"name": F.lit("new"), "bal": S("delta")},
+        when_not_matched_by_source_delete=F.col("__mt.name") == F.lit("c"),
+    )
+    assert out.columns == ["id", "name", "bal"]
+    got = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 15.0),    # matched update; name preserved
+        4: ("d", 40.0),    # not matched by source, condition false -> kept
+        9: ("new", 99.0),  # inserted (key defaults to source key)
+    }  # id2 purged (matched delete), id3 dropped (by-source delete)
+
+    # without clauses, matched/only-target rows pass through, source-only drop
+    passthru = merge_into(target, source, on=["id"])
+    assert {r["id"] for r in passthru.collect()} == {1, 2, 3, 4}
+
+    # duplicate source keys must fail loudly, not update twice
+    dup = spark.createDataFrame([(1, 1.0, False), (1, 2.0, False)],
+                                "id LONG, delta DOUBLE, purge BOOLEAN")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into(target, dup, on=["id"])
+
+
+def test_merge_into_null_safe_keys(spark):
+    """NULL join keys must match each other (eqNullSafe), mirroring MERGE
+    ON <key> semantics where a NULL-keyed source row would otherwise
+    land in the insert branch AND leave the NULL target row untouched."""
+    from pgcdc_spark.operators.merge import S, merge_into
+
+    target = spark.createDataFrame([(None, 1.0), (7, 2.0)], "id LONG, bal DOUBLE")
+    source = spark.createDataFrame([(None, 100.0)], "id LONG, bal2 DOUBLE")
+    out = merge_into(target, source, on=["id"],
+                     when_matched_update={"bal": S("bal2")})
+    got = {r["id"]: r["bal"] for r in out.collect()}
+    assert got == {None: 100.0, 7: 2.0}
+
+
+def test_compact_files_bin_packs(spark, sf_smoke, tmp_path):
+    """64 tiny files fold into the planned byte-targeted count; contents
+    survive exactly; z-style local sort is honored within output files."""
+    from pgcdc_spark.operators.compaction import compact_files, dir_bytes, plan_output_files
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    src = str(tmp_path / "small")
+    events.repartition(64).write.parquet(src)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in == 64
+
+    total = dir_bytes(spark, src)
+    dst = str(tmp_path / "packed")
+    n_planned = compact_files(spark, src, dst, target_file_bytes=total // 2 + 1)
+    assert n_planned == plan_output_files(total, total // 2 + 1) == 2
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out == 2
+
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_files(spark, src, dst, target_file_bytes=0)
 
 
 def test_asof_join_directions_and_tolerance(spark):

@@ -38,6 +38,30 @@ def test_json_roundtrip_preserves_values(spark, nation, tmp_path):
     assert _sorted_rows(back) == _sorted_rows(nation)
 
 
+def test_orc_roundtrip_and_partition_pruning(spark, nation, sf_smoke, tmp_path):
+    """ORC is the third columnar format on the source/sink surface: exact
+    round trip (embedded schema), and partitioned writes prune directories
+    on read like parquet does."""
+    path = str(tmp_path / "nation_orc")
+    sources.write_orc(nation, path)
+    back = sources.read_orc(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    assert _sorted_rows(back) == _sorted_rows(nation)
+
+    (orders,) = load(spark, sf_smoke, "orders")
+    part = str(tmp_path / "orders_orc")
+    sources.write_orc(
+        orders.withColumn("status", F.col("o_orderstatus")), part,
+        partition_by=["status"],
+    )
+    pruned = sources.read_orc(spark, part).filter(F.col("status") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan
+    got = pruned.count()
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert got == want > 0
+
+
 def test_csv_permissive_nulls_bad_lines(spark, tmp_path):
     p = tmp_path / "bad"
     p.mkdir()

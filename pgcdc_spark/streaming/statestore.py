@@ -156,11 +156,17 @@ class BucketedStateStore(AtomicStateStore):
     """
 
     BUCKET_COL = "__bucket"
+    HISTORY = "_HISTORY"
 
-    def __init__(self, root: str, n_buckets: int = 64, compact_after: int = 16) -> None:
+    def __init__(self, root: str, n_buckets: int = 64, compact_after: int = 16,
+                 history_keep: int = 8) -> None:
         super().__init__(root)
         self.n_buckets = n_buckets
         self.compact_after = compact_after
+        #: manifests retained for time travel (read_asof); version dirs
+        #: referenced by any retained manifest survive GC, so disk holds
+        #: at most history_keep superseded bucket generations.
+        self.history_keep = history_keep
 
     # -- manifest ------------------------------------------------------------
 
@@ -186,14 +192,15 @@ class BucketedStateStore(AtomicStateStore):
     # -- read side -----------------------------------------------------------
 
     def read_buckets(
-        self, spark: SparkSession, bucket_ids: list[int] | None
+        self, spark: SparkSession, bucket_ids: list[int] | None,
+        manifest: dict | None = None,
     ) -> DataFrame | None:
         """Union of the live files of ``bucket_ids`` (None = all buckets),
         with the ``__bucket`` column retained. Returns None when no listed
         bucket has live data. Grouped per version dir so each read keeps
         parquet schema/pushdown and the fan-in is (distinct versions), not
-        (buckets)."""
-        man = self.current_manifest()
+        (buckets). ``manifest`` overrides the live one (time travel)."""
+        man = manifest if manifest is not None else self.current_manifest()
         if man is None:
             return None
         buckets: dict[str, str] = man["buckets"]
@@ -218,6 +225,60 @@ class BucketedStateStore(AtomicStateStore):
     def read(self, spark: SparkSession) -> DataFrame | None:
         df = self.read_buckets(spark, None)
         return None if df is None else df.drop(self.BUCKET_COL)
+
+    # -- time travel -----------------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """Retained publish history, oldest first: ``[{"label": ...,
+        "manifest": {...}}, ...]`` (one entry per merge/compact publish,
+        bounded by ``history_keep``)."""
+        try:
+            with open(os.path.join(self.root, self.HISTORY)) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return []
+
+    def read_asof(self, spark: SparkSession, label: str) -> DataFrame | None:
+        """The committed state AS OF ``label``: the newest retained
+        publish whose label is <= ``label`` (numeric compare when both
+        sides parse as ints, else exact match only) — the table-format
+        "VERSION AS OF" verb, served straight from retained manifests;
+        no data is copied or reconstructed.
+
+        Raises when ``label`` predates the retained window (a silent
+        None would read as "empty state")."""
+        entries = self.history()
+        if not entries:
+            return None
+
+        def key(x: str) -> tuple:
+            try:
+                return (0, int(x), "")
+            except ValueError:
+                return (1, 0, x)
+
+        eligible = [e for e in entries if key(e["label"]) <= key(label)]
+        if not eligible:
+            raise ValueError(
+                f"label {label!r} predates the retained history window "
+                f"(oldest retained: {entries[0]['label']!r}, "
+                f"history_keep={self.history_keep})"
+            )
+        man = max(eligible, key=lambda e: key(e["label"]))["manifest"]
+        df = self.read_buckets(spark, None, manifest=man)
+        return None if df is None else df.drop(self.BUCKET_COL)
+
+    def _append_history(self, label: str, manifest: dict) -> None:
+        entries = self.history()
+        entries.append({"label": label, "manifest": manifest})
+        entries = entries[-self.history_keep:]
+        tmp = os.path.join(self.root, self.HISTORY + ".tmp")
+        with open(tmp, "w") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, self.HISTORY))
 
     # -- write side ----------------------------------------------------------
 
@@ -309,7 +370,7 @@ class BucketedStateStore(AtomicStateStore):
             else:  # merged away entirely (e.g. post-compaction empty bucket)
                 buckets.pop(str(t), None)
         applied = (self.applied_labels() + [label])[-_APPLIED_WINDOW:]
-        self._publish_manifest(buckets, applied)
+        self._publish_manifest(buckets, applied, label=label)
         if len(set(buckets.values())) > self.compact_after:
             self.compact(spark, label=f"{label}c")
         return version
@@ -328,11 +389,13 @@ class BucketedStateStore(AtomicStateStore):
             for d in os.listdir(target)
             if d.startswith(self.BUCKET_COL + "=")
         }
-        self._publish_manifest({b: version for b in written}, self.applied_labels())
+        self._publish_manifest({b: version for b in written}, self.applied_labels(),
+                               label=label)
         return version
 
     def _publish_manifest(
-        self, buckets: dict[str, str], applied: list[str] | None = None
+        self, buckets: dict[str, str], applied: list[str] | None = None,
+        label: str | None = None,
     ) -> None:
         manifest = {
             "n_buckets": self.n_buckets,
@@ -340,7 +403,12 @@ class BucketedStateStore(AtomicStateStore):
             "applied": applied if applied is not None else self.applied_labels(),
         }
         self._publish(json.dumps(manifest))
-        self._gc_unreferenced(set(buckets.values()))
+        if label is not None:
+            self._append_history(label, manifest)
+        referenced = set(buckets.values())
+        for e in self.history():
+            referenced |= set(e["manifest"]["buckets"].values())
+        self._gc_unreferenced(referenced)
 
     def _gc_unreferenced(self, referenced: set[str]) -> None:
         for d in os.listdir(self.root):

@@ -183,10 +183,12 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
 
 def test_bucketed_store_compaction_bounds_fanin_and_gcs(spark, tmp_path):
     """Version fan-in stays bounded by compact_after (LSM-style fold) and
-    version dirs no longer referenced by any bucket are deleted."""
+    version dirs no longer referenced by any bucket are deleted
+    (history_keep=1: no time-travel window pinning old versions)."""
     from pgcdc_spark.streaming.statestore import BucketedStateStore
 
-    store = BucketedStateStore(str(tmp_path / "st"), n_buckets=4, compact_after=2)
+    store = BucketedStateStore(str(tmp_path / "st"), n_buckets=4, compact_after=2,
+                               history_keep=1)
     for i in range(6):
         batch = spark.createDataFrame(
             [(i, f"{i:03d}", "I", f"v{i}")], "id LONG, lsn STRING, op STRING, v STRING"
@@ -198,6 +200,52 @@ def test_bucketed_store_compaction_bounds_fanin_and_gcs(spark, tmp_path):
     assert on_disk == set(man["buckets"].values())  # unreferenced dirs GC'd
     rows = {r["id"]: r["v"] for r in store.read(spark).collect()}
     assert rows == {i: f"v{i}" for i in range(6)}
+
+
+def test_bucketed_store_time_travel_read_asof(spark, tmp_path):
+    """read_asof(label) reconstructs the committed state at any retained
+    publish straight from manifest history — across merges, after
+    compaction, and with a loud failure beyond the retained window."""
+    import pytest
+
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    store = BucketedStateStore(str(tmp_path / "st"), n_buckets=4,
+                               compact_after=3, history_keep=8)
+    snapshots = {}
+    for i in range(5):
+        rows = [(i, f"{i:03d}", "I", f"v{i}")]
+        if i == 3:  # batch 3 also updates key 0
+            rows.append((0, "900", "U", "v0-updated"))
+        batch = spark.createDataFrame(
+            rows, "id LONG, lsn STRING, op STRING, v STRING"
+        )
+        store.merge(batch, keys=["id"], order_by=["lsn"], label=str(i))
+        snapshots[str(i)] = {
+            r["id"]: r["v"] for r in store.read(spark).filter("op <> 'D'").collect()
+        }
+
+    # exact-label reads reproduce every retained snapshot (compaction
+    # happened along the way at compact_after=3 and must not corrupt them)
+    for lbl, want in snapshots.items():
+        got = {r["id"]: r["v"]
+               for r in store.read_asof(spark, lbl).filter("op <> 'D'").collect()}
+        assert got == want, f"as-of {lbl}"
+    assert snapshots["2"][0] == "v0" and snapshots["4"][0] == "v0-updated"
+
+    # between-labels semantics: newest publish <= requested label
+    got35 = {r["id"]: r["v"]
+             for r in store.read_asof(spark, "35").filter("op <> 'D'").collect()}
+    assert got35 == snapshots["4"]
+
+    # beyond the retained window: loud failure, not silent empty state
+    tight = BucketedStateStore(str(tmp_path / "st2"), n_buckets=4, history_keep=2)
+    for i in range(4):
+        b = spark.createDataFrame([(i, f"{i:03d}", "I", f"v{i}")],
+                                  "id LONG, lsn STRING, op STRING, v STRING")
+        tight.merge(b, keys=["id"], order_by=["lsn"], label=str(i))
+    with pytest.raises(ValueError, match="predates the retained history"):
+        tight.read_asof(spark, "0")
 
 
 def _event_stream(spark, tmp_path, rows):

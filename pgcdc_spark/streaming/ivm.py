@@ -351,3 +351,53 @@ class JoinViewMaintainer:
             )
 
         _compact_delta_log(spark, self.delta_root, fold)
+
+
+def start_join_view_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    maintainer: JoinViewMaintainer,
+    left_table: str,
+    right_table: str,
+    row_schemas: dict,
+    max_files_per_trigger: int = 10,
+):
+    """One CDC stream carrying BOTH tables' envelopes (each JSON line has
+    a ``table`` field, the pgoutput relation name), routed per micro-batch
+    into the join-view maintainer.
+
+    Routing happens INSIDE foreachBatch — one source, one checkpoint, one
+    batch label for both sides, which is exactly what the maintainer's
+    two-store label gate expects (the alternative, two separate streams,
+    would need cross-query ordering the engine can't give). Per-table
+    schemas apply after the split, so heterogeneous row images coexist in
+    one topic/directory, like a real multi-table replication slot."""
+    from ..cdc.envelope import parse_envelope
+    from ..cdc.transform import apply_pipeline
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tagged = batch_df.withColumn(
+            "__tbl", F.get_json_object(F.col("value"), "$.table")
+        )
+
+        def side(table: str) -> DataFrame | None:
+            part = tagged.filter(F.col("__tbl") == table).select("value")
+            return apply_pipeline(parse_envelope(part, "value", row_schemas[table]))
+
+        maintainer.apply_batch(side(left_table), side(right_table), str(batch_id))
+
+    return (
+        raw.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -305,6 +305,59 @@ def test_join_view_replay_and_split_batch_idempotent(spark, tmp_path):
     }
 
 
+def test_join_view_streaming_two_table_routing(spark, tmp_path):
+    """One file-stream of mixed-table envelopes drives the join view via
+    foreachBatch routing; a checkpoint restart with no new data is a
+    no-op; a later file continues maintenance."""
+    from pgcdc_spark.streaming.ivm import start_join_view_stream
+
+    m = _jv_maintainer(tmp_path, "s")
+    left_schema = StructType([
+        StructField("id", LongType()), StructField("j", LongType()),
+        StructField("a_val", StringType()),
+    ])
+    right_schema = StructType([
+        StructField("rid", LongType()), StructField("j", LongType()),
+        StructField("b_val", StringType()),
+    ])
+
+    def env(lsn, table, tag, img):
+        e = {"lsn": f"0/{lsn:04X}", "tag": tag, "table": table}
+        e["old" if tag == "delete" else "new"] = img
+        return json.dumps(e)
+
+    src = str(tmp_path / "jv_src")
+    ckpt = str(tmp_path / "jv_ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "c0.jsonl"), "w") as f:
+        f.write("\n".join([
+            env(1, "fact", "insert", {"id": 1, "j": 1, "a_val": "a1"}),
+            env(2, "dim", "insert", {"rid": 10, "j": 1, "b_val": "b1"}),
+            env(3, "dim", "insert", {"rid": 11, "j": 2, "b_val": "b2"}),
+        ]))
+
+    def run():
+        q = start_join_view_stream(
+            spark, src, ckpt, m, "fact", "dim",
+            {"fact": left_schema, "dim": right_schema},
+        )
+        q.awaitTermination(240)
+
+    run()
+    assert _view_dict(spark, m) == _recompute(spark, m) == {(1, 1, "a1", "b1"): 1}
+
+    run()  # restart, no new files: nothing double-counts
+    assert _view_dict(spark, m) == {(1, 1, "a1", "b1"): 1}
+
+    with open(os.path.join(src, "c1.jsonl"), "w") as f:
+        f.write("\n".join([
+            env(4, "fact", "update", {"id": 1, "j": 2, "a_val": "a1x"}),  # key move
+            env(5, "dim", "delete", {"rid": 10, "j": 1, "b_val": "b1"}),
+        ]))
+    run()
+    assert _view_dict(spark, m) == _recompute(spark, m) == {(1, 2, "a1x", "b2"): 1}
+
+
 def test_join_view_compaction_preserves_multiplicities(spark, tmp_path):
     """Fold keeps multiset semantics (duplicate joined rows net to
     multiplicity > 1) and survives the crash-atomic protocol."""

@@ -59,6 +59,11 @@ EXTRA = [
     "cdc_scd2_history",
     "emb_ivf_pq_topk",
     "events_funnel_conversion",
+    # r5 additions: nearest-asof (two windows, one exchange), full-outer
+    # MERGE, Arrow audio decode+resample
+    "join_asof_tolerance",
+    "merge_into_customer_orders",
+    "mm_audio_resample",
 ]
 
 

@@ -50,6 +50,7 @@ _MODULES = (
     "scd",
     "llm_text",
     "multimodal",
+    "profiling",
     "relational",
     "tpch_extra",
     "tpch_rest",
@@ -132,6 +133,8 @@ _PRIORITY = (
     # just past the 50-sample boundary; rotate in next round
     "mm_audio_resample",
     "merge_into_customer_orders",
+    "profile_orders_columns",
+    "dq_expectations_orders",
 )
 
 

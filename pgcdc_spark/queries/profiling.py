@@ -1,0 +1,150 @@
+"""Data profiling + data-quality expectations — the ingestion-side
+guardrails a CDC-fed warehouse runs continuously.
+
+The reference ships rows with zero validation (its io-ts decoder exists
+but is bypassed by an unchecked cast, /root/reference/src/mapping/
+customMapper.ts:22); a production feed needs the opposite posture:
+every landed table gets a one-pass profile (null rates, cardinalities,
+ranges) and a set of declarative expectations (key uniqueness, FK
+coverage, domain membership, range bounds) whose violation counts alert
+before consumers read garbage.
+
+Scale shapes:
+- the profile is ONE aggregation pass emitting all per-column metrics as
+  a single row, then a row-local stack into (column, metric...) rows —
+  no per-column jobs, no second scan. Exact distinct counts go through
+  Spark's expand-based multi-count-distinct (fine for a bounded column
+  list; swap approx_count_distinct at wider schemas);
+- expectations that need a join (FK orphans) use the same broadcast/
+  shuffle machinery as any query; everything else folds into the same
+  single-pass aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from . import query
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT
+  '{c}' AS column_name,
+  COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({c}) AS n_null,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders
+"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_orders_columns", oracle=_PROFILE_ORACLE, tags=("profiling", "agg"))
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders in ONE aggregation pass: the metrics
+    for every column compute side by side in a single agg row, then stack
+    into (column, metrics) rows with a row-local inline expansion — the
+    plan scans orders exactly once however many columns are profiled."""
+    (orders,) = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stacked = one.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__n").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        )
+    )
+    return stacked
+
+
+_DQ_ORACLE = """
+SELECT 'pk_unique' AS check_name,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+       )) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'pk_not_null',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'fk_customer_exists',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'status_in_domain',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+"""
+
+
+@query("dq_expectations_orders", oracle=_DQ_ORACLE, tags=("profiling", "dq"))
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders, one row per check with its
+    violation count. The row-local checks (nulls, domain, range) fold
+    into one aggregation pass; uniqueness is one groupBy on the key; the
+    FK check is a single anti join (broadcast at dim sizes). A green run
+    returns all-zero counts — the driver's value hash pins that, so any
+    future data or logic drift trips the gate."""
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+
+    row_local = orders.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("pk_not_null"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")
+        ).alias("status_in_domain"),
+        F.sum(
+            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).cast("long")
+        ).alias("totalprice_positive"),
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("pk_unique"))
+    )
+    orphans = (
+        orders.join(F.broadcast(customer.select("c_custkey")),
+                    F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_customer_exists"))
+    )
+
+    combined = row_local.crossJoin(dup_keys).crossJoin(orphans)
+    return combined.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("check_name"),
+                             F.col(name).cast("long").alias("n_violations"))
+                    for name in ("pk_unique", "pk_not_null", "fk_customer_exists",
+                                 "status_in_domain", "totalprice_positive")
+                ]
+            )
+        )
+    )

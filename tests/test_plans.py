@@ -266,6 +266,14 @@ def test_timeseries_single_shuffle_per_series(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_profile_single_scan(spark):
+    """The column profile computes every per-column metric in one
+    aggregation pass — exactly ONE FileScan however many columns are
+    profiled (a per-column-job profiler would scan N times)."""
+    plan = _plan(spark, "profile_orders_columns")
+    assert plan.count("FileScan") == 1
+
+
 def test_asof_nearest_single_exchange(spark):
     """direction='nearest' evaluates a backward and a forward window over
     the same key partitioning — Catalyst must plan ONE hash exchange (two

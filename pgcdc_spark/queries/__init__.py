@@ -135,6 +135,7 @@ _PRIORITY = (
     "merge_into_customer_orders",
     "profile_orders_columns",
     "dq_expectations_orders",
+    "graph_bfs_hops",
 )
 
 

@@ -148,3 +148,53 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- iterative graph traversal (no recursive CTE in Spark) -------------------
+# A deterministic functional graph over the contiguous customer keys
+# (node k -> (7k+1) mod N and (13k+3) mod N) gives both engines the same
+# edge set from pure arithmetic; the oracle walks it with a recursive CTE
+# while the engine uses the iterative BFS operator.
+
+_BFS_MAX_HOPS = 4
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT c_custkey AS src, (c_custkey * 7 + 1) % (SELECT COUNT(*) FROM customer) AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 13 + 3) % (SELECT COUNT(*) FROM customer)
+  FROM customer
+),
+bfs(node, hops) AS (
+  SELECT c_custkey AS node, 0 AS hops FROM customer WHERE c_custkey % 500 = 0
+  UNION
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hops < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM bfs GROUP BY node
+"""
+
+
+@query("graph_bfs_hops", oracle=_BFS_ORACLE, tags=("graph", "iterative"))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over a deterministic functional graph on customer
+    keys: min hop count within {_BFS_MAX_HOPS} steps from the custkey-
+    multiple-of-500 seeds. The engine side is the iterative frontier
+    operator (operators/graph.py, per-round O(frontier), lineage
+    truncated); the oracle enumerates the same walk with a recursive CTE
+    and folds to MIN(hops)."""
+    (customer,) = load(spark, sf_dir, "customer")
+    n = customer.count()  # bounded scalar (like zorder's stats row)
+    k = F.col("c_custkey")
+    edges = customer.select(
+        k.alias("src"), ((k * 7 + 1) % n).alias("dst")
+    ).unionByName(
+        customer.select(k.alias("src"), ((k * 13 + 3) % n).alias("dst"))
+    )
+    sources = customer.filter(k % 500 == 0).select(k.alias("node"))
+    from ..operators.graph import shortest_hops
+
+    return shortest_hops(edges, sources, max_hops=_BFS_MAX_HOPS)

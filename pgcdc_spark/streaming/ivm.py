@@ -134,11 +134,25 @@ def start_upsert_stream_with_view(
     )
 
 
+def _no_deltas(root: str) -> bool:
+    """True when the view has no delta partitions yet (nothing merged) —
+    readers return an empty relation instead of a read error."""
+    return not os.path.isdir(root) or not any(
+        d.startswith("delta_batch=") for d in os.listdir(root)
+    )
+
+
 def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFrame:
     """Current view contents: fold the delta log. Groups whose rows are
-    all gone net to zero count and drop out."""
+    all gone net to zero count and drop out. An untouched view (no
+    deltas yet) reads as empty."""
     root = os.path.join(state_dir, f"view_{view.name}")
     _recover_compaction(root)
+    if _no_deltas(root):
+        cols = ", ".join(f"{c} string" for c in view.group_cols)
+        return spark.createDataFrame(
+            [], f"{cols}, sum_{view.sum_col} double, n_rows long"
+        )
     deltas = spark.read.parquet(root)
     return (
         deltas.groupBy(*view.group_cols)
@@ -188,6 +202,8 @@ def _compact_delta_log(spark: SparkSession, root: str, fold) -> None:
     import shutil
 
     _recover_compaction(root)
+    if _no_deltas(root):
+        return  # nothing to fold
     tmp = os.path.join(root, _COMPACT_TMP)
     fold(spark.read.parquet(root)).write.mode("overwrite").parquet(
         os.path.join(tmp, "base")
@@ -329,8 +345,12 @@ class JoinViewMaintainer:
 
     def read_view(self, spark: SparkSession) -> DataFrame:
         """Signed fold of the delta log: net multiplicity per distinct
-        joined row (multiset semantics); net-zero rows drop out."""
+        joined row (multiset semantics); net-zero rows drop out. An
+        untouched view (no deltas yet) reads as empty."""
         _recover_compaction(self.delta_root)
+        if _no_deltas(self.delta_root):
+            cols = ", ".join(f"{c} string" for c in self.view.out_cols)
+            return spark.createDataFrame([], f"{cols}, multiplicity long")
         deltas = spark.read.parquet(self.delta_root)
         return (
             deltas.groupBy(*self.view.out_cols)

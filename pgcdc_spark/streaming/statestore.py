@@ -226,6 +226,42 @@ class BucketedStateStore(AtomicStateStore):
         df = self.read_buckets(spark, None)
         return None if df is None else df.drop(self.BUCKET_COL)
 
+    def lookup(
+        self, spark: SparkSession, keys: list[str], values: list[tuple]
+    ) -> DataFrame | None:
+        """Point/batch lookup: live rows for the given key tuples, reading
+        ONLY the buckets those keys hash to.
+
+        This is the read-side payoff of key-hash bucketing: a 100 TB state
+        table answers "what is the current image of these K keys" by
+        opening at most K buckets (~state/n_buckets each), not by scanning
+        the table. Bucket ids are computed driver-side with the same
+        xxhash64 expression the merge uses (one tiny local job, no scan);
+        tombstones are filtered (a deleted key returns no row).
+
+        ``values`` must carry the SAME types as the state's key columns
+        (xxhash64 is type-sensitive: hashing an int32 probe against an
+        int64 key would route to the wrong bucket). Python ints map to
+        LongType, matching the engine's long keys."""
+        if not values:
+            return None
+        man = self.current_manifest()
+        if man is None:
+            return None
+        probe = spark.createDataFrame(values, schema=list(keys))
+        wanted = sorted(
+            r[0]
+            for r in probe.select(self.bucket_expr(keys).alias("b")).distinct().collect()
+        )
+        df = self.read_buckets(spark, wanted)
+        if df is None:
+            return None
+        return (
+            df.join(F.broadcast(probe), on=list(keys), how="left_semi")
+            .filter(F.col("op") != "D")
+            .drop(self.BUCKET_COL)
+        )
+
     # -- time travel -----------------------------------------------------------
 
     def history(self) -> list[dict]:

@@ -202,6 +202,41 @@ def test_bucketed_store_compaction_bounds_fanin_and_gcs(spark, tmp_path):
     assert rows == {i: f"v{i}" for i in range(6)}
 
 
+def test_bucketed_store_point_lookup_prunes_buckets(spark, tmp_path):
+    """lookup() must read ONLY the buckets the probed keys hash to —
+    inputFiles of the returned frame stay inside those bucket dirs — and
+    return current images with tombstones filtered."""
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    store = BucketedStateStore(str(tmp_path / "st"), n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"{i:03d}", "I", f"v{i}") for i in range(40)],
+        "id LONG, lsn STRING, op STRING, v STRING",
+    )
+    store.merge(base, keys=["id"], order_by=["lsn"], label="0")
+    store.merge(
+        spark.createDataFrame([(7, "100", "D", "v7")],
+                              "id LONG, lsn STRING, op STRING, v STRING"),
+        keys=["id"], order_by=["lsn"], label="1",
+    )
+
+    got = store.lookup(spark, ["id"], [(3,), (7,), (11,)])
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows == {3: "v3", 11: "v11"}  # 7 is tombstoned
+
+    wanted = {
+        r[0] for r in
+        spark.createDataFrame([(3,), (7,), (11,)], "id LONG")
+        .select(store.bucket_expr(["id"]).alias("b")).distinct().collect()
+    }
+    for f in got.inputFiles():
+        assert any(f"{store.BUCKET_COL}={b}/" in f for b in wanted), f
+    # and it is a strict subset of the full state's files (pruning real)
+    assert len(got.inputFiles()) < len(store.read(spark).inputFiles())
+
+    assert store.lookup(spark, ["id"], []) is None
+
+
 def test_bucketed_store_time_travel_read_asof(spark, tmp_path):
     """read_asof(label) reconstructs the committed state at any retained
     publish straight from manifest history — across merges, after

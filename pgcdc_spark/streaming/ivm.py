@@ -27,11 +27,20 @@ This is the classic delta/retraction IVM design (e.g. Materialize/Flink
 retraction streams, DBSP) expressed in plain Spark batch primitives.
 
 Scope: SUM/COUNT (and anything derivable from them — AVG, rates) are
-fully retractable from deltas. MIN/MAX are NOT: retracting the current
-extremum requires the remaining group members, i.e. a per-group re-read
-— the standard IVM limitation; serve those from the state table itself
-(one touched-bucket aggregate at read time) or keep per-group top-k
-support sets, both outside this module's delta-log contract.
+fully retractable from deltas. MIN/MAX are not delta-foldable — but
+MinMaxViewMaintainer closes that gap with the standard support-set
+construction: per group, keep the k smallest (or largest) live
+(value, row-key) entries. Invariant: a group's support is either FULL
+(k entries, and every outside live row >= its max by construction of
+bottom-k) or it contains the ENTIRE group — in both cases min(support)
+IS the group minimum. Insertions preserve the invariant row-locally;
+a retraction that leaves a support below k may break it (an outside
+row could now undercut nothing in the support), so any group a
+retraction drops below k is re-derived from the state table — the
+documented fallback, one batched semi-join scan, fired only by deletes
+of support members (updates retract+insert and stay at k). Larger k
+amortizes. Update cost otherwise is O(touched + support of touched
+groups) per batch.
 
 Join views (JoinView / JoinViewMaintainer): an inner equi-join L ⋈ R over
 two CDC-maintained state tables is delta-maintained with the sequential
@@ -56,7 +65,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from .statestore import BucketedStateStore
+from .statestore import AtomicStateStore, BucketedStateStore
 
 
 class AggView:
@@ -371,6 +380,153 @@ class JoinViewMaintainer:
             )
 
         _compact_delta_log(spark, self.delta_root, fold)
+
+
+class MinMaxView:
+    """MIN or MAX view definition: ``group_cols`` -> agg(``val_col``),
+    identified per row by ``key_cols`` (the upsert key) so retractions
+    can remove exactly their support entry."""
+
+    def __init__(self, name: str, group_cols: list[str], val_col: str,
+                 key_cols: list[str], agg: str = "min", k: int = 8) -> None:
+        if agg not in ("min", "max"):
+            raise ValueError(f"agg must be 'min' or 'max', got {agg!r}")
+        if k < 1:
+            raise ValueError(f"support size k must be >= 1, got {k}")
+        self.name = name
+        self.group_cols = list(group_cols)
+        self.val_col = val_col
+        self.key_cols = list(key_cols)
+        self.agg = agg
+        self.k = k
+
+    def _rank_order(self):
+        v = F.col(self.val_col)
+        order = [v.asc() if self.agg == "min" else v.desc()]
+        return order + [F.col(c).asc() for c in self.key_cols]
+
+    def _support_cols(self) -> list[str]:
+        return self.group_cols + self.key_cols + [self.val_col]
+
+
+class MinMaxViewMaintainer:
+    """Support-set MIN/MAX over a CDC state table (see module docstring
+    for the invariant). The support table lives in its own
+    AtomicStateStore (crash-atomic versioned commits); per batch it is
+    rewritten from (old support - retractions + insertions) with a
+    bottom-k/top-k window per group — O(groups x k) rows, metadata-sized
+    next to the state. The update is idempotent per label: insertions
+    take precedence over same-key support entries, retractions anti-join
+    again harmlessly, so a replay after a crash between the support
+    commit and the state publish converges to the same support."""
+
+    def __init__(self, state_dir: str, view: MinMaxView, keys: list[str],
+                 order_by: list[str] = ("lsn",), n_buckets: int = 64) -> None:
+        self.view = view
+        self.store = BucketedStateStore(
+            os.path.join(state_dir, "state"), n_buckets=n_buckets)
+        self.support = AtomicStateStore(
+            os.path.join(state_dir, f"minmax_{view.name}"))
+        os.makedirs(self.support.root, exist_ok=True)
+        self.keys = list(keys)
+        self.order_by = list(order_by)
+
+    def _bottom_k(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        v = self.view
+        w = Window.partitionBy(*v.group_cols).orderBy(*v._rank_order())
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= v.k)
+            .drop("__rk")
+        )
+
+    def apply_batch(self, batch: DataFrame, label: str) -> None:
+        view = self.view
+        spark = batch.sparkSession
+        sup_cols = view._support_cols()
+
+        def on_transition(current, new_state, touched) -> None:
+            from pyspark.sql import Window
+
+            # Replay gate: the support store's live version name embeds
+            # the label it committed under (AtomicStateStore.commit) —
+            # a crash between support commit and state publish replays
+            # this hook, which must then be a no-op.
+            ver = self.support.current_version()
+            if ver is not None and ver.split("-")[1] == label:
+                return
+
+            diff = _signed_diff(current, new_state, sup_cols)
+            adds = diff.filter(F.col("__sign") == 1).drop("__sign")
+            dels = diff.filter(F.col("__sign") == -1).drop("__sign")
+            old = self.support.read(spark)
+            if old is None:
+                old = spark.createDataFrame([], adds.schema)
+
+            # Insertions win over same-key stale support entries;
+            # retractions then drop their EXACT (group, key, value)
+            # tuple — full-tuple match, so an update's retraction (old
+            # value) cannot cancel its own insertion (new value).
+            ided = adds.withColumn("__pri", F.lit(0)).unionByName(
+                old.withColumn("__pri", F.lit(1))
+            )
+            wk = Window.partitionBy(*view.group_cols, *view.key_cols).orderBy("__pri")
+            dedup = (
+                ided.withColumn("__r", F.row_number().over(wk))
+                .filter(F.col("__r") == 1).drop("__r", "__pri")
+            )
+            survivors = dedup.join(dels, on=sup_cols, how="left_anti")
+            new_support = self._bottom_k(survivors).localCheckpoint(eager=False)
+
+            # Invariant repair (module docstring): any group a retraction
+            # left below k entries is re-derived from post-merge state —
+            # the pre-merge content of untouched buckets plus new_state
+            # (the manifest is not published yet inside this hook).
+            retracted = dels.select(*view.group_cols).distinct()
+            full_groups = (
+                new_support.groupBy(*view.group_cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") >= view.k)
+                .select(*view.group_cols)
+            )
+            refill_groups = retracted.join(
+                full_groups, on=view.group_cols, how="left_anti"
+            ).localCheckpoint(eager=False)
+            if refill_groups.count() > 0:  # one action; empty unless deletes hit a support
+                pre = self.store.read_buckets(spark, None)
+                post = new_state
+                if pre is not None:
+                    post = post.unionByName(
+                        pre.filter(~F.col(self.store.BUCKET_COL).isin(list(touched))),
+                        allowMissingColumns=True,
+                    )
+                refill = self._bottom_k(
+                    post.filter(F.col("op") != "D")
+                    .join(F.broadcast(refill_groups), on=view.group_cols, how="left_semi")
+                    .select(*sup_cols)
+                )
+                kept = new_support.join(
+                    F.broadcast(refill_groups), on=view.group_cols, how="left_anti"
+                )
+                new_support = kept.unionByName(refill)
+            self.support.commit(new_support, label=label)
+
+        self.store.merge(batch, keys=self.keys, order_by=self.order_by,
+                         label=label, on_transition=on_transition)
+
+    def read_view(self, spark: SparkSession) -> DataFrame:
+        """(group_cols..., <agg>_<val_col>) from the support sets."""
+        v = self.view
+        sup = self.support.read(spark)
+        if sup is None:
+            types = ", ".join(f"{c} string" for c in v.group_cols)
+            return spark.createDataFrame([], f"{types}, {v.agg}_{v.val_col} double")
+        fn = F.min if v.agg == "min" else F.max
+        return sup.groupBy(*v.group_cols).agg(
+            fn(v.val_col).alias(f"{v.agg}_{v.val_col}")
+        )
 
 
 def start_join_view_stream(

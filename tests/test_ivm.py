@@ -358,6 +358,116 @@ def test_join_view_streaming_two_table_routing(spark, tmp_path):
     assert _view_dict(spark, m) == _recompute(spark, m) == {(1, 2, "a1x", "b2"): 1}
 
 
+def _mm_maintainer(tmp_path, sub, agg="min", k=2):
+    from pgcdc_spark.streaming.ivm import MinMaxView, MinMaxViewMaintainer
+
+    view = MinMaxView(f"{agg}_val", group_cols=["grp"], val_col="val",
+                      key_cols=["id"], agg=agg, k=k)
+    return MinMaxViewMaintainer(str(tmp_path / f"mm{sub}"), view,
+                                keys=["id"], n_buckets=4)
+
+
+MM_SCHEMA = "lsn string, op string, id long, grp string, val double"
+
+
+def _mm_truth(spark, m, agg):
+    st = m.store.read(spark)
+    if st is None:
+        return {}
+    fn = F.min if agg == "min" else F.max
+    return {
+        r["grp"]: r["x"]
+        for r in st.filter(F.col("op") != "D").groupBy("grp")
+        .agg(fn("val").alias("x")).collect()
+    }
+
+
+def _mm_view(spark, m, agg):
+    return {r["grp"]: r[f"{agg}_val"] for r in m.read_view(spark).collect()}
+
+
+def test_minmax_view_tracks_transitions_and_refills(spark, tmp_path):
+    """Support-set MIN with k=2: inserts, in-place update, group move,
+    and a batch that deletes an entire support set (forcing the state
+    refill fallback) — view equals a full recompute after every batch."""
+    m = _mm_maintainer(tmp_path, "a", agg="min", k=2)
+    batches = [
+        # grp A gets 5 values: support holds only the 2 smallest
+        [("0/01", "I", 1, "A", 50.0), ("0/02", "I", 2, "A", 10.0),
+         ("0/03", "I", 3, "A", 20.0), ("0/04", "I", 4, "A", 30.0),
+         ("0/05", "I", 5, "A", 40.0), ("0/06", "I", 6, "B", 7.0)],
+        # in-place update of the current minimum
+        [("0/07", "U", 2, "A", 60.0)],
+        # EXHAUST the support: delete both remaining smallest entries
+        # (whatever they are, k=2 means two deletes can empty it)
+        [("0/08", "D", 3, "A", 20.0), ("0/09", "D", 4, "A", 30.0)],
+        # group move: B's only row migrates to A; B must vanish
+        [("0/0A", "U", 6, "A", 5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        m.apply_batch(spark.createDataFrame(rows, MM_SCHEMA), label=str(i))
+        assert _mm_view(spark, m, "min") == _mm_truth(spark, m, "min"), f"batch {i}"
+    assert _mm_view(spark, m, "min") == {"A": 5.0}
+
+    # replay of the last label: no-op (store label gate)
+    m.apply_batch(spark.createDataFrame(batches[-1], MM_SCHEMA), label="3")
+    assert _mm_view(spark, m, "min") == {"A": 5.0}
+
+
+def test_minmax_view_max_and_split_replay(spark, tmp_path):
+    """MAX variant; and the crash-between-commit-and-publish shape: the
+    support store advanced but the state publish did not — re-running
+    the transition hook must converge, not double-apply."""
+    m = _mm_maintainer(tmp_path, "b", agg="max", k=2)
+    b0 = spark.createDataFrame(
+        [("0/01", "I", 1, "A", 1.0), ("0/02", "I", 2, "A", 9.0)], MM_SCHEMA)
+    m.apply_batch(b0, label="0")
+    assert _mm_view(spark, m, "max") == {"A": 9.0}
+
+    # simulate the crash window: run the same support update twice by
+    # replaying label 0 against a support that already advanced — the
+    # label gate skips it entirely (merge no-op), view unchanged
+    m.apply_batch(b0, label="0")
+    assert _mm_view(spark, m, "max") == {"A": 9.0}
+
+    b1 = spark.createDataFrame([("0/03", "D", 2, "A", 9.0)], MM_SCHEMA)
+    m.apply_batch(b1, label="1")
+    assert _mm_view(spark, m, "max") == {"A": 1.0} == _mm_truth(spark, m, "max")
+
+
+def test_minmax_view_crash_between_support_and_publish(spark, tmp_path, monkeypatch):
+    """Inject a crash AFTER the support store commits but BEFORE the main
+    state publishes: the replayed batch re-runs the transition hook,
+    which must detect the already-committed support label and no-op —
+    then the merge publishes and the view matches truth."""
+    import pytest
+
+    from pgcdc_spark.streaming import statestore
+
+    m = _mm_maintainer(tmp_path, "c", agg="min", k=2)
+    m.apply_batch(spark.createDataFrame(
+        [("0/01", "I", 1, "A", 3.0), ("0/02", "I", 2, "A", 8.0)], MM_SCHEMA),
+        label="0")
+
+    real_publish = statestore.AtomicStateStore._publish
+
+    def exploding_publish(self, version):
+        if self is m.store:  # only the MAIN store's manifest swap dies
+            raise RuntimeError("injected crash before state publish")
+        return real_publish(self, version)
+
+    monkeypatch.setattr(statestore.AtomicStateStore, "_publish", exploding_publish)
+    b1 = spark.createDataFrame([("0/03", "U", 1, "A", 0.5)], MM_SCHEMA)
+    with pytest.raises(RuntimeError, match="injected"):
+        m.apply_batch(b1, label="1")
+    monkeypatch.undo()
+
+    # support advanced; state did not. Replay converges, no double-apply.
+    assert m.support.current_version().split("-")[1] == "1"
+    m.apply_batch(b1, label="1")
+    assert _mm_view(spark, m, "min") == _mm_truth(spark, m, "min") == {"A": 0.5}
+
+
 def test_join_view_compaction_preserves_multiplicities(spark, tmp_path):
     """Fold keeps multiset semantics (duplicate joined rows net to
     multiplicity > 1) and survives the crash-atomic protocol."""

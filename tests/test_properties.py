@@ -174,3 +174,112 @@ def test_scd2_partitions_changelog_and_agrees_with_type1(spark, changes):
         for r in latest_state(log, keys=["id"], order_by=["lsn"]).collect()
     }
     assert current == t1
+
+
+# --- as-of join vs pandas.merge_asof -----------------------------------------
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10
+)
+
+
+@given(left=_asof_left, right=_asof_right,
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
+       tolerance=st.sampled_from([None, 7]))
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tolerance):
+    """The engine's as-of join must agree with pandas.merge_asof on
+    arbitrary keyed event sets, for every direction, with and without
+    tolerance — including duplicate timestamps on both sides (the
+    operator's documented tiebreaks mirror pandas' sorted-input pick)."""
+    import pandas as pd
+
+    from pgcdc_spark.operators.asof import asof_join
+
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    rrows = [(100 + i, k, ts) for i, (k, ts) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid LONG, k LONG, ts LONG")
+    rdf = spark.createDataFrame(rrows, "rid LONG, k LONG, ts LONG")
+
+    got_rows = asof_join(
+        ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["rid"], tiebreak="rid",
+        direction=direction, tolerance=tolerance,
+    ).collect()
+    got = {r["lid"]: r["rid_asof"] for r in got_rows}
+
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values(
+        ["ts", "lid"], kind="stable")
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts"]).sort_values(
+        ["ts", "rid"], kind="stable")
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction=direction,
+        tolerance=tolerance, suffixes=("", "_r"),
+    )
+    want = {
+        int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+        for row in merged.itertuples()
+    }
+    assert got == want, (direction, tolerance, lrows, rrows)
+
+
+# --- MERGE INTO vs a reference model ------------------------------------------
+
+_merge_target = st.dictionaries(
+    st.integers(0, 5), st.floats(min_value=-100, max_value=100,
+                                 allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=6,
+)
+_merge_source = st.dictionaries(
+    st.integers(0, 7),
+    st.tuples(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        st.booleans(),
+    ),
+    min_size=0, max_size=8,
+)
+
+
+@given(target=_merge_target, source=_merge_source, nbs_delete=st.booleans())
+@settings(**_SETTINGS)
+def test_merge_into_matches_reference_model(spark, target, source, nbs_delete):
+    """All four MERGE branches against a plain-Python model for arbitrary
+    key overlaps: matched update / matched delete-when-flag, not-matched
+    insert, optional not-matched-by-source delete."""
+    from pgcdc_spark.operators.merge import S, T, merge_into
+
+    if not target and not source:
+        return
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [], "id LONG, bal DOUBLE"
+    ) if target else spark.createDataFrame([], "id LONG, bal DOUBLE")
+    sdf = spark.createDataFrame(
+        [(k, d, p) for k, (d, p) in source.items()] or [],
+        "id LONG, delta DOUBLE, purge BOOLEAN",
+    ) if source else spark.createDataFrame([], "id LONG, delta DOUBLE, purge BOOLEAN")
+
+    out = merge_into(
+        tdf, sdf, on=["id"],
+        when_matched_update={"bal": T("bal") + S("delta")},
+        when_matched_delete=S("purge"),
+        when_not_matched_insert={"bal": S("delta")},
+        when_not_matched_by_source_delete=nbs_delete,
+    )
+    got = {r["id"]: r["bal"] for r in out.collect()}
+
+    want = {}
+    for k, v in target.items():
+        if k in source:
+            d, p = source[k]
+            if not p:
+                want[k] = v + d
+        elif not nbs_delete:
+            want[k] = v
+    for k, (d, p) in source.items():
+        if k not in target:
+            want[k] = d
+    assert got == want, (target, source, nbs_delete)

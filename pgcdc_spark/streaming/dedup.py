@@ -19,7 +19,16 @@ costs O(batch + collisions) — never O(corpus):
 5. batch bands/shingles/verdicts append as ``batch=<id>`` partitions —
    OVERWRITTEN on checkpoint replay, so a crashed batch re-runs
    idempotently (same mechanism as the bucketed state store's
-   versioned-manifest commit, statestore.py).
+   versioned-manifest commit, statestore.py);
+6. the bands/sets state tables COMPACT once their partition fan-in
+   exceeds ``compact_after``: every partition older than the current
+   batch folds into ``batch=0`` (safe because structured streaming only
+   ever replays the newest batch, and every older id still satisfies the
+   ``batch < batch_id`` replay filter). Crash-atomic via the same
+   hidden-dir + fsync'd manifest protocol as the IVM log — the COMMIT
+   flag records the exact victim partitions so recovery can finish the
+   swap. Verdicts are an output log (arrival batch is meaningful), so
+   they are never folded.
 
 At 100 TB the state tables are the real (bucketed, compacted) corpus
 index; the shapes here — partition-pruned prior-state reads, bucket
@@ -66,6 +75,59 @@ SETS_SCHEMA = StructType(
 )
 
 
+_COMPACT_TMP = "_compact"
+
+
+def _recover_compaction(root: str) -> None:
+    """Finish (COMMIT present: delete recorded victims, publish the fold)
+    or discard (no COMMIT: fold incomplete, victims untouched) a
+    compaction a crash interrupted."""
+    import json
+    import os
+    import shutil
+
+    tmp = os.path.join(root, _COMPACT_TMP)
+    if not os.path.isdir(tmp):
+        return
+    commit = os.path.join(tmp, "COMMIT")
+    if os.path.isfile(commit):
+        with open(commit) as f:
+            victims = json.load(f)
+        for d in victims:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        base = os.path.join(tmp, "base")
+        if os.path.isdir(base):  # absent only if the rename already happened
+            os.rename(base, os.path.join(root, "batch=0"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None:
+    """Fold every ``batch=<id>`` partition with id < ``keep_from`` into
+    ``batch=0``. Reading the leaf dirs directly drops the directory-
+    encoded partition column, so the fold is schema-stable."""
+    import json
+    import os
+    import shutil
+
+    _recover_compaction(root)
+    dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
+    victims = sorted(d for d in dirs if int(d.split("=", 1)[1]) < keep_from)
+    if len(victims) < 2:
+        return
+    tmp = os.path.join(root, _COMPACT_TMP)
+    folded = spark.read.parquet(*[os.path.join(root, d) for d in victims])
+    folded.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
+    commit = os.path.join(tmp, "COMMIT")
+    with open(commit, "w") as f:
+        json.dump(victims, f)
+        f.flush()
+        os.fsync(f.fileno())
+    for d in victims:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    os.rename(os.path.join(tmp, "base"), os.path.join(root, "batch=0"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _read_prior(
     spark: SparkSession, path: str, schema: StructType, batch_id: int
 ) -> DataFrame:
@@ -81,6 +143,7 @@ def _read_prior(
 
     if not os.path.isdir(path):
         return spark.createDataFrame([], schema)
+    _recover_compaction(path)
     df = spark.read.schema(
         StructType(list(schema.fields) + [StructField("batch", LongType())])
     ).parquet(path)
@@ -99,6 +162,7 @@ def start_dedup_stream(
     state_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
+    compact_after: int = 16,
 ) -> StreamingQuery:
     """Start the incremental dedup query over a streaming `documents`
     frame (columns incl. ``doc_id``, ``text``).
@@ -182,6 +246,17 @@ def start_dedup_stream(
             sets_new.write.mode("overwrite").parquet(
                 f"{state_dir}/sets/batch={batch_id}"
             )
+            import os
+
+            n_parts = sum(
+                1 for d in os.listdir(f"{state_dir}/bands")
+                if d.startswith("batch=")
+            )
+            if n_parts > compact_after:
+                # fold everything older than THIS batch (the only id the
+                # engine can still replay) into batch=0
+                _compact_state_table(spark, f"{state_dir}/bands", batch_id)
+                _compact_state_table(spark, f"{state_dir}/sets", batch_id)
         finally:
             for df in pinned:
                 df.unpersist()

@@ -130,3 +130,87 @@ def test_prior_state_read_partition_prunes(spark, tmp_path):
     assert "batch" in pf, f"batch predicate not in partition filters: {pf}"
     got = sorted(r["doc_id"] for r in prior.collect())
     assert got == [0, 10], "replayed partition (batch=2) leaked into prior state"
+
+
+def test_stream_dedup_compaction_folds_state_and_preserves_verdicts(
+    spark, sf_smoke, tmp_path
+):
+    """With compact_after=2 over 4 chunks the bands/sets fan-in folds to
+    batch=0 + newest, and verdicts still match the batch truth — the
+    fold must be invisible to the replay filter and the bucket joins."""
+    import os
+
+    docs, chunked = _chunks_of_documents(spark, sf_smoke, n_chunks=4)
+    src = str(tmp_path / "src")
+    for i in range(4):
+        (chunked.filter(F.col("chunk") == i).drop("chunk")
+         .coalesce(1).write.parquet(f"{src}/part_{i}"))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part_*")
+    )
+    q = start_dedup_stream(stream, state, ckpt, threshold=_THRESHOLD,
+                           compact_after=2)
+    q.awaitTermination(240)
+
+    band_parts = sorted(d for d in os.listdir(f"{state}/bands")
+                        if d.startswith("batch="))
+    assert len(band_parts) <= 3 and "batch=0" in band_parts, band_parts
+
+    got = {
+        r["doc_id"]: (r["is_dup"], r["match_doc_id"])
+        for r in read_verdicts(spark, state).collect()
+    }
+    want = _expected_verdicts(spark, docs, chunked)
+    mismatch = {d: (got[d], want[d][:2]) for d in want if got[d] != want[d][:2]}
+    assert not mismatch, f"{len(mismatch)} verdicts differ post-compaction"
+    # verdict log keeps true arrival batches (never folded)
+    n_verdict_batches = read_verdicts(spark, state).select("batch").distinct().count()
+    assert n_verdict_batches >= 3
+
+
+def test_dedup_state_compaction_crash_recovery(spark, tmp_path):
+    """COMMIT present -> recovery deletes exactly the recorded victims and
+    publishes the fold; no COMMIT -> the half-written fold is discarded."""
+    import json
+    import os
+    import shutil
+
+    from pgcdc_spark.streaming.dedup import (
+        BANDS_SCHEMA,
+        _compact_state_table,
+        _read_prior,
+    )
+
+    base = str(tmp_path / "bands")
+    for b in range(4):
+        (spark.createDataFrame([(b, b, f"s{b}")], BANDS_SCHEMA)
+         .write.mode("overwrite").parquet(f"{base}/batch={b}"))
+
+    # simulate a crash AFTER the fold + COMMIT, before the victim delete:
+    victims = ["batch=0", "batch=1", "batch=2"]
+    folded = spark.read.parquet(*[f"{base}/{v}" for v in victims])
+    folded.write.mode("overwrite").parquet(f"{base}/_compact/base")
+    with open(f"{base}/_compact/COMMIT", "w") as f:
+        json.dump(victims, f)
+    prior = _read_prior(spark, base, BANDS_SCHEMA, batch_id=10)  # triggers recovery
+    assert sorted(r["doc_id"] for r in prior.collect()) == [0, 1, 2, 3]
+    parts = sorted(d for d in os.listdir(base) if d.startswith("batch="))
+    assert parts == ["batch=0", "batch=3"]
+    assert not os.path.isdir(f"{base}/_compact")
+
+    # no COMMIT: half fold is discarded, partitions untouched
+    os.makedirs(f"{base}/_compact/base", exist_ok=True)
+    with open(f"{base}/_compact/base/junk", "w") as f:
+        f.write("partial")
+    prior2 = _read_prior(spark, base, BANDS_SCHEMA, batch_id=10)
+    assert sorted(r["doc_id"] for r in prior2.collect()) == [0, 1, 2, 3]
+    assert not os.path.isdir(f"{base}/_compact")
+
+    # and a direct compact folds the remainder
+    _compact_state_table(spark, base, keep_from=4)
+    parts2 = sorted(d for d in os.listdir(base) if d.startswith("batch="))
+    assert parts2 == ["batch=0"]

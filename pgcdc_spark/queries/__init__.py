@@ -136,6 +136,7 @@ _PRIORITY = (
     "profile_orders_columns",
     "dq_expectations_orders",
     "graph_bfs_hops",
+    "udf_sql_registered",
 )
 
 

@@ -134,3 +134,46 @@ def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_sample d, LATERAL udtf_tokenize(d.text) t
         """
     )
+
+
+# --- SQL-registered vectorized UDF (ad-hoc SQL path, R3) ---------------------
+
+_SQL_UDF_ORACLE = """
+SELECT
+  doc_id,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+  upper(substr(trim(text), 1, 1)) AS initial
+FROM documents
+WHERE doc_id % 20 = 0
+"""
+
+
+@query("udf_sql_registered", oracle=_SQL_UDF_ORACLE, tags=("udf", "pandas", "sql"))
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A vectorized pandas UDF registered into the SQL function catalog
+    (``spark.udf.register``) and invoked from an ad-hoc ``spark.sql``
+    string over registered views — the reference's R3 passthrough surface
+    (src/database/postgresql/PostgresPg.ts:5-14) with engine-extended
+    functions available to the SQL author, still Arrow-batched."""
+    from ..catalog import register_views
+
+    @pandas_udf("long")
+    def word_count(texts: pd.Series) -> pd.Series:
+        return texts.str.count(" ") + 1
+
+    @pandas_udf("string")
+    def initial_letter(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.slice(0, 1).str.upper()
+
+    spark.udf.register("engine_word_count", word_count)
+    spark.udf.register("engine_initial", initial_letter)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               engine_word_count(text) AS n_words,
+               engine_initial(text) AS initial
+        FROM documents
+        WHERE doc_id % 20 = 0
+        """
+    )

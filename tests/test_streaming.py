@@ -691,3 +691,58 @@ def test_pysource_replay_row_granular_batches(spark, tmp_path):
     rows2 = {r["id"]: (r["first_name"], r["last_name"], r["status_id"])
              for r in read_state(spark, state_dir).collect()}
     assert rows2 == EXPECTED
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no buy inside the
+    interval emits its null-padded row only once the watermark passes its
+    join window; a click whose window the watermark has NOT yet passed is
+    withheld (append-mode contract)."""
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+
+    def chunked_stream(name, chunks):
+        src = str(tmp_path / f"{name}_src")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(chunks):
+            with open(os.path.join(src, f"part{i}.jsonl"), "w") as f:
+                for r in rows:
+                    f.write(json.dumps({"event_id": r[0], "ts": r[1],
+                                        "user_id": r[2], "event_type": r[3],
+                                        "value": r[4]}) + "\n")
+        return (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .json(src).withColumn("ts_utc", F.to_timestamp("ts"))
+        )
+
+    clicks = chunked_stream("lo_clicks", [
+        [(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+         (2, "2024-01-01 00:30:00", 2, "click", 2.0)],   # 2 never matches
+        [(3, "2024-01-01 06:00:00", 3, "click", 3.0)],   # watermark pusher
+        [(4, "2024-01-01 12:00:00", 4, "click", 4.0)],   # flush trigger
+    ])
+    buys = chunked_stream("lo_buys", [
+        [(10, "2024-01-01 00:05:00", 1, "buy", 9.0)],    # joins click 1
+        [(11, "2024-01-01 06:00:00", 99, "buy", 8.0)],
+        [(12, "2024-01-01 12:00:00", 99, "buy", 7.0)],
+    ])
+    l = clicks.select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("uid"),
+                      F.col("ts_utc").alias("click_ts"))
+    r = buys.select(F.col("event_id").alias("buy_id"),
+                    F.col("user_id").alias("uid2"),
+                    F.col("ts_utc").alias("buy_ts"))
+    joined = stream_stream_interval_join(
+        l, r.withColumnRenamed("uid2", "uid"), key="uid",
+        left_ts="click_ts", right_ts="buy_ts",
+        watermark="1 minute", upper="INTERVAL 10 MINUTES", how="left_outer",
+    ).select("click_id", "buy_id")
+    _run_to_memory(joined, "ssj_lo_t", "append")
+    got = {(row["click_id"], row["buy_id"])
+           for row in spark.sql("SELECT * FROM ssj_lo_t").collect()}
+    # click 1 matched; click 2 expired unmatched -> null row; clicks 3/4
+    # may still be inside their windows at stream end and stay withheld
+    assert (1, 10) in got and (2, None) in got, got
+    # click 3 may or may not have been flushed (depends on whether a batch
+    # ran after the watermark passed 06:10); click 4's window cannot have
+    # expired by stream end, so append mode MUST withhold it
+    assert (4, None) not in got, got

@@ -16,7 +16,10 @@ CASE expressions — entirely JVM-side, one shuffle on the merge keys
 scales exactly like any keyed join. Deterministic by construction: the
 caller must guarantee source keys are unique (standard MERGE
 precondition; duplicates would update a target row twice in undefined
-order — we fail loudly instead).
+order — we fail loudly instead). The uniqueness guard is EMBEDDED in
+the plan (a per-key window count + raise_error), so building the merge
+runs no eager job and the failure surfaces at execution exactly like
+Delta/Iceberg's "multiple source rows matched" error.
 
 Expression convention: clause expressions reference the two sides via
 the ``T("col")`` / ``S("col")`` helpers (target/source columns of the
@@ -63,17 +66,27 @@ def merge_into(
     - key only in target: dropped iff ``when_not_matched_by_source_delete``
       is True / evaluates true.
     """
-    if check_unique_source:
-        # one action, aggregated to a single row — metadata-sized check
-        dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
-        if dup:
-            raise ValueError(
-                f"source has duplicate merge keys, e.g. "
-                f"{ {k: dup[0][k] for k in on} }; MERGE requires unique source keys"
-            )
-
     t = target.withColumn("__t_present", F.lit(1)).alias("__mt")
-    s = source.withColumn("__s_present", F.lit(1)).alias("__ms")
+    if check_unique_source:
+        # Plan-embedded guard: the source-side presence marker evaluates
+        # raise_error for any key with >1 source row. The window
+        # partitions on the same keys the join shuffles on (exchange
+        # reuse), and no job runs until the merge itself executes.
+        from pyspark.sql import Window
+
+        dup_n = F.count(F.lit(1)).over(Window.partitionBy(*on))
+        present = F.when(dup_n <= 1, F.lit(1)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("MERGE source has duplicate merge keys: ("),
+                    F.concat_ws(", ", *[F.col(k).cast("string") for k in on]),
+                    F.lit(")"),
+                )
+            ).cast("int")
+        )
+    else:
+        present = F.lit(1)
+    s = source.withColumn("__s_present", present).alias("__ms")
     cond = None
     for k in on:
         c = T(k).eqNullSafe(S(k))

@@ -377,23 +377,39 @@ class BucketedStateStore(AtomicStateStore):
                         f"{_APPLIED_WINDOW}-entry window: cannot tell whether "
                         "it was already applied; refusing to re-merge"
                     )
-        b = batch.withColumn(self.BUCKET_COL, self.bucket_expr(keys))
-        touched = sorted(r[0] for r in b.select(self.BUCKET_COL).distinct().collect())
-        if not touched:
-            return None
-        current = self.read_buckets(spark, touched)
-        combined = b if current is None else current.unionByName(
-            b, allowMissingColumns=True
-        )
-        new_state = latest_state(
-            combined, keys=keys, order_by=list(order_by), op_col=op_col,
-            keep_deletes=True,
-        )
-        version = f"v-{label}-{uuid.uuid4().hex[:8]}"
-        target = os.path.join(self.root, version)
-        new_state.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(target)
-        if on_transition is not None:
-            on_transition(current, new_state, touched)
+        # Pin the bucketed batch: it drives TWO actions (touched-bucket
+        # probe + the merge write), and under foreachBatch every action
+        # re-executes the SOURCE plan — unpinned, that is a second read
+        # of the upstream (a second Kafka fetch at scale).
+        b = batch.withColumn(self.BUCKET_COL, self.bucket_expr(keys)).persist()
+        try:
+            touched = sorted(
+                r[0] for r in b.select(self.BUCKET_COL).distinct().collect()
+            )
+            if not touched:
+                return None
+            current = self.read_buckets(spark, touched)
+            combined = b if current is None else current.unionByName(
+                b, allowMissingColumns=True
+            )
+            new_state = latest_state(
+                combined, keys=keys, order_by=list(order_by), op_col=op_col,
+                keep_deletes=True,
+            )
+            version = f"v-{label}-{uuid.uuid4().hex[:8]}"
+            target = os.path.join(self.root, version)
+            new_state.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+                target
+            )
+            if on_transition is not None:
+                # Serve the hook from the files just written instead of the
+                # live window plan: each consumer action would otherwise
+                # re-run the whole merge computation (and with multiple
+                # views, several times over).
+                written_state = spark.read.option("basePath", target).parquet(target)
+                on_transition(current, written_state, touched)
+        finally:
+            b.unpersist()
         written = {
             d.split("=", 1)[1]
             for d in os.listdir(target)

@@ -135,11 +135,17 @@ def test_merge_into_all_branches(spark):
     passthru = merge_into(target, source, on=["id"])
     assert {r["id"] for r in passthru.collect()} == {1, 2, 3, 4}
 
-    # duplicate source keys must fail loudly, not update twice
+    # duplicate source keys must fail loudly AT EXECUTION (the guard is
+    # embedded in the plan; building the merge runs no eager job)
     dup = spark.createDataFrame([(1, 1.0, False), (1, 2.0, False)],
                                 "id LONG, delta DOUBLE, purge BOOLEAN")
-    with pytest.raises(ValueError, match="duplicate merge keys"):
-        merge_into(target, dup, on=["id"])
+    dup_merge = merge_into(target, dup, on=["id"],
+                           when_matched_update={"bal": S("delta")})
+    with pytest.raises(Exception, match="duplicate merge keys"):
+        dup_merge.collect()
+    # and the guard can be waived explicitly
+    waived = merge_into(target, dup, on=["id"], check_unique_source=False)
+    assert waived.count() >= len(target.collect())
 
 
 def test_merge_into_null_safe_keys(spark):

@@ -94,7 +94,8 @@ def test_no_collect_in_query_surface(spark):
     # it collects the distinct image column-name set (O(columns) metadata,
     # not data — cdc/evolution.py) before the checked parse can be planned.
     iterative = {"dedup_cc_clusters", "cdc_evolving_state",
-                 "dedup_keep_best"}  # composes the iterative CC operator
+                 "dedup_keep_best",  # composes the iterative CC operator
+                 "graph_bfs_hops"}   # declared-iterative BFS frontier loop
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()
@@ -112,8 +113,10 @@ def test_no_collect_in_query_surface(spark):
         # `spark.read.parquet` runs ONE single-stage footer/schema job per
         # table — that's metadata, not data. Anything multi-stage (a
         # shuffle => an agg/collect executed eagerly) or beyond the
-        # max-tables-per-query budget (q5 reads 6 tables) is a driver-side execution leak.
-        assert len(new_jobs) <= 8, f"{name}: {len(new_jobs)} jobs during build"
+        # max-tables-per-query budget is a driver-side execution leak
+        # (q5 reads 6 tables; udf_sql_registered registers the whole
+        # 10-table catalog as views for its ad-hoc SQL).
+        assert len(new_jobs) <= 11, f"{name}: {len(new_jobs)} jobs during build"
         for j in new_jobs:
             info = tracker.getJobInfo(j)
             if info is not None:

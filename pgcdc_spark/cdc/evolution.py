@@ -16,6 +16,15 @@ happen online. Design:
 - **Promotion**: unknown columns extend the StructType as STRING — the
   lossless default; a later migration can tighten the type. Known columns
   keep their declared types (the checked ``from_json`` path is unchanged).
+- **Type widening**: a known column whose incoming values stop fitting
+  the declared type (upstream ``ALTER COLUMN TYPE``; e.g. an int column
+  starts carrying labels) is detected by comparing the schema-free map
+  parse against the typed parse — a non-null raw value with a null typed
+  value is a type-mismatch signal — and the column is re-declared STRING
+  (same lossless default; one metadata-sized aggregate, then one
+  re-parse). Without this, the checked parse would silently NULL every
+  post-change value — the quiet corruption flavor of the reference's
+  unchecked-cast bug.
 - **Materialization**: merging unions by name with
   ``allowMissingColumns=True`` — pre-evolution state rows read NULL for
   new columns. Additive-only, so history needs no rewrite; at scale the
@@ -65,30 +74,68 @@ def discover_image_columns(raw: DataFrame, json_col: str = "value") -> list[str]
     return sorted(r["k"] for r in keys.collect())
 
 
-def evolve_row_schema(base: StructType, discovered: list[str]) -> StructType:
-    """Extend ``base`` with any discovered column it lacks (as STRING).
+def discover_widened_columns(
+    raw: DataFrame, json_col: str = "value",
+    base_schema: StructType = STUDENT_SCHEMA,
+) -> list[str]:
+    """Known columns whose typed parse NULLs values the schema-free map
+    parse carries — the signature of an upstream type change. One
+    aggregation pass; the result is O(columns) metadata."""
+    from .envelope import envelope_schema
 
-    Additive only: existing fields keep their order and types, so readers
-    of the old schema are never broken.
+    typed = F.from_json(F.col(json_col), envelope_schema(base_schema))
+    mapped = F.from_json(F.col(json_col), _MAP_ENVELOPE)
+    pair = raw.select(typed.alias("t"), mapped.alias("m"))
+    aggs = []
+    for f in base_schema.fields:
+        mism = F.lit(0).cast("long")
+        for side in ("new", "old"):
+            raw_v = F.col(f"m.{side}")[f.name]
+            typed_v = F.col(f"t.{side}.{f.name}")
+            mism = mism + (raw_v.isNotNull() & typed_v.isNull()).cast("long")
+        aggs.append(F.sum(mism).alias(f.name))
+    row = pair.agg(*aggs).collect()[0]
+    return sorted(f.name for f in base_schema.fields if (row[f.name] or 0) > 0)
+
+
+def evolve_row_schema(
+    base: StructType, discovered: list[str], widened: list[str] | tuple = (),
+) -> StructType:
+    """Extend ``base`` with any discovered column it lacks (as STRING) and
+    re-declare ``widened`` known columns as STRING.
+
+    Existing fields keep their order (and, unless widened, their types),
+    so readers of the old schema are never broken.
     """
     known = {f.name for f in base.fields}
     extras = [c for c in discovered if c not in known]
-    return StructType(list(base.fields) + [StructField(c, StringType()) for c in extras])
+    widen = set(widened)
+    fields = [
+        StructField(f.name, StringType()) if f.name in widen else f
+        for f in base.fields
+    ]
+    return StructType(fields + [StructField(c, StringType()) for c in extras])
 
 
 def parse_envelope_evolving(
     raw: DataFrame,
     json_col: str = "value",
     base_schema: StructType = STUDENT_SCHEMA,
+    widen_types: bool = True,
 ) -> tuple[DataFrame, StructType]:
-    """Checked envelope parse that ADMITS unknown image columns.
+    """Checked envelope parse that ADMITS unknown image columns and
+    (optionally) WIDENS known columns whose values no longer fit.
 
     Returns ``(parsed, evolved_schema)`` where ``evolved_schema`` is
-    ``base_schema`` plus discovered extras (STRING-typed). The parse
-    itself is the standard vectorized ``from_json`` fast path — discovery
-    adds one metadata-sized pass over the batch, not a per-row UDF.
+    ``base_schema`` plus discovered extras (STRING-typed), with
+    type-mismatching known columns re-declared STRING. The parse itself
+    is the standard vectorized ``from_json`` fast path — discovery adds
+    one or two metadata-sized passes over the batch, not a per-row UDF.
     """
-    evolved = evolve_row_schema(base_schema, discover_image_columns(raw, json_col))
+    widened = discover_widened_columns(raw, json_col, base_schema) if widen_types else []
+    evolved = evolve_row_schema(
+        base_schema, discover_image_columns(raw, json_col), widened
+    )
     return parse_envelope(raw, json_col, row_schema=evolved), evolved
 
 
@@ -105,7 +152,20 @@ def merge_batch_evolving(
     Union by name with ``allowMissingColumns=True``: rows from before the
     evolution read NULL in the new columns, new rows carry values — then
     the usual per-key compaction (tombstones retained, as in merge_batch).
+
+    Columns whose TYPE diverged (the batch widened them) cast to STRING on
+    both sides first — the state table's going-forward type. Note for the
+    bucketed store: already-written bucket files keep the old physical
+    type, so a widening should be followed by a store compaction (one
+    fold rewrites every bucket under the new schema) before mixed-type
+    version dirs accumulate.
     """
+    s_types = {f.name: f.dataType for f in state.schema.fields}
+    b_types = {f.name: f.dataType for f in batch.schema.fields}
+    for c in sorted(set(s_types) & set(b_types)):
+        if s_types[c] != b_types[c]:
+            state = state.withColumn(c, F.col(c).cast("string"))
+            batch = batch.withColumn(c, F.col(c).cast("string"))
     combined = state.unionByName(batch, allowMissingColumns=True)
     return latest_state(
         combined, keys, order_by, op_col, delete_op, keep_deletes=True

@@ -137,6 +137,7 @@ _PRIORITY = (
     "dq_expectations_orders",
     "graph_bfs_hops",
     "udf_sql_registered",
+    "cdc_widening_state",
 )
 
 

@@ -376,3 +376,71 @@ def cdc_evolving_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("k").alias("last_k"),
     ).orderBy("user_id")
+
+
+# --- online TYPE WIDENING: a known column's type changes mid-stream ----------
+# Changes before the cutoff carry val as a JSON integer (milli-scaled
+# value); from the cutoff on, the same field carries category labels.
+# Without widening, the checked parse would silently NULL every labeled
+# value; discover_widened_columns re-declares the column STRING and the
+# integer-era values survive as their decimal-string forms.
+
+_WIDEN_CUTOFF = 500
+
+_WIDENING_ORACLE = f"""
+SELECT user_id, val AS last_val
+FROM (
+  SELECT user_id,
+         CASE WHEN event_id >= {_WIDEN_CUTOFF}
+              THEN (CASE WHEN value >= 0.5 THEN 'hi' ELSE 'lo' END)
+              ELSE CAST(CAST(FLOOR(value * 1000) AS BIGINT) AS VARCHAR)
+         END AS val,
+         event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_widening_state", oracle=_WIDENING_ORACLE, tags=("cdc", "evolution"))
+def cdc_widening_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..cdc.evolution import parse_envelope_evolving
+    from ..cdc.transform import apply_pipeline
+    from ..cdc.upsert import latest_state
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    lsn = F.lpad(F.col("event_id").cast("string"), 12, "0").alias("lsn")
+    tag = F.when(is_del, F.lit("delete")).otherwise(F.lit("update")).alias("tag")
+
+    def envelope(img):
+        return F.to_json(F.struct(
+            lsn, tag,
+            F.when(~is_del, img).alias("new"),
+            F.when(is_del, img).alias("old"),
+        )).alias("value")
+
+    int_img = F.struct(
+        F.col("user_id"),
+        F.floor(F.col("value") * 1000).cast("long").alias("val"),
+    )
+    label_img = F.struct(
+        F.col("user_id"),
+        F.when(F.col("value") >= 0.5, "hi").otherwise("lo").alias("val"),
+    )
+    raw = (
+        events.filter(F.col("event_id") < _WIDEN_CUTOFF).select(envelope(int_img))
+        .unionByName(
+            events.filter(F.col("event_id") >= _WIDEN_CUTOFF).select(envelope(label_img))
+        )
+    )
+    base = StructType([StructField("user_id", LongType()),
+                       StructField("val", LongType())])
+    parsed, schema = parse_envelope_evolving(raw, base_schema=base)
+    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)["val"] == "string"
+    changes = apply_pipeline(parsed)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select("user_id", F.col("val").alias("last_val")).orderBy("user_id")

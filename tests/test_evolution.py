@@ -95,3 +95,47 @@ def test_no_discovery_when_schema_unchanged(spark):
     parsed, schema = parse_envelope_evolving(_raw(spark, lines))
     assert schema == STUDENT_SCHEMA
     assert parsed.select("new.*").columns == [f.name for f in STUDENT_SCHEMA.fields]
+
+
+def test_type_widening_detected_and_values_survive(spark):
+    """An upstream ALTER COLUMN TYPE (status_id starts carrying labels):
+    the typed parse would NULL the labels; widening re-declares the
+    column STRING and BOTH eras' values survive — integers as their
+    decimal strings, labels verbatim."""
+    from pgcdc_spark.cdc.evolution import discover_widened_columns
+
+    lines = [
+        _env(1, "insert", new=ROW),  # status_id = 1 (int era)
+        _env(2, "update", new={**ROW, "status_id": "active"}),  # label era
+    ]
+    raw = _raw(spark, lines)
+    assert discover_widened_columns(raw) == ["status_id"]
+
+    parsed, schema = parse_envelope_evolving(raw)
+    widened = {f.name: f.dataType for f in schema.fields}["status_id"]
+    assert isinstance(widened, StringType)
+    vals = {r["lsn"]: r["new"]["status_id"] for r in parsed.collect()}
+    assert vals == {"0/0000001": "1", "0/0000002": "active"}
+
+    # widening can be declined (strict mode): labels NULL out instead
+    parsed_strict, schema_strict = parse_envelope_evolving(raw, widen_types=False)
+    assert schema_strict == STUDENT_SCHEMA
+    strict_vals = {r["lsn"]: r["new"]["status_id"] for r in parsed_strict.collect()}
+    assert strict_vals["0/0000002"] is None
+
+
+def test_merge_evolving_aligns_widened_types(spark):
+    """State materialized in the int era merges with a widened batch:
+    common columns with diverged types cast to STRING on both sides, and
+    the compaction picks the right per-key winners."""
+    state = apply_pipeline(parse_envelope(_raw(spark, [
+        _env(1, "insert", new=ROW),
+        _env(2, "insert", new={**ROW, "id": 2, "status_id": 7}),
+    ])))
+    lines2 = [_env(3, "update", new={**ROW, "status_id": "inactive"})]
+    parsed2, _ = parse_envelope_evolving(_raw(spark, lines2))
+    batch = apply_pipeline(parsed2)
+    merged = merge_batch_evolving(state, batch, keys=["id"], order_by=["lsn"])
+    live = {r["id"]: r["status_id"] for r in merged.filter("op != 'D'").collect()}
+    assert live == {1: "inactive", 2: "7"}
+    assert dict(merged.dtypes)["status_id"] == "string"

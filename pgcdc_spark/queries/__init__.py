@@ -138,6 +138,7 @@ _PRIORITY = (
     "graph_bfs_hops",
     "udf_sql_registered",
     "cdc_widening_state",
+    "docs_weighted_sample",
 )
 
 

@@ -828,3 +828,52 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+# --- weighted sampling (Efraimidis–Spirakis, hash-derandomized) ---------------
+# Distributed weighted random sampling: each row draws u in (0,1) and the
+# top-k by u^(1/w) is an exact weighted-without-replacement sample
+# (Efraimidis & Spirakis 2006). The draw is md5-derived instead of
+# rand(), so the sample is reproducible across engines/runs/partitions —
+# same derandomization stance as docs_hash_sample. Keys round to 12
+# decimals (libm pow differs in the last ulp across engines) with doc_id
+# as the total-order tiebreak. At 100 TB this is a scan + one TopK — no
+# shuffle of the corpus, no state.
+
+_WSAMPLE_K = 64
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROUND(POW(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+             / 4294967297.0,
+           1.0 / CAST(n_chars AS DOUBLE)
+         ), 12) AS sk
+  FROM documents
+)
+ORDER BY sk DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+@query("docs_weighted_sample", oracle=_WSAMPLE_ORACLE,
+       tags=("llm", "text", "sampling"))
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} weighted sample of documents with weight = n_chars: long
+    documents are proportionally likelier, short ones still possible —
+    the standard corpus-balancing draw, deterministic by construction."""
+    (docs,) = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(4294967297.0)
+    sk = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12)
+    return (
+        docs.select("doc_id", "source", "n_chars", sk.alias("sk"))
+        .orderBy(F.col("sk").desc(), F.col("doc_id"))
+        .limit(_WSAMPLE_K)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -191,21 +191,31 @@ def resize_images(mm: DataFrame, width: int, height: int, fake: bool = True) -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            out, ws, hs = [], [], []
             for p, m in zip(pdf["payload"], pdf["modality"]):
                 decoded = decode_payload(p, m, fake=fake, codecs=codecs)
                 if hasattr(decoded, "shape"):  # real image: NN resample
                     out.append(encode_ppm(resize_nearest(decoded, width, height)))
-                    continue
-                raw = bytes(decoded)
-                out.append(raw[:target].ljust(target, b"\0"))
+                    ws.append(width)
+                    hs.append(height)
+                elif isinstance(decoded, DecodedAudio):
+                    # resize is a raster verb; waveforms pass through
+                    # untouched (resample_audio is their transform)
+                    out.append(bytes(p))
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    raw = bytes(decoded)
+                    out.append(raw[:target].ljust(target, b"\0"))
+                    ws.append(width)
+                    hs.append(height)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
                     "payload": out,
-                    "width": [width] * len(pdf),
-                    "height": [height] * len(pdf),
+                    "width": ws,
+                    "height": hs,
                 }
             )
 

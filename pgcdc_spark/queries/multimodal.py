@@ -98,31 +98,68 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_resize", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
+# Resized-PPM size: header "P6\n16 8\n255\n" (12 bytes) + 16*8*3 raster.
+# Audio passes through untouched (original synth WAV framing); text pads
+# to width*height bytes. Every byte count is recomputable from doc_id /
+# the text column, so the Arrow resize pipeline earns a full value-hash
+# oracle — a codec or framing regression breaks the match.
+_RESIZE_ORACLE = """
+SELECT
+  doc_id,
+  CASE CAST(doc_id % 3 AS INTEGER)
+    WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'text' END AS modality,
+  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(16 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(8 AS BIGINT) END AS height,
+  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+    WHEN 1 THEN 12 + 16 * 8 * 3
+    WHEN 2 THEN 44 + (160 + (doc_id % 7) * 16) * (1 + (doc_id % 2)) * 2
+    ELSE 128 END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("mm_resize", oracle=_RESIZE_ORACLE, tags=("llm", "multimodal", "pandas-udf"))
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake resize to 16x8 "pixels" (truncate/pad payload to
-    128 bytes) through mapInPandas. Rows-only driver check (DuckDB has no
-    md5 over BLOB); exact bytes are asserted in tests/test_llm.py."""
-    from ..multimodal import resize_images
+    """Resize over the MIXED corpus through the codec registry: PPM images
+    get a real nearest-neighbor resample re-encoded at 16x8, text pads to
+    the raster byte budget, waveforms pass through untouched. Exact bytes
+    asserted in tests/test_llm.py; the oracle pins the per-modality
+    framing arithmetic."""
+    from ..multimodal import documents_as_mixed_multimodal, resize_images
 
     (docs,) = load(spark, sf_dir, "documents")
-    resized = resize_images(documents_as_multimodal(docs), width=16, height=8)
+    mixed = documents_as_mixed_multimodal(docs)
+    resized = resize_images(mixed, width=16, height=8, fake=False)
     return resized.select(
-        "doc_id", "modality", "width", "height",
+        "doc_id", "modality",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         F.octet_length("payload").cast("long").alias("n_bytes"),
     )
 
 
-@query("mm_frame_sample", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
+# Frames are 16-byte chunks of the text payload, every 2nd chunk, max 4:
+# frame k (k = 0..3) covers bytes [32k, 32k+16) and exists iff 32k < L.
+_FRAME_ORACLE = """
+SELECT d.doc_id, k.k AS frame_idx,
+       CAST(LEAST(16, d.len - 32 * k.k) AS BIGINT) AS frame_bytes
+FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) d
+JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k ON 32 * k.k < d.len
+"""
+
+
+@query("mm_frame_sample", oracle=_FRAME_ORACLE,
+       tags=("llm", "multimodal", "pandas-udf"))
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd 16-byte "frame" (max 4) per payload — the 1->N UDTF shape
-    through mapInPandas. Rows-only driver check; exact frame bytes are
-    asserted in tests/test_llm.py."""
+    through mapInPandas, value-hash-checked against the chunking
+    arithmetic. Exact frame bytes are asserted in tests/test_llm.py."""
     from ..multimodal import sample_frames
 
     (docs,) = load(spark, sf_dir, "documents")
     frames = sample_frames(documents_as_multimodal(docs))
     return frames.select(
-        "doc_id", "frame_idx",
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
         F.octet_length("frame").cast("long").alias("frame_bytes"),
     )

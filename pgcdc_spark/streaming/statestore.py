@@ -445,6 +445,37 @@ class BucketedStateStore(AtomicStateStore):
                                label=label)
         return version
 
+    def rebucket(
+        self, spark: SparkSession, keys: list[str], new_n_buckets: int, label: str
+    ) -> str | None:
+        """Rewrite the whole state under a new bucket count — the
+        operational answer to "the table grew 10x and each bucket no
+        longer fits an executor". One O(state) job (a compaction with a
+        different hash fan-out), atomically published: readers see either
+        the old bucketing or the new one, and the manifest owns
+        ``n_buckets`` from then on. ``keys`` must be the same upsert keys
+        every merge uses — the bucket column is derived, not stored."""
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        full = self.read(spark)  # drops the old bucket column
+        # capture BEFORE switching: applied_labels() re-reads the manifest,
+        # which resets self.n_buckets to the committed value
+        applied = self.applied_labels()
+        self.n_buckets = new_n_buckets
+        if full is None:
+            return None
+        rebucketed = full.withColumn(self.BUCKET_COL, self.bucket_expr(keys))
+        version = f"v-{label}-{uuid.uuid4().hex[:8]}"
+        target = os.path.join(self.root, version)
+        rebucketed.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(target)
+        written = {
+            d.split("=", 1)[1]
+            for d in os.listdir(target)
+            if d.startswith(self.BUCKET_COL + "=")
+        }
+        self._publish_manifest({b: version for b in written}, applied, label=label)
+        return version
+
     def _publish_manifest(
         self, buckets: dict[str, str], applied: list[str] | None = None,
         label: str | None = None,

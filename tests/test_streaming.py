@@ -202,6 +202,38 @@ def test_bucketed_store_compaction_bounds_fanin_and_gcs(spark, tmp_path):
     assert rows == {i: f"v{i}" for i in range(6)}
 
 
+def test_bucketed_store_rebucket_preserves_state_and_reroutes(spark, tmp_path):
+    """rebucket rewrites the table under a new hash fan-out: contents
+    identical, manifest owns the new n_buckets, merges and pruned lookups
+    keep working against the new layout."""
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    store = BucketedStateStore(str(tmp_path / "st"), n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"{i:03d}", "I", f"v{i}") for i in range(30)],
+        "id LONG, lsn STRING, op STRING, v STRING",
+    )
+    store.merge(base, keys=["id"], order_by=["lsn"], label="0")
+    before = {r["id"]: r["v"] for r in store.read(spark).collect()}
+
+    store.rebucket(spark, keys=["id"], new_n_buckets=16, label="rb")
+    man = store.current_manifest()
+    assert man["n_buckets"] == 16
+    assert len(man["buckets"]) > 4  # 30 keys spread across the finer layout
+    assert {r["id"]: r["v"] for r in store.read(spark).collect()} == before
+
+    # a FRESH handle (constructor default 64) follows the manifest, and
+    # both merge and pruned lookup route by the committed bucketing
+    store2 = BucketedStateStore(str(tmp_path / "st"))
+    store2.merge(
+        spark.createDataFrame([(7, "100", "U", "updated")],
+                              "id LONG, lsn STRING, op STRING, v STRING"),
+        keys=["id"], order_by=["lsn"], label="1",
+    )
+    got = store2.lookup(spark, ["id"], [(7,), (8,)])
+    assert {r["id"]: r["v"] for r in got.collect()} == {7: "updated", 8: "v8"}
+
+
 def test_bucketed_store_point_lookup_prunes_buckets(spark, tmp_path):
     """lookup() must read ONLY the buckets the probed keys hash to —
     inputFiles of the returned frame stay inside those bucket dirs — and

@@ -396,6 +396,8 @@ class WavAudioCodec:
             pos += 8 + size + (size & 1)  # chunks pad to even offsets
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
+        if len(fmt) < 16:
+            raise ValueError(f"WAV fmt chunk too short ({len(fmt)} < 16 bytes)")
         audio_format, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
         (bits,) = struct.unpack_from("<H", fmt, 14)
         if audio_format != 1:

@@ -59,8 +59,11 @@ def asof_join(
     tagged_left = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     # The right timestamp rides inside the payload struct so the tolerance
     # check (and the nearest-side comparison) can see which row matched.
+    # It keeps its NATIVE numeric type: casting int64 epoch-ns through
+    # double would quantize distances to ~256 ns near 2^60 (a double ulp
+    # there), corrupting tolerance and nearest decisions.
     payload_struct = F.struct(
-        F.col(right_ts).cast("double").alias("__rts"),
+        F.col(right_ts).alias("__rts"),
         *[F.col(c) for c in right_payload],
     )
     tagged_right = (
@@ -83,14 +86,14 @@ def asof_join(
         *lcols, "__ts", "__tie", "__is_left", "__payload"
     ).unionByName(tagged_right.select(*lcols, "__ts", "__tie", "__is_left", "__payload"))
 
-    ts_d = F.col("__ts").cast("double")
+    ts_c = F.col("__ts")
 
     def within(cand: Column) -> Column:
         """NULL out a candidate whose matched ts is beyond tolerance."""
         if tolerance is None:
             return cand
-        delta = F.abs(ts_d - cand["__rts"])
-        return F.when(delta <= F.lit(float(tolerance)), cand)
+        delta = F.abs(ts_c - cand["__rts"])
+        return F.when(delta <= F.lit(tolerance), cand)
 
     cands: list[Column] = []
     if direction in ("backward", "nearest"):
@@ -116,7 +119,7 @@ def asof_join(
         pick = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)
-            .when(F.abs(ts_d - fwd["__rts"]) < F.abs(ts_d - back["__rts"]), fwd)
+            .when(F.abs(ts_c - fwd["__rts"]) < F.abs(ts_c - back["__rts"]), fwd)
             .otherwise(back)
         )
     else:

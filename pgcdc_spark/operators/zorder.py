@@ -104,16 +104,21 @@ def write_zordered(
 ) -> None:
     """Write ``df`` as parquet laid out along the Z-curve of ``cols``.
 
-    Exact key quantiles (``approxQuantile`` with relativeError=0, a
-    bounded driver-side list of ``n_files - 1`` longs) define the file
-    boundaries, so each output file owns a fixed contiguous key range
-    (hyper-rectangle-ish region of the dimension space) and the layout is
-    run-to-run deterministic; the local sort tightens row-group stats
-    within the file. Reads prune with ordinary min-max statistics — no
-    reader-side cooperation needed."""
+    Key quantiles via a Greenwald-Khanna sketch (relativeError=1e-5 —
+    the summary is O(1/eps), bounded driver memory at any table size,
+    unlike relativeError=0 whose summary retains O(rows) samples) define
+    the file boundaries. The sketch is a deterministic function of the
+    data and its partitioning, so for a fixed dataset the layout is
+    run-to-run deterministic — the property sampled repartitionByRange
+    lacked; split-point EXACTNESS is not needed, only stability (a
+    slightly uneven file split still prunes identically). The local sort
+    tightens row-group stats within the file. Reads prune with ordinary
+    min-max statistics — no reader-side cooperation needed."""
     spark = df.sparkSession
     zdf = df.withColumn("__z", morton_key(df, cols, bits))
-    splits = sorted(set(zdf.approxQuantile("__z", [i / n_files for i in range(1, n_files)], 0.0)))
+    splits = sorted(set(zdf.approxQuantile(
+        "__z", [i / n_files for i in range(1, n_files)], 1e-5
+    )))
     # bucket = number of split points <= z  (0..len(splits))
     bucket = F.lit(0)
     for s in splits:

@@ -34,13 +34,16 @@ construction: per group, keep the k smallest (or largest) live
 (k entries, and every outside live row >= its max by construction of
 bottom-k) or it contains the ENTIRE group — in both cases min(support)
 IS the group minimum. Insertions preserve the invariant row-locally;
-a retraction that leaves a support below k may break it (an outside
-row could now undercut nothing in the support), so any group a
-retraction drops below k is re-derived from the state table — the
-documented fallback, one batched semi-join scan, fired only by deletes
-of support members (updates retract+insert and stay at k). Larger k
-amortizes. Update cost otherwise is O(touched + support of touched
-groups) per batch.
+a retraction that removes a SUPPORT member may break it: untracked
+outside rows are only known to dominate the OLD support's extremum, so
+after such a retraction the rebuilt support is trustworthy only while
+its entries stay within the surviving old members' bound. Any group
+where (a) a retraction hit a support tuple AND (b) the rebuilt support
+either emptied or admitted an entry beyond that bound is re-derived
+from the state table — one batched semi-join scan. Retractions of
+non-support rows, pure insertions, and updates that re-enter below the
+bound never trigger it; larger k amortizes the rest. Update cost
+otherwise is O(touched + support of touched groups) per batch.
 
 Join views (JoinView / JoinViewMaintainer): an inner equi-join L ⋈ R over
 two CDC-maintained state tables is delta-maintained with the sequential
@@ -158,6 +161,18 @@ def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFra
     root = os.path.join(state_dir, f"view_{view.name}")
     _recover_compaction(root)
     if _no_deltas(root):
+        # empty relation with the REAL column types where the state table
+        # can supply them (a string-typed empty frame would break a later
+        # union/join once data arrives); string fallback only when nothing
+        # was ever merged
+        st = BucketedStateStore(os.path.join(state_dir, "state")).read(spark)
+        if st is not None:
+            return (
+                st.limit(0)
+                .select(*view.group_cols)
+                .withColumn(f"sum_{view.sum_col}", F.lit(None).cast("double"))
+                .withColumn("n_rows", F.lit(None).cast("long"))
+            )
         cols = ", ".join(f"{c} string" for c in view.group_cols)
         return spark.createDataFrame(
             [], f"{cols}, sum_{view.sum_col} double, n_rows long"
@@ -179,52 +194,62 @@ def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFra
 # atomicity, same contract as the state store's manifest swap):
 #   1. write the folded result under <root>/_compact/base — the leading
 #      underscore hides it from Spark's parquet reader;
-#   2. fsync a <root>/_compact/COMMIT flag: from here the fold is
-#      authoritative;
-#   3. remove the old delta_batch=* partitions;
+#   2. fsync a <root>/_compact/COMMIT flag RECORDING THE EXACT VICTIM
+#      partitions the fold covers: from here the fold is authoritative
+#      for precisely those partitions;
+#   3. remove the victims;
 #   4. rename _compact/base -> delta_batch=base and drop _compact.
 # A crash before 2 leaves the log untouched (stale _compact is discarded);
 # a crash after 2 is finished by _recover_compaction on the next
-# read/compact.
+# read/compact — deleting ONLY the recorded victims, so a delta a
+# restarted stream appended between the crash and the recovery survives
+# (round-5 review: an unscoped "delete everything" recovery silently
+# dropped such a batch, and the store's label gate meant it never
+# re-applied).
 
 _COMPACT_TMP = "_compact"
 
 
 def _recover_compaction(root: str) -> None:
+    import json
     import shutil
 
     tmp = os.path.join(root, _COMPACT_TMP)
     if not os.path.isdir(tmp):
         return
-    if os.path.isfile(os.path.join(tmp, "COMMIT")):
-        # fold is authoritative: finish steps 3-4
-        for d in os.listdir(root):
-            if d.startswith("delta_batch="):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        os.rename(os.path.join(tmp, "base"), os.path.join(root, "delta_batch=base"))
+    commit = os.path.join(tmp, "COMMIT")
+    if os.path.isfile(commit):
+        with open(commit) as f:
+            victims = json.load(f)
+        for d in victims:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        base = os.path.join(tmp, "base")
+        if os.path.isdir(base):  # absent only if the rename already happened
+            os.rename(base, os.path.join(root, "delta_batch=base"))
     shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _compact_delta_log(spark: SparkSession, root: str, fold) -> None:
     """Fold the delta log into one base partition, crash-atomically.
     ``fold(df) -> df`` must preserve the log's schema."""
+    import json
     import shutil
 
     _recover_compaction(root)
     if _no_deltas(root):
         return  # nothing to fold
+    victims = sorted(d for d in os.listdir(root) if d.startswith("delta_batch="))
     tmp = os.path.join(root, _COMPACT_TMP)
-    fold(spark.read.parquet(root)).write.mode("overwrite").parquet(
-        os.path.join(tmp, "base")
-    )
+    fold(
+        spark.read.parquet(*[os.path.join(root, d) for d in victims])
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "base"))
     commit = os.path.join(tmp, "COMMIT")
     with open(commit, "w") as f:
-        f.write("1\n")
+        json.dump(victims, f)
         f.flush()
         os.fsync(f.fileno())
-    for d in os.listdir(root):
-        if d.startswith("delta_batch="):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    for d in victims:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     os.rename(os.path.join(tmp, "base"), os.path.join(root, "delta_batch=base"))
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -358,6 +383,17 @@ class JoinViewMaintainer:
         untouched view (no deltas yet) reads as empty."""
         _recover_compaction(self.delta_root)
         if _no_deltas(self.delta_root):
+            # real column types from the stores when available (see
+            # read_agg_view); string fallback only pre-first-merge
+            l = self.left_store.read(spark)
+            r = self.right_store.read(spark)
+            if l is not None and r is not None:
+                return (
+                    l.limit(0).select(*self.view.left_cols)
+                    .join(r.limit(0).select(*self.view.right_cols),
+                          on=self.view.on, how="inner")
+                    .withColumn("multiplicity", F.lit(None).cast("long"))
+                )
             cols = ", ".join(f"{c} string" for c in self.view.out_cols)
             return spark.createDataFrame([], f"{cols}, multiplicity long")
         deltas = spark.read.parquet(self.delta_root)
@@ -480,19 +516,36 @@ class MinMaxViewMaintainer:
             survivors = dedup.join(dels, on=sup_cols, how="left_anti")
             new_support = self._bottom_k(survivors).localCheckpoint(eager=False)
 
-            # Invariant repair (module docstring): any group a retraction
-            # left below k entries is re-derived from post-merge state —
-            # the pre-merge content of untouched buckets plus new_state
-            # (the manifest is not published yet inside this hook).
-            retracted = dels.select(*view.group_cols).distinct()
-            full_groups = (
-                new_support.groupBy(*view.group_cols)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") >= view.k)
-                .select(*view.group_cols)
+            # Invariant repair (module docstring). Outside rows are only
+            # known to dominate max(OLD support) — after a retraction hits
+            # a support tuple, the surviving old members' extremum is the
+            # trust bound: a rebuilt support that emptied, or admitted an
+            # entry beyond that bound, must be re-derived from post-merge
+            # state (pre-merge untouched buckets + new_state; the manifest
+            # is not published yet inside this hook).
+            damaged = (
+                old.join(dels, on=sup_cols, how="left_semi")
+                .select(*view.group_cols).distinct()
             )
-            refill_groups = retracted.join(
-                full_groups, on=view.group_cols, how="left_anti"
+            old_survivors = old.join(dels, on=sup_cols, how="left_anti")
+            bfn = F.max if view.agg == "min" else F.min
+            bounds = old_survivors.groupBy(*view.group_cols).agg(
+                bfn(view.val_col).alias("__bound")
+            )
+            ns_val = new_support.join(bounds, on=view.group_cols, how="left")
+            beyond = F.col(view.val_col) > F.col("__bound") if view.agg == "min" \
+                else F.col(view.val_col) < F.col("__bound")
+            unsafe = (
+                ns_val.filter(F.col("__bound").isNull() | beyond)
+                .select(*view.group_cols).distinct()
+            )
+            emptied = damaged.join(
+                new_support.select(*view.group_cols).distinct(),
+                on=view.group_cols, how="left_anti",
+            )
+            refill_groups = damaged.join(
+                unsafe.unionByName(emptied).distinct(),
+                on=view.group_cols, how="left_semi",
             ).localCheckpoint(eager=False)
             if refill_groups.count() > 0:  # one action; empty unless deletes hit a support
                 pre = self.store.read_buckets(spark, None)
@@ -521,8 +574,14 @@ class MinMaxViewMaintainer:
         v = self.view
         sup = self.support.read(spark)
         if sup is None:
-            types = ", ".join(f"{c} string" for c in v.group_cols)
-            return spark.createDataFrame([], f"{types}, {v.agg}_{v.val_col} double")
+            st = self.store.read(spark)
+            if st is not None:  # real types from the state table
+                sup = st.limit(0).select(*v.group_cols, *v.key_cols, v.val_col)
+            else:
+                types = ", ".join(f"{c} string" for c in v.group_cols)
+                return spark.createDataFrame(
+                    [], f"{types}, {v.agg}_{v.val_col} double"
+                )
         fn = F.min if v.agg == "min" else F.max
         return sup.groupBy(*v.group_cols).agg(
             fn(v.val_col).alias(f"{v.agg}_{v.val_col}")

@@ -153,9 +153,21 @@ def test_compaction_crash_after_commit_recovers(spark, tmp_path, monkeypatch):
 
     droot = os.path.join(state, "view_by_grp")
     assert os.path.isfile(os.path.join(droot, "_compact", "COMMIT"))
-    # the next read recovers: same contents, log fully compacted
-    assert _view_rows(spark, state) == before
-    assert os.listdir(droot) == ["delta_batch=base"]
+
+    # a restarted stream appends a NEW delta between the crash and the
+    # recovery; recovery must delete ONLY the recorded victims, never
+    # the post-crash delta (round-5 review: unscoped recovery lost it)
+    from decimal import Decimal
+
+    late = spark.createDataFrame([("Z", Decimal("4.0"), 1)],
+                                 "grp string, sum_delta decimal(38,6), count_delta long")
+    late.write.mode("overwrite").parquet(os.path.join(droot, "delta_batch=99"))
+
+    # the next read recovers: old contents + the late delta, victims gone
+    got = _view_rows(spark, state)
+    assert got.pop("Z") == (4.0, 1)
+    assert got == before
+    assert sorted(os.listdir(droot)) == ["delta_batch=99", "delta_batch=base"]
 
 
 def _raise_injected(path, **kw):
@@ -412,6 +424,31 @@ def test_minmax_view_tracks_transitions_and_refills(spark, tmp_path):
     # replay of the last label: no-op (store label gate)
     m.apply_batch(spark.createDataFrame(batches[-1], MM_SCHEMA), label="3")
     assert _mm_view(spark, m, "min") == {"A": 5.0}
+
+
+def test_minmax_refill_when_support_replaced_at_full_count(spark, tmp_path):
+    """Round-5 review repro: one batch retracts BOTH support members while
+    inserting >= k larger rows — post-add count is back at k, but the
+    untracked outside rows (5, 6) now undercut the rebuilt support. The
+    bound-based gate must refill; the old count-based gate reported
+    min=100 against a true min of 5."""
+    m = _mm_maintainer(tmp_path, "d", agg="min", k=2)
+    m.apply_batch(spark.createDataFrame(
+        [("0/01", "I", 1, "A", 1.0), ("0/02", "I", 2, "A", 2.0),
+         ("0/03", "I", 3, "A", 5.0), ("0/04", "I", 4, "A", 6.0)], MM_SCHEMA),
+        label="0")
+    assert _mm_view(spark, m, "min") == {"A": 1.0}
+
+    # support {1, 2} fully replaced by larger values in ONE batch
+    m.apply_batch(spark.createDataFrame(
+        [("0/05", "U", 1, "A", 100.0), ("0/06", "U", 2, "A", 200.0)], MM_SCHEMA),
+        label="1")
+    assert _mm_view(spark, m, "min") == _mm_truth(spark, m, "min") == {"A": 5.0}
+
+    # and the rebuilt support keeps working on later batches
+    m.apply_batch(spark.createDataFrame(
+        [("0/07", "D", 3, "A", 5.0)], MM_SCHEMA), label="2")
+    assert _mm_view(spark, m, "min") == _mm_truth(spark, m, "min") == {"A": 6.0}
 
 
 def test_minmax_view_max_and_split_replay(spark, tmp_path):

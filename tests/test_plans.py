@@ -94,6 +94,7 @@ def test_no_collect_in_query_surface(spark):
     # it collects the distinct image column-name set (O(columns) metadata,
     # not data — cdc/evolution.py) before the checked parse can be planned.
     iterative = {"dedup_cc_clusters", "cdc_evolving_state",
+                 "cdc_widening_state",  # same sanctioned schema discovery
                  "dedup_keep_best",  # composes the iterative CC operator
                  "graph_bfs_hops"}   # declared-iterative BFS frontier loop
 

@@ -66,9 +66,13 @@ _MODULES = (
 # scripts/parity_sweep.py).  all_queries() yields these first — plus the
 # round-5 addition join_asof_tolerance, making exactly 50 — then every
 # already-driver-green query in registration order.
-# ROUND-6 NOTE: once CORRECTNESS_r05 lands green rows for this block,
-# replace _PRIORITY with whatever names remain un-sampled (expected: only
-# queries added in round 6+). Do NOT reorder mid-round.
+# ROUND-6 NOTE: once CORRECTNESS_r05 lands green rows for the first 50,
+# replace _PRIORITY with whatever names remain un-sampled. As of end of
+# round 5 that is exactly the slots past the 50-boundary below:
+#   mm_audio_resample, merge_into_customer_orders, profile_orders_columns,
+#   dq_expectations_orders, graph_bfs_hops, udf_sql_registered,
+#   cdc_widening_state, docs_weighted_sample
+# plus anything round 6 adds. Do NOT reorder mid-round.
 _PRIORITY = (
     # llm_extra (8)
     "emb_pq_adc_topk",

@@ -283,3 +283,60 @@ def test_merge_into_matches_reference_model(spark, target, source, nbs_delete):
         if k not in target:
             want[k] = d
     assert got == want, (target, source, nbs_delete)
+
+
+# --- codec robustness: corrupt payloads fail as ValueError, never worse ------
+
+_wav_seed = None
+
+
+def _valid_wav():
+    global _wav_seed
+    if _wav_seed is None:
+        import numpy as np
+
+        from pgcdc_spark.multimodal import DecodedAudio, encode_wav
+
+        s = (np.arange(64) / 64.0).reshape(-1, 2)
+        _wav_seed = encode_wav(DecodedAudio(s, 8000))
+    return _wav_seed
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_codecs_raise_valueerror_only_on_corruption(data):
+    """Strict-parser contract: ANY corruption of a WAV/PPM payload either
+    still decodes (harmless mutation) or raises ValueError with context —
+    never struct.error / IndexError / silent garbage shapes. Exercised
+    with random byte flips, truncations, and pure-noise payloads."""
+    from pgcdc_spark.multimodal import PpmImageCodec, WavAudioCodec
+
+    codec_kind = data.draw(st.sampled_from(["wav", "ppm"]))
+    if codec_kind == "wav":
+        codec, seed = WavAudioCodec(), bytearray(_valid_wav())
+    else:
+        codec = PpmImageCodec()
+        seed = bytearray(b"P6\n4 2\n255\n" + bytes(range(24)))
+
+    mode = data.draw(st.sampled_from(["flip", "truncate", "noise"]))
+    if mode == "flip":
+        n = data.draw(st.integers(1, 4))
+        for _ in range(n):
+            i = data.draw(st.integers(0, len(seed) - 1))
+            seed[i] ^= data.draw(st.integers(1, 255))
+        payload = bytes(seed)
+    elif mode == "truncate":
+        payload = bytes(seed[: data.draw(st.integers(0, len(seed) - 1))])
+    else:
+        payload = data.draw(st.binary(min_size=0, max_size=80))
+
+    try:
+        decoded = codec.decode(payload)
+    except ValueError:
+        return  # the sanctioned failure mode
+    # survived: must be a structurally sane object
+    if codec_kind == "wav":
+        assert decoded.samples.ndim == 2 and decoded.sample_rate >= 1
+    else:
+        assert decoded.ndim == 3 and decoded.shape[2] == 3

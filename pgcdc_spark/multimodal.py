@@ -318,14 +318,26 @@ def encode_ppm(img: "Any") -> bytes:
 def image_feature(img: "Any") -> list[float]:
     """Real 8-dim feature from a decoded image: per-channel mean and std
     (scaled to [0,1]) + height/width (scaled) — a deterministic stand-in
-    with actual signal, unlike the md5 fake."""
+    with actual signal, unlike the md5 fake.
+
+    Statistics go through EXACT integer sums (sum, sum-of-squares) before
+    any float division: for 8-bit pixel data the sums are exactly
+    representable, so the result is independent of summation order —
+    identical across Arrow batch boundaries, partitionings, and numpy's
+    pairwise-summation blocking, and bit-reproducible by a SQL oracle
+    computing ``sqrt(s2/n - (s1/n)^2)`` in the same operation order.
+    (Catastrophic cancellation is not a concern at 8-bit dynamic range.)"""
     import numpy as np
 
-    arr = img.astype(np.float64)
-    means = arr.mean(axis=(0, 1)) / 255.0
-    stds = arr.std(axis=(0, 1)) / 255.0
-    return [float(x) for x in (*means, *stds, img.shape[0] / 4096.0,
-                               img.shape[1] / 4096.0)]
+    h, w = img.shape[0], img.shape[1]
+    n = h * w
+    a = img.astype(np.int64)
+    s1 = a.sum(axis=(0, 1))          # exact per-channel integer sums
+    s2 = (a * a).sum(axis=(0, 1))
+    m = s1 / n
+    var = np.maximum(s2 / n - m * m, 0.0)
+    return [float(x) for x in (*(m / 255.0), *(np.sqrt(var) / 255.0),
+                               h / 4096.0, w / 4096.0)]
 
 
 def resize_nearest(img: "Any", width: int, height: int) -> "Any":

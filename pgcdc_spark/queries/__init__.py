@@ -60,81 +60,15 @@ _MODULES = (
 )
 
 # Registry iteration order matters operationally: the driver's CORRECTNESS
-# run samples the first 50 queries in iteration order.  Rounds 1-4
-# cumulatively greenlit 100/149 names; the 49 below have never earned a
-# driver-side oracle row (they pass the independent sweep,
-# scripts/parity_sweep.py).  all_queries() yields these first — plus the
-# round-5 addition join_asof_tolerance, making exactly 50 — then every
-# already-driver-green query in registration order.
-# ROUND-6 NOTE: once CORRECTNESS_r05 lands green rows for the first 50,
-# replace _PRIORITY with whatever names remain un-sampled. As of end of
-# round 5 that is exactly the slots past the 50-boundary below:
-#   mm_audio_resample, merge_into_customer_orders, profile_orders_columns,
-#   dq_expectations_orders, graph_bfs_hops, udf_sql_registered,
-#   cdc_widening_state, docs_weighted_sample
-# plus anything round 6 adds. Do NOT reorder mid-round.
+# run samples the first 50 queries in iteration order.  Rounds 1-5
+# cumulatively greenlit 149/158 names; the 9 below have never earned a
+# driver-side green row (8 were added in round 5 after that round's
+# rotation was fixed; mm_extract_features needed the round-6 f0..f7
+# canonicalization fix + full oracle).  all_queries() yields these first —
+# then round-6 additions, then every already-driver-green query in
+# registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # llm_extra (8)
-    "emb_pq_adc_topk",
-    "dedup_incremental_new_docs",
-    "dedup_dup_ngram_spans",
-    "dedup_containment",
-    "emb_ivf_pq_topk",
-    "dedup_simhash_hamming",
-    "dedup_keep_best",
-    "dedup_minhash_estimate",
-    # timeseries (3)
-    "events_locf_fill",
-    "events_linear_interp",
-    "events_ohlc_hourly",
-    # sqlfns (8)
-    "agg_median_mode",
-    "agg_histogram_width_bucket",
-    "scalar_try_arith",
-    "agg_string_agg_ordered",
-    "scalar_posexplode_ordinal",
-    "events_variant_extract",
-    "udf_pandas_grouped_agg",
-    "agg_boolean_predicates",
-    # sketches (2)
-    "agg_bitmap_distinct",
-    "sketch_hll_distinct",
-    # funnels (2)
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    # scd (2)
-    "cdc_scd2_history",
-    "cdc_scd2_point_in_time",
-    # llm_text (17)
-    "docs_token_stats",
-    "docs_lang_profile",
-    "docs_lang_id",
-    "docs_quality_score",
-    "docs_fingerprint",
-    "docs_tfidf",
-    "docs_hash_sample",
-    "docs_chunk_windows",
-    "docs_repetition",
-    "docs_redact",
-    "corpus_prep_pipeline",
-    "docs_top_bigrams",
-    "docs_stratified_sample",
-    "docs_token_bpe_regex",
-    "docs_unigram_logprob",
-    "docs_decontam_overlap",
-    "docs_pack_sequences",
-    # multimodal (4)
-    "mm_binary_meta",
-    "mm_extract_features",
-    "mm_resize",
-    "mm_frame_sample",
-    # stragglers from otherwise-green modules (3)
-    "subq_lateral_topn",
-    "agg_grouping_sets",
-    "agg_corr_covar",
-    # round-5 new surface (1) — total 50
-    "join_asof_tolerance",
-    # just past the 50-sample boundary; rotate in next round
+    # never driver-sampled (8, all pass scripts/parity_sweep.py)
     "mm_audio_resample",
     "merge_into_customer_orders",
     "profile_orders_columns",
@@ -143,6 +77,10 @@ _PRIORITY = (
     "udf_sql_registered",
     "cdc_widening_state",
     "docs_weighted_sample",
+    # driver-red in r5 (array<float> canonicalization); now emits scalar
+    # f0..f7 against a full arithmetic oracle
+    "mm_extract_features",
+    # round-6 new surface goes here as it lands
 )
 
 

@@ -38,19 +38,145 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_extract_features", oracle=None, tags=("llm", "multimodal", "pandas-udf"))
+# Full value-hash oracle for the mixed-modality feature pipeline. Every
+# feature is arithmetically recomputable from doc_id / the text column
+# because (a) payloads are synthesized from doc_id (multimodal._synth_image
+# / _synth_audio), and (b) the engine computes statistics via EXACT integer
+# sums before float division (image_feature / audio analysis), so the
+# decode -> feature float64 values are bit-identical to the SQL recompute
+# in the same IEEE operation order. The trailing REAL cast replicates the
+# engine's float64 -> float32 Arrow narrowing; widening back to DOUBLE is
+# exact on both sides.
+def _txt_feature_cols() -> str:
+    tmpl = ("CAST(CAST(((strpos('0123456789abcdef', substr(hx, {a}, 1)) - 1) * 16"
+            " + (strpos('0123456789abcdef', substr(hx, {b}, 1)) - 1)) / 255.0"
+            " AS REAL) AS DOUBLE) AS f{i}")
+    return ",\n    ".join(tmpl.format(a=2 * i + 1, b=2 * i + 2, i=i) for i in range(8))
+
+
+def _img_stat_cols() -> str:
+    mean = ("CAST(CAST(MAX(CASE WHEN c = {c} THEN (CAST(s1 AS DOUBLE) / (w * h))"
+            " / 255.0 END) AS REAL) AS DOUBLE) AS f{i}")
+    std = ("CAST(CAST(MAX(CASE WHEN c = {c} THEN sqrt(greatest("
+           "CAST(s2 AS DOUBLE) / (w * h)"
+           " - (CAST(s1 AS DOUBLE) / (w * h)) * (CAST(s1 AS DOUBLE) / (w * h)),"
+           " 0.0)) / 255.0 END) AS REAL) AS DOUBLE) AS f{i}")
+    cols = [mean.format(c=c, i=c) for c in range(3)]
+    cols += [std.format(c=c, i=c + 3) for c in range(3)]
+    return ",\n    ".join(cols)
+
+
+_FEATURES_ORACLE = f"""
+WITH
+grid AS (
+  SELECT x, y, c FROM (SELECT unnest(range(0, 6)) AS x),
+                      (SELECT unnest(range(0, 4)) AS y),
+                      (SELECT unnest(range(0, 3)) AS c)
+),
+series AS (SELECT unnest(range(0, 512)) AS i),
+txt AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 0
+),
+txt_f AS (
+  SELECT doc_id, 'text' AS modality, n_bytes,
+    {_txt_feature_cols()}
+  FROM txt
+),
+img_docs AS (
+  SELECT doc_id, CAST(4 + doc_id % 3 AS BIGINT) AS w,
+         CAST(3 + doc_id % 2 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 1
+),
+img_stats AS (
+  SELECT d.doc_id, d.w, d.h, g.c,
+         SUM((d.doc_id * 7 + g.x * 13 + g.y * 29 + g.c * 3) % 256) AS s1,
+         SUM(((d.doc_id * 7 + g.x * 13 + g.y * 29 + g.c * 3) % 256)
+           * ((d.doc_id * 7 + g.x * 13 + g.y * 29 + g.c * 3) % 256)) AS s2
+  FROM img_docs d JOIN grid g ON g.x < d.w AND g.y < d.h
+  GROUP BY d.doc_id, d.w, d.h, g.c
+),
+img_f AS (
+  SELECT doc_id, 'image' AS modality,
+    CAST(11 + any_value(w) * any_value(h) * 3 AS BIGINT) AS n_bytes,
+    {_img_stat_cols()},
+    CAST(CAST(any_value(h) / 4096.0 AS REAL) AS DOUBLE) AS f6,
+    CAST(CAST(any_value(w) / 4096.0 AS REAL) AS DOUBLE) AS f7
+  FROM img_stats GROUP BY doc_id
+),
+aud_docs AS (
+  SELECT doc_id, CAST(160 + (doc_id % 7) * 16 AS BIGINT) AS n,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch
+  FROM documents WHERE doc_id % 3 = 2
+),
+aud_samp AS (
+  SELECT a.doc_id, a.n, a.ch, s.i,
+         (((a.doc_id * 31 + s.i * 17) % 2003) - 1001) * 16 AS p
+  FROM aud_docs a JOIN series s ON s.i < a.n * a.ch
+),
+aud_agg AS (
+  SELECT doc_id, any_value(n) AS n, any_value(ch) AS ch,
+         SUM(p) AS s1, SUM(p * p) AS s2, MAX(ABS(p)) AS pk
+  FROM aud_samp GROUP BY doc_id
+),
+aud_ch0 AS (
+  SELECT doc_id, (p < 0) AS neg,
+         LAG(p < 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_neg
+  FROM aud_samp WHERE i % ch = 0
+),
+aud_zcr AS (
+  SELECT doc_id, SUM(CASE WHEN neg != prev_neg THEN 1 ELSE 0 END) AS changes
+  FROM aud_ch0 WHERE prev_neg IS NOT NULL GROUP BY doc_id
+),
+aud_f AS (
+  SELECT g.doc_id, 'audio' AS modality,
+    CAST(44 + g.n * g.ch * 2 AS BIGINT) AS n_bytes,
+    CAST(CAST(CAST(g.n AS DOUBLE) / 8000 AS REAL) AS DOUBLE) AS f0,
+    CAST(CAST(sqrt((CAST(g.s2 AS DOUBLE) / 1073741824.0) / (g.n * g.ch))
+      AS REAL) AS DOUBLE) AS f1,
+    CAST(CAST(CAST(g.pk AS DOUBLE) / 32768.0 AS REAL) AS DOUBLE) AS f2,
+    CAST(CAST(CAST(z.changes AS DOUBLE) / (g.n - 1) AS REAL) AS DOUBLE) AS f3,
+    CAST(CAST((CAST(g.s1 AS DOUBLE) / 32768.0) / (g.n * g.ch) AS REAL)
+      AS DOUBLE) AS f4,
+    CAST(CAST(CAST(g.ch AS DOUBLE) / 8.0 AS REAL) AS DOUBLE) AS f5,
+    CAST(CAST(8000.0 / 48000.0 AS REAL) AS DOUBLE) AS f6,
+    CAST(CAST(least(1.0, CAST(g.n AS DOUBLE) / 1000000.0) AS REAL) AS DOUBLE) AS f7
+  FROM aud_agg g JOIN aud_zcr z USING (doc_id)
+)
+SELECT * FROM txt_f
+UNION ALL SELECT * FROM img_f
+UNION ALL SELECT * FROM aud_f
+"""
+
+
+@query("mm_extract_features", oracle=_FEATURES_ORACLE,
+       tags=("llm", "multimodal", "pandas-udf"))
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over a MIXED-modality
     corpus (text / PPM image / PCM-WAV audio by doc_id % 3), dispatched
     through the codec REGISTRY in one pass: rasters get channel-stat
     features, waveforms get duration/RMS/peak/ZCR features, text bytes the
-    deterministic stand-in. A cluster user swaps PIL/torchaudio codecs in
-    through the same seam. Rows-only driver check; exact decode/feature
-    values asserted in pytest (tests/test_llm.py)."""
-    from ..multimodal import documents_as_mixed_multimodal
+    deterministic md5 stand-in. A cluster user swaps PIL/torchaudio codecs
+    in through the same seam.
+
+    Driver artifact: the 8-dim ``array<float>`` feature is unpacked into
+    scalar ``f0..f7`` doubles (exact float32 -> float64 widening) so the
+    driver can canonicalize and value-hash the result against the full SQL
+    oracle above — every decoded feature value is bit-checked, not just
+    row counts. Typed-array exactness is separately pinned in pytest
+    (tests/test_llm.py)."""
+    from ..multimodal import FEATURE_DIM, documents_as_mixed_multimodal
 
     (docs,) = load(spark, sf_dir, "documents")
-    return extract_features(documents_as_mixed_multimodal(docs), fake=False)
+    feats = extract_features(documents_as_mixed_multimodal(docs), fake=False)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(FEATURE_DIM)],
+    )
 
 
 # The audio corpus is synthesized arithmetically from doc_id

@@ -75,7 +75,14 @@ def merge_into(
         from pyspark.sql import Window
 
         dup_n = F.count(F.lit(1)).over(Window.partitionBy(*on))
-        present = F.when(dup_n <= 1, F.lit(1)).otherwise(
+        # NULL merge keys never match (plain-equality ON below), so two
+        # NULL-key source rows are NOT duplicates — each takes the NOT
+        # MATCHED INSERT branch independently, per standard MERGE.
+        null_key = None
+        for k in on:
+            nk = F.col(k).isNull()
+            null_key = nk if null_key is None else (null_key | nk)
+        present = F.when(null_key | (dup_n <= 1), F.lit(1)).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("MERGE source has duplicate merge keys: ("),
@@ -87,9 +94,12 @@ def merge_into(
     else:
         present = F.lit(1)
     s = source.withColumn("__s_present", present).alias("__ms")
+    # Plain equality, not eqNullSafe: SQL MERGE treats NULL keys as never
+    # matching — a NULL-key source row inserts, a NULL-key target row
+    # falls into the NOT MATCHED BY SOURCE branch (round-6 review).
     cond = None
     for k in on:
-        c = T(k).eqNullSafe(S(k))
+        c = T(k) == S(k)
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
 

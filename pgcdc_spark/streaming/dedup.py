@@ -78,10 +78,16 @@ SETS_SCHEMA = StructType(
 _COMPACT_TMP = "_compact"
 
 
-def _recover_compaction(root: str) -> None:
+def _recover_compaction(root: str, writer: bool = False) -> None:
     """Finish (COMMIT present: delete recorded victims, publish the fold)
-    or discard (no COMMIT: fold incomplete, victims untouched) a
-    compaction a crash interrupted."""
+    or — writer path only — discard (no COMMIT: fold incomplete, victims
+    untouched) a compaction a crash interrupted.
+
+    Same protocol and round-6 fixes as ivm.py's _recover_compaction:
+    readers never touch a COMMIT-less scratch (it may be an in-flight
+    compactor's), victims are deleted only while the fold still sits in
+    ``_compact/base``, and the publish rename tolerates a concurrent
+    recoverer winning the race."""
     import json
     import os
     import shutil
@@ -90,14 +96,26 @@ def _recover_compaction(root: str) -> None:
     if not os.path.isdir(tmp):
         return
     commit = os.path.join(tmp, "COMMIT")
-    if os.path.isfile(commit):
+    if not os.path.isfile(commit):
+        if writer:
+            shutil.rmtree(tmp, ignore_errors=True)  # own stale scratch
+        return
+    base = os.path.join(tmp, "base")
+    # "batch=0" is itself a victim on every compaction after the first;
+    # once the writer's rename published the fold under that name, an
+    # unconditional victim sweep in the post-rename crash window would
+    # delete the whole folded state and publish nothing. base absent ⇒
+    # the writer already finished its victim loop and the rename.
+    if os.path.isdir(base):
         with open(commit) as f:
             victims = json.load(f)
         for d in victims:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        base = os.path.join(tmp, "base")
-        if os.path.isdir(base):  # absent only if the rename already happened
+        try:
             os.rename(base, os.path.join(root, "batch=0"))
+        except FileNotFoundError:
+            if not os.path.isdir(os.path.join(root, "batch=0")):
+                raise
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -109,7 +127,7 @@ def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None
     import os
     import shutil
 
-    _recover_compaction(root)
+    _recover_compaction(root, writer=True)
     dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
     victims = sorted(d for d in dirs if int(d.split("=", 1)[1]) < keep_from)
     if len(victims) < 2:

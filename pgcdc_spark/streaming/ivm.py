@@ -210,7 +210,21 @@ def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFra
 _COMPACT_TMP = "_compact"
 
 
-def _recover_compaction(root: str) -> None:
+def _recover_compaction(root: str, writer: bool = False) -> None:
+    """Finish a COMMIT-ted compaction a crash interrupted, or (writer
+    path only) discard a COMMIT-less scratch dir.
+
+    Readers must run this too: a crash after COMMIT but mid-victim-delete
+    leaves the log in a state where folding the surviving deltas would
+    silently return PARTIAL results — the fold in ``_compact/base`` is
+    authoritative from COMMIT onward. But a reader must NEVER touch a
+    COMMIT-less ``_compact``: that is an in-flight compactor's scratch,
+    and deleting it aborts live maintenance (round-6 review finding) —
+    only the single-writer maintenance path may discard its own stale
+    scratch. The finish itself is race-tolerant (two recoverers may tie):
+    victim deletion is idempotent and the publish rename has exactly one
+    winner; the loser sees ENOENT and verifies the destination exists.
+    """
     import json
     import shutil
 
@@ -218,14 +232,30 @@ def _recover_compaction(root: str) -> None:
     if not os.path.isdir(tmp):
         return
     commit = os.path.join(tmp, "COMMIT")
-    if os.path.isfile(commit):
+    if not os.path.isfile(commit):
+        if writer:
+            shutil.rmtree(tmp, ignore_errors=True)  # own stale scratch
+        return
+    base = os.path.join(tmp, "base")
+    # Delete victims ONLY while the fold still sits in _compact/base.
+    # Once the writer's rename published it as delta_batch=base, that
+    # name — which IS a victim on every compaction after the first
+    # (the previous base is folded too) — holds the entire view state;
+    # an unconditional victim sweep in the post-rename crash window
+    # would delete it and publish nothing (round-6 review finding).
+    # base absent ⇒ the writer's victim loop already completed before
+    # its rename, so there is nothing left to delete or publish.
+    if os.path.isdir(base):
         with open(commit) as f:
             victims = json.load(f)
         for d in victims:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        base = os.path.join(tmp, "base")
-        if os.path.isdir(base):  # absent only if the rename already happened
+        try:
             os.rename(base, os.path.join(root, "delta_batch=base"))
+        except FileNotFoundError:
+            # concurrent recoverer won the rename; verify it published
+            if not os.path.isdir(os.path.join(root, "delta_batch=base")):
+                raise
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -235,7 +265,7 @@ def _compact_delta_log(spark: SparkSession, root: str, fold) -> None:
     import json
     import shutil
 
-    _recover_compaction(root)
+    _recover_compaction(root, writer=True)
     if _no_deltas(root):
         return  # nothing to fold
     victims = sorted(d for d in os.listdir(root) if d.startswith("delta_batch="))
@@ -487,11 +517,16 @@ class MinMaxViewMaintainer:
             from pyspark.sql import Window
 
             # Replay gate: the support store's live version name embeds
-            # the label it committed under (AtomicStateStore.commit) —
-            # a crash between support commit and state publish replays
-            # this hook, which must then be a no-op.
+            # the label it committed under (AtomicStateStore.commit,
+            # format ``v-<label>-<uuid8>``) — a crash between support
+            # commit and state publish replays this hook, which must then
+            # be a no-op. version_label handles labels that themselves
+            # contain dashes (round-6 review: a split-based parse silently
+            # never gated for e.g. date-based labels).
+            from .statestore import version_label
+
             ver = self.support.current_version()
-            if ver is not None and ver.split("-")[1] == label:
+            if ver is not None and version_label(ver) == label:
                 return
 
             diff = _signed_diff(current, new_state, sup_cols)

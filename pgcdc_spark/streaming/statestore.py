@@ -53,6 +53,17 @@ _KEEP_VERSIONS = 2
 _APPLIED_WINDOW = 64
 
 
+def version_label(version: str) -> str:
+    """The commit label embedded in a ``v-<label>-<uuid8>`` version name.
+
+    Strips the ``v-`` prefix and the trailing 8-hex uuid rather than
+    splitting on ``-``: labels may themselves contain dashes (date-based
+    labels, composite ids), and a naive ``split("-")[1]`` silently
+    returned only the first fragment (round-6 review: the MinMax replay
+    gate never fired for such labels)."""
+    return version[2:].rsplit("-", 1)[0]
+
+
 class AtomicStateStore:
     """Versioned parquet state under ``root`` with an atomic manifest."""
 
@@ -82,8 +93,9 @@ class AtomicStateStore:
         """Write ``df`` as a new version and atomically publish it.
 
         ``label`` (e.g. the micro-batch id) is embedded in the version name
-        for operator forensics; a uuid suffix keeps replayed labels from
-        colliding with the live version dir.
+        for operator forensics (recover it with :func:`version_label`); a
+        uuid suffix keeps replayed labels from colliding with the live
+        version dir.
         """
         version = f"v-{label}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
@@ -368,15 +380,25 @@ class BucketedStateStore(AtomicStateStore):
             try:
                 label_n, oldest = int(label), min(int(x) for x in applied_now)
             except ValueError:
-                pass  # non-numeric labels: no order to reason about
-            else:
-                if label_n < oldest:
-                    raise ValueError(
-                        f"label {label!r} is older than the oldest retained "
-                        f"applied label ({oldest}) in a full "
-                        f"{_APPLIED_WINDOW}-entry window: cannot tell whether "
-                        "it was already applied; refusing to re-merge"
-                    )
+                # Non-numeric labels have no order: an evicted label is
+                # INDISTINGUISHABLE from a never-applied one, so silently
+                # re-merging would be exactly the double-count this guard
+                # exists to prevent (round-6 review — the old path fell
+                # through and re-merged). Numeric, monotone labels are the
+                # supported regime for windows deeper than _APPLIED_WINDOW.
+                raise ValueError(
+                    f"non-numeric label {label!r} with a full "
+                    f"{_APPLIED_WINDOW}-entry applied window: evicted labels "
+                    "cannot be detected without a total order; use numeric "
+                    "monotone labels (batch ids) or raise _APPLIED_WINDOW"
+                ) from None
+            if label_n < oldest:
+                raise ValueError(
+                    f"label {label!r} is older than the oldest retained "
+                    f"applied label ({oldest}) in a full "
+                    f"{_APPLIED_WINDOW}-entry window: cannot tell whether "
+                    "it was already applied; refusing to re-merge"
+                )
         # Pin the bucketed batch: it drives TWO actions (touched-bucket
         # probe + the merge write), and under foreachBatch every action
         # re-executes the SOURCE plan — unpinned, that is a second read

@@ -202,15 +202,31 @@ def test_dedup_state_compaction_crash_recovery(spark, tmp_path):
     assert parts == ["batch=0", "batch=3"]
     assert not os.path.isdir(f"{base}/_compact")
 
-    # no COMMIT: half fold is discarded, partitions untouched
+    # no COMMIT: a READER leaves the scratch alone (it may belong to an
+    # in-flight compactor — round-6 review) and still reads correctly;
+    # the WRITER discards its own stale scratch
     os.makedirs(f"{base}/_compact/base", exist_ok=True)
     with open(f"{base}/_compact/base/junk", "w") as f:
         f.write("partial")
     prior2 = _read_prior(spark, base, BANDS_SCHEMA, batch_id=10)
     assert sorted(r["doc_id"] for r in prior2.collect()) == [0, 1, 2, 3]
-    assert not os.path.isdir(f"{base}/_compact")
+    assert os.path.isdir(f"{base}/_compact")
 
-    # and a direct compact folds the remainder
+    # a direct compact (writer) discards the stale scratch and folds
     _compact_state_table(spark, base, keep_from=4)
     parts2 = sorted(d for d in os.listdir(base) if d.startswith("batch="))
     assert parts2 == ["batch=0"]
+    assert not os.path.isdir(f"{base}/_compact")
+
+    # post-rename crash window (round-6 review, HIGH): on compactions
+    # after the first, 'batch=0' is both a victim and the rename
+    # destination; once the rename published the fold there, recovery
+    # must NOT delete it (base absent from _compact = swap completed)
+    shutil.rmtree(f"{base}/_compact", ignore_errors=True)
+    os.makedirs(f"{base}/_compact")
+    with open(f"{base}/_compact/COMMIT", "w") as f:
+        json.dump(["batch=0"], f)
+    prior3 = _read_prior(spark, base, BANDS_SCHEMA, batch_id=10)
+    assert sorted(r["doc_id"] for r in prior3.collect()) == [0, 1, 2, 3]
+    assert sorted(d for d in os.listdir(base) if d.startswith("batch=")) == ["batch=0"]
+    assert not os.path.isdir(f"{base}/_compact")

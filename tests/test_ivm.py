@@ -175,8 +175,12 @@ def _raise_injected(path, **kw):
 
 
 def test_compaction_crash_before_commit_is_discarded(spark, tmp_path):
-    """An incomplete fold (no COMMIT flag) must be discarded; the delta
-    log stays the source of truth."""
+    """An incomplete fold (no COMMIT flag) must never become state. A
+    READER must leave the scratch dir alone (it may belong to an
+    in-flight compactor — deleting it would abort live maintenance,
+    round-6 review); the WRITER discards its own stale scratch on the
+    next compaction. Either way the delta log stays the source of
+    truth."""
     _, state, _ = _run(spark, tmp_path, "e")
     before = _view_rows(spark, state)
     droot = os.path.join(state, "view_by_grp")
@@ -184,8 +188,38 @@ def test_compaction_crash_before_commit_is_discarded(spark, tmp_path):
     os.makedirs(junk)
     with open(os.path.join(junk, "partial.parquet"), "w") as f:
         f.write("garbage")
+    # reader: correct contents, scratch untouched
     assert _view_rows(spark, state) == before
-    assert not os.path.isdir(os.path.join(droot, "_compact"))
+    assert os.path.isdir(os.path.join(droot, "_compact"))
+    # writer: discards the stale scratch and compacts normally
+    compact_view(spark, state, VIEW)
+    assert os.listdir(droot) == ["delta_batch=base"]
+    assert _view_rows(spark, state) == before
+
+
+def test_compaction_crash_after_rename_keeps_published_base(spark, tmp_path):
+    """Post-rename crash window (round-6 review, HIGH): on every
+    compaction after the first, 'delta_batch=base' is itself in the
+    recorded victim list AND is the rename destination. A crash between
+    the rename and the scratch cleanup leaves COMMIT behind; recovery
+    must NOT re-delete the just-published base (the entire folded view
+    state) — base absent from _compact means the swap completed."""
+    import json
+
+    _, state, _ = _run(spark, tmp_path, "f")
+    before = _view_rows(spark, state)
+    droot = os.path.join(state, "view_by_grp")
+    compact_view(spark, state, VIEW)  # first compaction -> delta_batch=base
+    # second compaction's post-rename crash state, reconstructed exactly:
+    # COMMIT lists the previous base as a victim; _compact/base is gone
+    # (already renamed onto delta_batch=base); only the cleanup is left.
+    tmp = os.path.join(droot, "_compact")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "COMMIT"), "w") as f:
+        json.dump(["delta_batch=base"], f)
+    assert _view_rows(spark, state) == before  # recovery must not lose it
+    assert not os.path.isdir(tmp)
+    assert os.listdir(droot) == ["delta_batch=base"]
 
 
 def test_merge_rejects_label_older_than_retained_window(spark, tmp_path):
@@ -206,9 +240,25 @@ def test_merge_rejects_label_older_than_retained_window(spark, tmp_path):
 
     with pytest.raises(ValueError, match="older than the oldest retained"):
         store.merge(batch, keys=["id"], order_by=["lsn"], label="50")
+    # a non-numeric label in a FULL window is always ambiguous (an evicted
+    # one is indistinguishable from a never-applied one) — raise, never
+    # silently re-merge (round-6 review: the old path fell through)
+    with pytest.raises(ValueError, match="non-numeric label"):
+        store.merge(batch, keys=["id"], order_by=["lsn"], label="2026-01-x")
     # newer labels and in-window replays still behave
     assert store.merge(batch, keys=["id"], order_by=["lsn"], label="120") is None
     assert store.merge(batch, keys=["id"], order_by=["lsn"], label="200") is not None
+
+
+def test_version_label_roundtrip():
+    """version_label must invert commit's v-<label>-<uuid8> naming for
+    labels that themselves contain dashes (round-6 review: a split-based
+    parse broke the MinMax replay gate for date-style labels)."""
+    from pgcdc_spark.streaming.statestore import version_label
+
+    assert version_label("v-7-0123abcd") == "7"
+    assert version_label("v-2026-01-01-deadbeef") == "2026-01-01"
+    assert version_label("v-a-b-c-00ff00ff") == "a-b-c"
 
 
 # --- join views ---------------------------------------------------------------

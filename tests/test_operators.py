@@ -148,18 +148,32 @@ def test_merge_into_all_branches(spark):
     assert waived.count() >= len(target.collect())
 
 
-def test_merge_into_null_safe_keys(spark):
-    """NULL join keys must match each other (eqNullSafe), mirroring MERGE
-    ON <key> semantics where a NULL-keyed source row would otherwise
-    land in the insert branch AND leave the NULL target row untouched."""
+def test_merge_into_null_keys_never_match(spark):
+    """Standard SQL MERGE: NULL join keys never match (plain equality in
+    the ON clause, NOT eqNullSafe) — a NULL-key source row takes the NOT
+    MATCHED INSERT branch, a NULL-key target row falls into the NOT
+    MATCHED BY SOURCE branch; and TWO NULL-key source rows are not
+    'duplicate merge keys' (each inserts independently). Round-6 review:
+    the old eqNullSafe ON clause matched NULLs and raised on two NULL-key
+    source rows."""
     from pgcdc_spark.operators.merge import S, merge_into
 
     target = spark.createDataFrame([(None, 1.0), (7, 2.0)], "id LONG, bal DOUBLE")
-    source = spark.createDataFrame([(None, 100.0)], "id LONG, bal2 DOUBLE")
+    source = spark.createDataFrame([(None, 100.0), (None, 200.0), (7, 70.0)],
+                                   "id LONG, bal2 DOUBLE")
     out = merge_into(target, source, on=["id"],
-                     when_matched_update={"bal": S("bal2")})
-    got = {r["id"]: r["bal"] for r in out.collect()}
-    assert got == {None: 100.0, 7: 2.0}
+                     when_matched_update={"bal": S("bal2")},
+                     when_not_matched_insert={"bal": S("bal2")})
+    rows = sorted((r["id"], r["bal"]) for r in out.collect()
+                  if r["id"] is not None)
+    null_rows = sorted(r["bal"] for r in out.collect() if r["id"] is None)
+    assert rows == [(7, 70.0)]                    # matched update
+    assert null_rows == [1.0, 100.0, 200.0]       # target kept + both inserted
+
+    # NULL-key target rows are still eligible for NOT MATCHED BY SOURCE
+    purge = merge_into(target, source.filter("id IS NOT NULL"), on=["id"],
+                       when_not_matched_by_source_delete=True)
+    assert {r["id"] for r in purge.collect()} == {7}
 
 
 def test_compact_files_bin_packs(spark, sf_smoke, tmp_path):

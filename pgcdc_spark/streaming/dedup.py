@@ -36,11 +36,10 @@ joins, candidate-gated verification — are exactly what survives that
 scale-up.
 
 Filesystem contract: like statestore.py (whose rename-based commit this
-module's batch-partition overwrite mirrors), state existence checks and
-writes go through LOCAL filesystem paths (os.path), not the Hadoop
-FileSystem API — the state root must live on a posix filesystem (or a
-mount that emulates one). Pointing it at an object-store URI would need
-the existence/commit plumbing ported to the FileSystem API first.
+module's batch-partition overwrite mirrors), state metadata routes
+through pgcdc_spark/fs.py — a local path or an HDFS/file: URI both work;
+the protocol needs fs.py's atomic-rename contract (HDFS yes, bare S3
+no — plug a coordination pointer at that seam).
 """
 
 from __future__ import annotations
@@ -48,6 +47,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..fs import get_fs
 from ..queries.llm_dedup import minhash_bands, shingle_sets
 
 BANDS_SCHEMA = StructType(
@@ -90,15 +91,15 @@ def _recover_compaction(root: str, writer: bool = False) -> None:
     recoverer winning the race."""
     import json
     import os
-    import shutil
 
+    fs = get_fs(root)
     tmp = os.path.join(root, _COMPACT_TMP)
-    if not os.path.isdir(tmp):
+    if not fs.is_dir(tmp):
         return
     commit = os.path.join(tmp, "COMMIT")
-    if not os.path.isfile(commit):
+    if not fs.is_file(commit):
         if writer:
-            shutil.rmtree(tmp, ignore_errors=True)  # own stale scratch
+            fs.delete(tmp)  # own stale scratch
         return
     base = os.path.join(tmp, "base")
     # "batch=0" is itself a victim on every compaction after the first;
@@ -106,17 +107,16 @@ def _recover_compaction(root: str, writer: bool = False) -> None:
     # unconditional victim sweep in the post-rename crash window would
     # delete the whole folded state and publish nothing. base absent ⇒
     # the writer already finished its victim loop and the rename.
-    if os.path.isdir(base):
-        with open(commit) as f:
-            victims = json.load(f)
+    if fs.is_dir(base):
+        victims = json.loads(fs.read_text(commit))
         for d in victims:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            fs.delete(os.path.join(root, d))
         try:
-            os.rename(base, os.path.join(root, "batch=0"))
+            fs.rename(base, os.path.join(root, "batch=0"))
         except FileNotFoundError:
-            if not os.path.isdir(os.path.join(root, "batch=0")):
+            if not fs.is_dir(os.path.join(root, "batch=0")):
                 raise
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp)
 
 
 def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None:
@@ -125,25 +125,22 @@ def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None
     encoded partition column, so the fold is schema-stable."""
     import json
     import os
-    import shutil
 
+    fs = get_fs(root)
     _recover_compaction(root, writer=True)
-    dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
+    dirs = [d for d in fs.listdir(root) if d.startswith("batch=")]
     victims = sorted(d for d in dirs if int(d.split("=", 1)[1]) < keep_from)
     if len(victims) < 2:
         return
     tmp = os.path.join(root, _COMPACT_TMP)
     folded = spark.read.parquet(*[os.path.join(root, d) for d in victims])
     folded.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
-    commit = os.path.join(tmp, "COMMIT")
-    with open(commit, "w") as f:
-        json.dump(victims, f)
-        f.flush()
-        os.fsync(f.fileno())
+    # fsync'd before any victim delete: from here the fold is authoritative
+    fs.write_text_atomic(os.path.join(tmp, "COMMIT"), json.dumps(victims))
     for d in victims:
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    os.rename(os.path.join(tmp, "base"), os.path.join(root, "batch=0"))
-    shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(os.path.join(root, d))
+    fs.rename(os.path.join(tmp, "base"), os.path.join(root, "batch=0"))
+    fs.delete(tmp)
 
 
 def _read_prior(
@@ -157,9 +154,7 @@ def _read_prior(
     empty frame; a present-but-unreadable store RAISES — silently treating
     corrupted state as empty would mis-verdict every arriving doc as
     novel."""
-    import os
-
-    if not os.path.isdir(path):
+    if not get_fs(path).is_dir(path):
         return spark.createDataFrame([], schema)
     _recover_compaction(path)
     df = spark.read.schema(
@@ -264,10 +259,8 @@ def start_dedup_stream(
             sets_new.write.mode("overwrite").parquet(
                 f"{state_dir}/sets/batch={batch_id}"
             )
-            import os
-
             n_parts = sum(
-                1 for d in os.listdir(f"{state_dir}/bands")
+                1 for d in get_fs(state_dir).listdir(f"{state_dir}/bands")
                 if d.startswith("batch=")
             )
             if n_parts > compact_after:

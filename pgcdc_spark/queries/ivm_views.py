@@ -1,0 +1,229 @@
+"""Incremental view maintenance driven through the driver oracle.
+
+streaming/ivm.py's three view maintainers (group-agg deltas, join views
+via ΔL ⋈ R ∪ L ⋈ ΔR, MIN/MAX via support sets) were previously
+suite-visible only (pytest exactness vs recompute). These queries are
+their BATCH TWINS: each derives a deterministic multi-batch CDC fixture
+from the standard tables, applies the batches through the SAME maintainer
+code paths the streams use (apply_agg_view_batch /
+JoinViewMaintainer.apply_batch / MinMaxViewMaintainer.apply_batch), then
+returns the maintained view — while the DuckDB oracle recomputes the view
+directly from the fixture definition (plain window + join + group-by).
+A hash match therefore proves the incremental path converges to the
+batch-recompute answer on real data, under the driver gate, not just in
+the suite.
+
+Fixture discipline (same as cdc_state.py): everything derives
+arithmetically from table columns so the oracle can mirror it; batch
+assignment is part of the fixture (later batches carry updates/deletes
+against keys inserted by earlier ones, so retraction paths genuinely
+run). State lives in a fresh mkdtemp per invocation (the returned
+DataFrame reads it lazily, so it is NOT cleaned up here; the OS temp
+reaper owns it — bounded, driver-run-sized state).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from . import query
+
+_N_BUCKETS = 8  # small fixtures: fewer buckets = fewer tiny files/jobs
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a 3-batch CDC changelog: key user_id, LSN (ts_us,
+    event_id), op D for 'error' rows, batch = event_id % 3 — so a user's
+    later changes routinely land in different batches than their first."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.select(
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("event_id") % 3).alias("batch"),
+    )
+
+
+_AGG_VIEW_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
+@query("ivm_agg_view_state", oracle=_AGG_VIEW_ORACLE, tags=("cdc", "ivm"))
+def ivm_agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/COUNT view maintained from state-transition deltas across 3
+    CDC batches (inserts, updates, deletes, out-of-order arrivals), read
+    back as the delta-log fold. The oracle recomputes the view directly
+    from the final upsert state — agreement proves the incremental deltas
+    net to the batch answer (exact decimal arithmetic on both sides)."""
+    from ..streaming.ivm import AggView, apply_agg_view_batch, read_agg_view
+    from ..streaming.statestore import BucketedStateStore
+
+    view = AggView("by_type", group_cols=["event_type"], sum_col="value")
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-agg-")
+    store = BucketedStateStore(os.path.join(state_dir, "state"),
+                               n_buckets=_N_BUCKETS)
+    delta_root = os.path.join(state_dir, f"view_{view.name}")
+    log = _events_changelog(spark, sf_dir)
+    for b in range(3):
+        apply_agg_view_batch(
+            store, view, delta_root,
+            log.filter(F.col("batch") == b).drop("batch"),
+            label=str(b), keys=["user_id"], order_by=["ts_us", "event_id"],
+        )
+    return read_agg_view(spark, state_dir, view)
+
+
+_MINMAX_VIEW_ORACLE = """
+SELECT event_type, MIN(value) AS min_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
+@query("ivm_minmax_view_state", oracle=_MINMAX_VIEW_ORACLE, tags=("cdc", "ivm"))
+def ivm_minmax_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN view maintained via the bounded support-set construction
+    (k entries per group) across the same 3-batch fixture — deletes and
+    updates retract support members, exercising the invariant-repair
+    re-derivation path on real data. Oracle: MIN over the final upsert
+    state (doubles compare exactly; no arithmetic beyond comparison)."""
+    from ..streaming.ivm import MinMaxView, MinMaxViewMaintainer
+
+    view = MinMaxView("mn", group_cols=["event_type"], val_col="value",
+                      key_cols=["user_id"], agg="min", k=4)
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-minmax-")
+    m = MinMaxViewMaintainer(state_dir, view, keys=["user_id"],
+                             order_by=["ts_us", "event_id"],
+                             n_buckets=_N_BUCKETS)
+    log = _events_changelog(spark, sf_dir)
+    for b in range(3):
+        m.apply_batch(log.filter(F.col("batch") == b).drop("batch"),
+                      label=str(b))
+    out = m.read_view(spark)
+    return out.select("event_type", F.col("min_value"))
+
+
+# Join-view fixture: orders (sampled, key id) ⋈ customer (key rid) on
+# custkey. Batches 0/1 insert first images; batch 2 carries updates
+# (left: k%5=0 reprices +100; right: custkey%4=1 retags segment '*') and
+# deletes (left: k%7=3) against batch-0/1 keys — both ΔL ⋈ R_old and
+# L_new ⋈ ΔR see genuine retractions.
+_JOIN_VIEW_ORACLE = """
+WITH lsrc AS (
+  SELECT o_orderkey AS id, o_custkey AS j, o_totalprice AS a_val,
+         o_orderkey // 10 AS k
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+lev AS (
+  SELECT id, j, a_val, 2 * id AS lsn, 'U' AS op FROM lsrc
+  UNION ALL
+  SELECT id, j, a_val + 100, 2 * id + 1, 'U' FROM lsrc WHERE k % 5 = 0
+  UNION ALL
+  SELECT id, j, a_val, 2 * id + 2, 'D' FROM lsrc WHERE k % 7 = 3
+),
+lstate AS (
+  SELECT id, j, a_val FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+    FROM lev
+  ) WHERE rn = 1 AND op <> 'D'
+),
+rsrc AS (SELECT c_custkey AS j, c_mktsegment AS b_val FROM customer),
+rev AS (
+  SELECT j, b_val, 2 * j AS lsn, 'U' AS op FROM rsrc
+  UNION ALL
+  SELECT j, b_val || '*', 2 * j + 1, 'U' FROM rsrc WHERE j % 4 = 1
+),
+rstate AS (
+  SELECT j, b_val FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY j ORDER BY lsn DESC) AS rn
+    FROM rev
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT l.id, l.j, l.a_val, r.b_val, CAST(1 AS BIGINT) AS multiplicity
+FROM lstate l JOIN rstate r USING (j)
+"""
+
+
+@query("ivm_join_view_state", oracle=_JOIN_VIEW_ORACLE, tags=("cdc", "ivm"))
+def ivm_join_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join view maintained incrementally with
+    ΔV = ΔL ⋈ R_old ∪ L_new ⋈ ΔR over a two-table, 3-batch CDC fixture
+    (both sides see inserts, updates, and deletes), read back as the
+    signed fold. The oracle joins the two final upsert states directly —
+    agreement proves the delta rule nets to the join of the end states,
+    including retraction bookkeeping (every surviving row's multiplicity
+    is exactly 1 here: unique ids on the left, unique custkeys on the
+    right)."""
+    from ..streaming.ivm import JoinView, JoinViewMaintainer
+
+    (orders, customer) = load(spark, sf_dir, "orders", "customer")
+    lsrc = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("j"),
+        F.col("o_totalprice").alias("a_val"),
+        (F.col("o_orderkey") / F.lit(10)).cast("long").alias("k"),
+    )
+    first_l = lsrc.select(
+        (2 * F.col("id")).alias("lsn"), F.lit("U").alias("op"),
+        "id", "j", "a_val", (F.col("k") % 2).alias("batch"),
+    )
+    upd_l = lsrc.filter(F.col("k") % 5 == 0).select(
+        (2 * F.col("id") + 1).alias("lsn"), F.lit("U").alias("op"),
+        "id", "j", (F.col("a_val") + 100).alias("a_val"),
+        F.lit(2).alias("batch"),
+    )
+    del_l = lsrc.filter(F.col("k") % 7 == 3).select(
+        (2 * F.col("id") + 2).alias("lsn"), F.lit("D").alias("op"),
+        "id", "j", "a_val", F.lit(2).alias("batch"),
+    )
+    left_log = first_l.unionByName(upd_l).unionByName(del_l)
+
+    rsrc = customer.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_custkey").alias("j"),
+        F.col("c_mktsegment").alias("b_val"),
+    )
+    first_r = rsrc.select(
+        (2 * F.col("rid")).alias("lsn"), F.lit("U").alias("op"),
+        "rid", "j", "b_val", (F.col("rid") % 2).alias("batch"),
+    )
+    upd_r = rsrc.filter(F.col("rid") % 4 == 1).select(
+        (2 * F.col("rid") + 1).alias("lsn"), F.lit("U").alias("op"),
+        "rid", "j", F.concat(F.col("b_val"), F.lit("*")).alias("b_val"),
+        F.lit(2).alias("batch"),
+    )
+    right_log = first_r.unionByName(upd_r)
+
+    view = JoinView("ord_cust", on=["j"], left_cols=["id", "j", "a_val"],
+                    right_cols=["j", "b_val"])
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-join-")
+    m = JoinViewMaintainer(state_dir, view, left_keys=["id"],
+                           right_keys=["rid"], n_buckets=_N_BUCKETS)
+    for b in range(3):
+        m.apply_batch(
+            left_log.filter(F.col("batch") == b).drop("batch"),
+            right_log.filter(F.col("batch") == b).drop("batch"),
+            label=str(b),
+        )
+    return m.read_view(spark)

@@ -106,6 +106,40 @@ class AggView:
         )
 
 
+def apply_agg_view_batch(
+    store: "BucketedStateStore",
+    view: AggView,
+    delta_root: str,
+    batch_df: DataFrame,
+    label: str,
+    keys: list[str],
+    order_by: list[str] = ("lsn",),
+) -> None:
+    """Merge one change batch and maintain the view's delta log — the
+    per-batch unit shared by the streaming sink (foreachBatch below) and
+    batch replays (queries/ivm_views.py drives it through the driver
+    oracle). Replay-exactly-once via the store's label gate."""
+    if batch_df.isEmpty():
+        return
+
+    def on_transition(current, new_state, touched) -> None:
+        d = view.delta(current, new_state)
+        # idempotent per label: replay-before-publish overwrites with
+        # an identical recomputation; replay-after-publish never runs
+        # (store label gate)
+        d.write.mode("overwrite").parquet(
+            os.path.join(delta_root, f"delta_batch={label}")
+        )
+
+    store.merge(
+        batch_df,
+        keys=list(keys),
+        order_by=list(order_by),
+        label=label,
+        on_transition=on_transition,
+    )
+
+
 def start_upsert_stream_with_view(
     changes: DataFrame,
     state_dir: str,
@@ -120,24 +154,9 @@ def start_upsert_stream_with_view(
     delta_root = os.path.join(state_dir, f"view_{view.name}")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-
-        def on_transition(current, new_state, touched) -> None:
-            d = view.delta(current, new_state)
-            # idempotent per label: replay-before-publish overwrites with
-            # an identical recomputation; replay-after-publish never runs
-            # (store label gate)
-            d.write.mode("overwrite").parquet(
-                os.path.join(delta_root, f"delta_batch={batch_id}")
-            )
-
-        store.merge(
-            batch_df,
-            keys=list(keys),
-            order_by=list(order_by),
-            label=str(batch_id),
-            on_transition=on_transition,
+        apply_agg_view_batch(
+            store, view, delta_root, batch_df, str(batch_id),
+            keys=keys, order_by=order_by,
         )
 
     return (

@@ -48,6 +48,12 @@ MM_FEATURE_SCHEMA = StructType(
     ]
 )
 
+#: quarantine-mode output: same rows plus a dead-letter ``error`` column
+#: (NULL feature + the decode/feature failure message for bad payloads).
+MM_FEATURE_Q_SCHEMA = StructType(
+    list(MM_FEATURE_SCHEMA.fields) + [StructField("error", StringType())]
+)
+
 FEATURE_DIM = 8
 
 
@@ -120,40 +126,71 @@ def _fake_feature(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-def extract_features(mm: DataFrame, fake: bool = True) -> DataFrame:
+def _feature_of(decoded: Any) -> list[float]:
+    # per-modality dispatch on the DECODED object: waveforms -> audio
+    # stats, rasters -> channel stats, the byte-level stand-in -> md5 fake
+    if isinstance(decoded, DecodedAudio):
+        return audio_feature(decoded)
+    if hasattr(decoded, "shape"):
+        return image_feature(decoded)
+    return _fake_feature(decoded)
+
+
+def extract_features(
+    mm: DataFrame, fake: bool = True, on_error: str = "raise"
+) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, modality, payload).
 
     The Arrow batch shape is the real deliverable: each pandas DataFrame
     chunk is decoded column-wise, one output row per input row.
-    """
 
+    ``on_error``:
+
+    - ``"raise"`` (default): a corrupt payload or unregistered modality
+      fails the task with the offending doc's context — right for
+      pipelines whose inputs are contractually clean;
+    - ``"quarantine"``: expected per-row failures (``ValueError`` from a
+      strict codec, ``NotImplementedError`` for an unregistered
+      modality) become dead-letter rows — NULL feature plus the failure
+      message in an ``error`` column — while good rows are unharmed. At
+      a 100 TB corpus pass one bad blob must not kill a stage; the
+      dead-letter split (``WHERE error IS NOT NULL``) is the triage
+      output. Genuine bugs (any other exception type) still raise.
+    """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
     codecs = registered_codecs()
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [
-                decode_payload(p, m, fake=fake, codecs=codecs)
-                for p, m in zip(pdf["payload"], pdf["modality"])
-            ]
-            # per-modality dispatch on the DECODED object in one pass:
-            # waveforms -> audio stats, rasters -> channel stats, the
-            # byte-level stand-in -> the md5 fake
-            feats = [
-                audio_feature(d) if isinstance(d, DecodedAudio)
-                else image_feature(d) if hasattr(d, "shape")
-                else _fake_feature(d)
-                for d in decoded
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "feature": feats,
-                }
-            )
+            feats: list[list[float] | None] = []
+            errs: list[str | None] = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                try:
+                    feats.append(_feature_of(
+                        decode_payload(p, m, fake=fake, codecs=codecs)
+                    ))
+                    errs.append(None)
+                except (ValueError, NotImplementedError):
+                    if not quarantine:
+                        raise
+                    import sys
 
-    return mm.mapInPandas(run, schema=MM_FEATURE_SCHEMA)
+                    feats.append(None)
+                    errs.append(f"{sys.exc_info()[0].__name__}: {sys.exc_info()[1]}")
+            out = {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "feature": feats,
+            }
+            if quarantine:
+                out["error"] = errs
+            yield pd.DataFrame(out)
+
+    schema = MM_FEATURE_Q_SCHEMA if quarantine else MM_FEATURE_SCHEMA
+    return mm.mapInPandas(run, schema=schema)
 
 
 def documents_as_multimodal(docs: DataFrame) -> DataFrame:

@@ -536,3 +536,54 @@ def test_mixed_modality_single_pass_dispatch(spark, sf_smoke):
     img_id = next(r["doc_id"] for r in rows if r["modality"] == "image")
     img_feat = list(sample[img_id]["feature"])
     assert len(img_feat) == 8 and img_feat[6] > 0 and img_feat[7] > 0
+
+
+def test_extract_features_quarantine_dead_letters(spark):
+    """on_error='quarantine': corrupt payloads (strict-codec ValueError)
+    and unregistered modalities (NotImplementedError) become dead-letter
+    rows — NULL feature + the failure message — while good rows carry
+    their exact features; default mode still fails the stage; bugs
+    (non-ValueError/NotImplementedError) are never swallowed."""
+    import pytest
+
+    from pgcdc_spark.multimodal import (
+        MM_FEATURE_Q_SCHEMA,
+        PpmImageCodec,
+        extract_features,
+        image_feature,
+        _synth_image,
+    )
+
+    good_ppm = _synth_image(1)
+    mm = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good_ppm)),
+            (2, "image", bytearray(b"P6\n4 2\n255\nshort")),   # truncated raster
+            (3, "video", bytearray(b"\x00\x01")),               # no codec
+            (4, "text", bytearray(b"hello")),
+        ],
+        "doc_id long, modality string, payload binary",
+    )
+
+    out = extract_features(mm, fake=False, on_error="quarantine")
+    assert out.schema == MM_FEATURE_Q_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+
+    # good rows unharmed, exact features
+    want = image_feature(PpmImageCodec().decode(good_ppm))
+    assert rows[1]["error"] is None
+    assert rows[1]["feature"] == pytest.approx(want, abs=1e-6)
+    assert rows[4]["error"] is None and rows[4]["feature"] is not None
+
+    # dead letters: NULL feature + typed message
+    assert rows[2]["feature"] is None and "ValueError" in rows[2]["error"]
+    assert "truncated" in rows[2]["error"]
+    assert rows[3]["feature"] is None and "NotImplementedError" in rows[3]["error"]
+    assert "no codec registered" in rows[3]["error"]
+
+    # default mode still raises on the same inputs
+    with pytest.raises(Exception, match="truncated"):
+        extract_features(mm.filter("doc_id = 2"), fake=False).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_features(mm, fake=False, on_error="bogus")

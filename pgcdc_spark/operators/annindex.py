@@ -1,4 +1,4 @@
-"""Persisted IVF-PQ ANN index: build once, probe many.
+"""Persisted IVF-PQ ANN index: build once, probe many, APPEND incrementally.
 
 The inline ANN queries (queries/llm_similarity.emb_ivf_ann_topk,
 queries/llm_extra.emb_ivf_pq_topk) recompute centroids, assignments, PQ
@@ -19,25 +19,48 @@ same versioned-manifest commit protocol as the state store:
 
 Commit protocol (mirrors streaming/statestore.py, via pgcdc_spark/fs.py
 so the index root may be local or an HDFS/file: URI): each build writes a
-fresh ``v-<label>-<uuid8>/`` version dir holding the three tables, then
-atomically swaps the one-line ``_CURRENT`` manifest; readers always see a
-complete index, rebuilds never mutate a live version, and superseded
-versions are GC'd (previous kept as escape hatch).
+fresh ``v-<label>-<uuid8>/`` version dir holding its tables plus a
+``_META`` manifest, then atomically swaps the one-line ``_CURRENT``
+pointer; readers always see a complete index, rebuilds never mutate a
+live version, and unreferenced versions are GC'd (previous tip's closure
+kept as escape hatch).
+
+Incremental maintenance (``append``): a production corpus appends
+embeddings continuously; re-running the O(corpus) build per batch would
+be quadratic. ``append`` is the FAISS ``add``/``remove_ids`` shape —
+the coarse quantizer and PQ codebook are FROZEN at build time (k-means
+is trained once, additions are encoded against the trained quantizer),
+so an append only (a) assigns + PQ-encodes the NEW vectors (O(batch)
+broadcast jobs), (b) rewrites the TOUCHED ``cid=`` partitions (old
+members minus upserted/deleted ids, plus the delta) into the new
+version, and (c) inherits every untouched cell BY REFERENCE through the
+``_META`` cellmap — untouched partitions are never read, rewritten, or
+copied (their files stay byte-identical in the owning version; pinned in
+tests/test_operators.py). This is the touched-buckets-only pattern of
+streaming/statestore.py applied to IVF cell partitions. Deletes are
+handled the same way: the deleted vector's frozen-quantizer assignment
+names its cell, so a tombstone costs one touched-partition rewrite, not
+a corpus scan.
 
 Scale: build is the same jobs the inline query runs (broadcast centroid
-scoring, one argmin shuffle for codes, one co-partitioned write); probe
-is O(nprobe cells + LUT) — centroids/codebook/LUT/probe-list all
-broadcast, the only scan is the pruned cells read, the only shuffle the
-(qid, vec_id) ADC aggregate. Determinism: the quantizer stand-ins are
-fixed rules (vec_id mod 53 / mod 127), doubles round-trip parquet
-exactly, and the ADC sum is exact decimal — probe-from-artifact is
-bit-identical to the inline plan (pinned in tests/test_operators.py).
+scoring, one argmin shuffle for codes, one co-partitioned write); append
+is O(batch + touched cells); probe is O(nprobe cells + LUT) —
+centroids/codebook/LUT/probe-list all broadcast, the only scan is the
+pruned cells read, the only shuffle the (qid, vec_id) ADC aggregate.
+Determinism: the quantizer stand-ins are fixed rules (vec_id mod 53 /
+mod 127), doubles round-trip parquet exactly, and the ADC sum is exact
+decimal — probe-from-artifact is bit-identical to the inline plan, and
+append-then-probe is bit-identical to a full rebuild over base+delta
+(both pinned in tests/test_operators.py).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
+from collections import defaultdict
+from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -45,8 +68,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..fs import get_fs
 
 _MANIFEST = "_CURRENT"
-_KEEP_VERSIONS = 2
-_TABLES = ("centroids", "codebook", "cells")
+_META = "_META"
 
 
 class AnnIndex:
@@ -71,35 +93,83 @@ class AnnIndex:
             return None
         return name or None
 
-    def table_path(self, table: str, version: str | None = None) -> str:
+    def meta(self, version: str | None = None) -> dict:
+        """The version's manifest: which version owns the quantizer tables
+        and, per cell id, which version owns its current partition. One
+        small JSON read resolves every path — no directory walking, no
+        chain traversal at probe time."""
         v = version or self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed index under {self.root}")
-        return os.path.join(self.root, v, table)
+        raw = self.fs.read_text(os.path.join(self.root, v, _META))
+        m = json.loads(raw)
+        m["version"] = v
+        return m
+
+    def table_path(self, table: str, version: str | None = None) -> str:
+        """Path of a quantizer table (``centroids``/``codebook``) resolved
+        through the manifest. ``cells`` is only resolvable when a single
+        version owns every cell (fresh build) — appended indexes span
+        versions and must go through ``meta()['cellmap']``."""
+        m = self.meta(version)
+        if table in ("centroids", "codebook"):
+            return os.path.join(self.root, m[table], table)
+        owners = set(m["cellmap"].values())
+        if len(owners) > 1:
+            raise ValueError(
+                f"cells span versions {sorted(owners)}; resolve via meta()"
+            )
+        return os.path.join(self.root, owners.pop(), "cells")
+
+    def _cell_dirs(self, version: str) -> list[str]:
+        cells = os.path.join(self.root, version, "cells")
+        if not self.fs.is_dir(cells):
+            return []
+        return sorted(
+            d.split("=", 1)[1]
+            for d in self.fs.listdir(cells)
+            if d.startswith("cid=")
+        )
+
+    def _closure(self, version: str) -> set[str]:
+        """Every version dir the given tip still references."""
+        try:
+            m = self.meta(version)
+        except FileNotFoundError:
+            return {version}
+        return (
+            {version, m["centroids"], m["codebook"]}
+            | set(m["cellmap"].values())
+        )
 
     def _publish(self, version: str) -> None:
+        prev = self.current_version()
         self.fs.write_text_atomic(os.path.join(self.root, _MANIFEST), version + "\n")
-        live = version
-        dirs = [
-            d for d in self.fs.listdir(self.root)
-            if d.startswith("v-") and d != live
-            and self.fs.is_dir(os.path.join(self.root, d))
-        ]
-        dirs.sort(key=lambda d: self.fs.mtime(os.path.join(self.root, d)))
-        for d in dirs[: max(0, len(dirs) - (_KEEP_VERSIONS - 1))]:
-            self.fs.delete(os.path.join(self.root, d))
+        # GC: drop version dirs referenced by NEITHER the new tip's closure
+        # nor the previous tip's (the previous tip is the escape hatch —
+        # repointing _CURRENT at it must yield a complete index).
+        live = self._closure(version)
+        if prev is not None:
+            live |= self._closure(prev)
+        for d in self.fs.listdir(self.root):
+            if (
+                d.startswith("v-") and d not in live
+                and self.fs.is_dir(os.path.join(self.root, d))
+            ):
+                self.fs.delete(os.path.join(self.root, d))
 
     # -- build ----------------------------------------------------------------
 
     def build(self, emb: DataFrame, label: str = "build") -> str:
-        """One O(corpus) indexing job: coarse-assign every vector, PQ-encode
-        it, and commit the three tables as a fresh version.
+        """One O(corpus) indexing job: train the quantizer (deterministic
+        stand-in rules), coarse-assign every vector, PQ-encode it, and
+        commit the tables as a fresh self-contained version.
 
         ``emb`` must have (vec_id: long, embedding: array<float|double>).
         """
+        from ..functions.vectors import norm_fold_expr
         from ..queries.llm_extra import _PQ_CB_MOD, _PQ_M, _PQ_SUB, pq_codes
         from ..queries.llm_similarity import ivf_centroids, nearest_cells
-        from ..functions.vectors import norm_fold_expr
 
         base = emb.select(
             "vec_id",
@@ -129,10 +199,167 @@ class AnnIndex:
         cent.write.parquet(os.path.join(vdir, "centroids"))
         codebook.write.parquet(os.path.join(vdir, "codebook"))
         cells.write.partitionBy("cid").parquet(os.path.join(vdir, "cells"))
+        meta = {
+            "base": None,
+            "centroids": version,
+            "codebook": version,
+            # the manifest IS the invlist directory: probes intersect with
+            # it instead of trusting partition dirs to exist (an empty or
+            # never-populated cell is simply absent here)
+            "cellmap": {c: version for c in self._cell_dirs(version)},
+        }
+        self.fs.write_text_atomic(
+            os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
+        )
+        self._publish(version)
+        return version
+
+    # -- incremental append / delete ------------------------------------------
+
+    def append(
+        self,
+        new_emb: DataFrame | None,
+        deletes: DataFrame | None = None,
+        label: str = "append",
+    ) -> str:
+        """Incremental maintenance: O(batch + touched cells), never
+        O(corpus).
+
+        ``new_emb`` (vec_id, embedding) rows are assigned and PQ-encoded
+        against the index's FROZEN quantizer (centroids + codebook read
+        from the current version — k-means is trained once; FAISS ``add``
+        semantics). ``deletes`` (vec_id, embedding) rows are tombstoned:
+        the frozen assignment of the embedding names the one cell that
+        holds the vector, so a delete is a touched-partition rewrite, not
+        a scan. A vec_id present in ``new_emb`` that already exists is an
+        UPSERT (old row dropped from its cell, new encoding written).
+
+        Only the touched ``cid=`` partitions are rewritten into the new
+        version; every other cell is inherited by reference through the
+        cellmap — its files in the owning version are not even opened.
+        """
+        from ..functions.vectors import norm_fold_expr
+        from ..queries.llm_extra import _PQ_M, _PQ_SUB, _pq_codes_from, _sub_d2
+        from ..queries.llm_similarity import nearest_cells
+
+        if new_emb is None and deletes is None:
+            raise ValueError("append needs new_emb and/or deletes")
+        spark = (new_emb if new_emb is not None else deletes).sparkSession
+        m = self.meta()
+        cent = spark.read.parquet(
+            os.path.join(self.root, m["centroids"], "centroids")
+        )
+        codebook = spark.read.parquet(
+            os.path.join(self.root, m["codebook"], "codebook")
+        )
+
+        def _assign(emb: DataFrame) -> DataFrame:
+            base = emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+                norm_fold_expr("embedding", cast=True).alias("n"),
+            )
+            return nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
+
+        changed_ids = []  # DataFrames of vec_id to drop from old partitions
+        touched: set[int] = set()
+        delta_cells = None
+        if new_emb is not None:
+            asg = _assign(new_emb)
+            # encode against the STORED codebook (frozen), not donors drawn
+            # from the batch — identical d2 folds and argmin tie-break as
+            # pq_codes, so append == rebuild bit-for-bit
+            subs = new_emb.select(
+                "vec_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, {_PQ_M - 1}),"
+                        f" s -> slice(CAST(embedding AS ARRAY<DOUBLE>),"
+                        f" s * {_PQ_SUB} + 1, {_PQ_SUB}))"
+                    )
+                ).alias("s", "sub"),
+            )
+            dist = subs.join(F.broadcast(codebook), "s").select(
+                "vec_id", "s", "pqcid", _sub_d2("sub", "csub").alias("d2")
+            )
+            codes = _pq_codes_from(dist, "pqcid")
+            delta_cells = asg.join(codes, "vec_id").select(
+                "cid", "vec_id", "s", "pqcid"
+            )
+            # O(n_cells) driver metadata: which partitions does this batch
+            # touch (the statestore touched-buckets list)
+            touched |= {r[0] for r in asg.select("cid").distinct().collect()}
+            changed_ids.append(asg.select("vec_id"))
+        if deletes is not None:
+            dasg = _assign(deletes)
+            # a tombstone only touches a cell the index actually holds
+            dcells = {r[0] for r in dasg.select("cid").distinct().collect()}
+            touched |= {c for c in dcells if str(c) in m["cellmap"]}
+            changed_ids.append(dasg.select("vec_id"))
+
+        # old rows of touched partitions only — resolved through the
+        # cellmap, read per owning version so partition-column recovery
+        # (basePath) stays exact; cells the batch creates from scratch
+        # have no old rows to read
+        old_touched = self._read_cells(
+            spark, m, [c for c in sorted(touched) if str(c) in m["cellmap"]]
+        )
+        changed = reduce(DataFrame.unionByName, changed_ids).distinct()
+        parts = []
+        if old_touched is not None:
+            parts.append(old_touched.join(changed, "vec_id", "left_anti"))
+        if delta_cells is not None:
+            parts.append(delta_cells)
+        if not parts:  # delete-only batch aimed at cells the index lacks
+            parts = [spark.createDataFrame(
+                [], "cid long, vec_id long, s int, pqcid long"
+            )]
+        merged = reduce(DataFrame.unionByName, parts).select(
+            "cid", "vec_id", "s", "pqcid"
+        )
+
+        version = f"v-{label}-{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(self.root, version)
+        merged.write.partitionBy("cid").parquet(os.path.join(vdir, "cells"))
+        cellmap = dict(m["cellmap"])
+        for c in touched:
+            cellmap.pop(str(c), None)  # a fully-tombstoned cell vanishes
+        for c in self._cell_dirs(version):
+            cellmap[c] = version
+        meta = {
+            "base": m["version"],
+            "centroids": m["centroids"],
+            "codebook": m["codebook"],
+            "cellmap": cellmap,
+        }
+        self.fs.write_text_atomic(
+            os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
+        )
         self._publish(version)
         return version
 
     # -- probe ----------------------------------------------------------------
+
+    def _read_cells(
+        self, spark: SparkSession, m: dict, cids: list[int]
+    ) -> DataFrame | None:
+        """The (cid, vec_id, s, pqcid) rows of exactly the given cells,
+        resolved through the cellmap — reads only those partitions' files,
+        grouped per owning version so basePath partition recovery is exact."""
+        by_version: dict[str, list] = defaultdict(list)
+        for c in cids:
+            by_version[m["cellmap"][str(c)]].append(c)
+        parts = []
+        for v, cs in sorted(by_version.items()):
+            croot = os.path.join(self.root, v, "cells")
+            parts.append(
+                spark.read.option("basePath", croot).parquet(
+                    *[os.path.join(croot, f"cid={c}") for c in sorted(cs)]
+                )
+            )
+        if not parts:
+            return None
+        return reduce(DataFrame.unionByName, parts)
 
     def probe(
         self, spark: SparkSession, queries: DataFrame,
@@ -143,27 +370,33 @@ class AnnIndex:
 
         ``queries``: (qid: long, e: array<double>). Reads ONLY the probed
         cells' partitions (driver-side list bounded by
-        |queries| * nprobe); broadcasts centroids, the probe list, and the
-        per-query ADC LUT. Self-matches (vec_id == qid) are excluded,
-        mirroring the inline query."""
-        from ..queries.llm_extra import _PQ_M, _PQ_SUB, _sub_d2
-        from ..queries.llm_similarity import nearest_cells
+        |queries| * nprobe, intersected with the manifest's live-cell map
+        so empty/absent cells contribute nothing instead of failing);
+        broadcasts centroids, the probe list, and the per-query ADC LUT.
+        Self-matches (vec_id == qid) are excluded, mirroring the inline
+        query."""
         from ..functions.vectors import norm_fold_expr
+        from ..queries.llm_extra import _PQ_M, _PQ_SUB, _sub_d2
 
-        cent = spark.read.parquet(self.table_path("centroids"))
+        from ..queries.llm_similarity import nearest_cells
+
+        m = self.meta()
+        cent = spark.read.parquet(
+            os.path.join(self.root, m["centroids"], "centroids")
+        )
         q = queries.select(
             "qid", "e", norm_fold_expr("e", cast=False).alias("n")
         )
         probe = nearest_cells(q, cent, "qid", nprobe).select("qid", "cid")
-        probed = sorted(r[0] for r in probe.select("cid").distinct().collect())
-        if not probed:
+        probed = sorted(
+            c for (c,) in probe.select("cid").distinct().collect()
+            if str(c) in m["cellmap"]
+        )
+        cells = self._read_cells(spark, m, probed)
+        if cells is None:
             return spark.createDataFrame(
                 [], "qid long, neighbor_id long, approx_dist2 double, rank int"
             )
-        cells_root = self.table_path("cells")
-        cells = spark.read.option("basePath", cells_root).parquet(
-            *[os.path.join(cells_root, f"cid={c}") for c in probed]
-        )
         # per-query ADC lookup table: query subvectors x stored codebook
         q_subs = queries.select(
             "qid",
@@ -174,7 +407,9 @@ class AnnIndex:
                 )
             ).alias("s", "sub"),
         )
-        codebook = spark.read.parquet(self.table_path("codebook"))
+        codebook = spark.read.parquet(
+            os.path.join(self.root, m["codebook"], "codebook")
+        )
         lut = q_subs.join(F.broadcast(codebook), "s").select(
             "qid", "s", "pqcid", _sub_d2("sub", "csub").alias("d2")
         )

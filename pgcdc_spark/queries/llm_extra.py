@@ -624,24 +624,48 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal ADC sums), so probe-from-artifact is bit-identical to the
 # inline plan and shares its DuckDB oracle.
 
-_ANN_FORMAT = "v1"  # bump to invalidate cached on-disk indexes
+_ANN_FORMAT = "v2"  # bump to invalidate cached on-disk indexes
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the embeddings table (file paths +
+    sizes + mtimes): folded into the index cache key so a regenerated
+    corpus at the same path rebuilds instead of silently serving stale
+    neighbors."""
+    import hashlib
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    paths = []
+    if os.path.isdir(p):
+        for base, _dirs, files in os.walk(p):
+            paths.extend(os.path.join(base, f) for f in files)
+    elif os.path.exists(p):
+        paths = [p]
+    h = hashlib.md5(sf_dir.encode())
+    for f in sorted(paths):
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def _ann_root(sf_dir: str, kind: str) -> str:
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"pgcdc_spark_ann_{_ANN_FORMAT}",
+        f"{kind}-{_corpus_fingerprint(sf_dir)}",
+    )
 
 
 def _ann_index_for(spark: SparkSession, sf_dir: str):
     """The cached on-disk index for this corpus (build on first touch).
-    Keyed by sf_dir under the system temp root: the test corpora are
-    immutable, and the build itself is deterministic, so reuse across
-    sessions is safe; _ANN_FORMAT guards layout changes."""
-    import hashlib
-    import tempfile
-
+    Keyed by the corpus FINGERPRINT under the system temp root: the
+    build is deterministic, so reuse across sessions is safe, and a
+    regenerated corpus at the same path gets a fresh key (no stale
+    serving); _ANN_FORMAT guards layout changes."""
     from ..operators.annindex import AnnIndex
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"pgcdc_spark_ann_{_ANN_FORMAT}",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    idx = AnnIndex(root)
+    idx = AnnIndex(_ann_root(sf_dir, "full"))
     if idx.current_version() is None:
         (emb,) = load(spark, sf_dir, "embeddings")
         idx.build(emb, label="corpus")
@@ -657,6 +681,54 @@ def emb_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the broadcast LUT. Bit-identical to emb_ivf_pq_topk by
     construction; the driver hash-checks that against the same oracle."""
     idx = _ann_index_for(spark, sf_dir)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    return idx.probe(spark, queries, nprobe=2, k=_TOP_K)
+
+
+# --- incremental index maintenance -------------------------------------------
+# The corpus is split into a BASE (indexed by the one-time build) and a
+# DELTA (applied via AnnIndex.append: frozen quantizer, touched-cell-only
+# rewrite). The split keeps every centroid/codebook donor (vec_id % 53 ==
+# 1 / % 127 == 1) in the base — exactly the production contract that the
+# quantizer is trained once on the initial corpus and additions are
+# encoded against it (FAISS add semantics) — so the frozen quantizer IS
+# the full-corpus quantizer and the incremental index must answer probes
+# bit-identical to a full rebuild: the oracle is the same full-corpus
+# IVF-PQ SQL, making the driver's hash check a true incremental-equals-
+# rebuild proof.
+
+_ANN_DELTA_PRED = (
+    f"(vec_id % 5 = 2) AND (vec_id % 53 <> 1) AND (vec_id % {_PQ_CB_MOD} <> 1)"
+)
+
+
+def _ann_incr_index_for(spark: SparkSession, sf_dir: str):
+    from ..operators.annindex import AnnIndex
+
+    idx = AnnIndex(_ann_root(sf_dir, "incr"))
+    if idx.current_version() is None:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        idx.build(
+            emb.filter(F.expr(f"NOT ({_ANN_DELTA_PRED})")), label="base"
+        )
+        idx.append(emb.filter(F.expr(_ANN_DELTA_PRED)), label="delta")
+    return idx
+
+
+@query("emb_ann_index_incremental", oracle=_IVFPQ_ORACLE,
+       tags=("llm", "similarity", "ivf", "pq", "index", "incremental"))
+def emb_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k served from an INCREMENTALLY maintained index: base
+    build + AnnIndex.append of the delta (O(batch + touched cells) —
+    untouched cell partitions are inherited by reference, never rewritten;
+    pinned byte-identical in tests/test_operators.py). The oracle is the
+    full-corpus rebuild SQL, so a green row proves append converges to
+    the rebuild answer under the driver gate."""
+    idx = _ann_incr_index_for(spark, sf_dir)
     (emb,) = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),

@@ -380,3 +380,82 @@ def test_ann_index_probe_matches_inline_and_prunes(spark, sf_smoke, tmp_path):
     assert again == want
     versions = [d for d in idx.fs.listdir(idx.root) if d.startswith("v-")]
     assert len(versions) <= 2  # _KEEP_VERSIONS
+
+
+def test_ann_index_append_is_incremental(spark, sf_smoke, tmp_path):
+    """AnnIndex.append must (a) answer probes bit-identical to a full
+    rebuild over base+delta (frozen quantizer == full-corpus quantizer
+    when every donor is in the base), (b) rewrite ONLY the touched cid=
+    partitions — untouched cells stay in the old version's directory,
+    byte-identical, inherited through the cellmap, and (c) tombstone
+    deletes / fold upserts with the same touched-partition cost."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+    # small delta (5 vectors) so some of the 10 cells are untouched —
+    # the driver query's bigger %5 delta exercises the same code path;
+    # donors stay in the base so frozen == full-corpus quantizer
+    pred = "(vec_id % 100 = 2) AND (vec_id % 53 <> 1) AND (vec_id % 127 <> 1)"
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    base = emb.filter(F.expr(f"NOT ({pred})"))
+    delta = emb.filter(F.expr(pred))
+
+    idx = AnnIndex(str(tmp_path / "incr"))
+    v1 = idx.build(base, label="base")
+
+    def _files(version, cid):
+        d = _os.path.join(str(tmp_path / "incr"), version, "cells", f"cid={cid}")
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(d, f)), _os.path.getmtime(_os.path.join(d, f)))
+            for f in _os.listdir(d) if not f.startswith("_")
+        )
+
+    before = {c: _files(v1, c) for c in idx.meta()["cellmap"]}
+
+    v2 = idx.append(delta, label="delta")
+    m = idx.meta()
+    owners = {v for v in m["cellmap"].values()}
+    assert owners == {v1, v2}, "append must mix inherited and rewritten cells"
+    untouched = [c for c, v in m["cellmap"].items() if v == v1]
+    touched = [c for c, v in m["cellmap"].items() if v == v2]
+    assert untouched and touched
+    # untouched partitions: same files, same bytes on disk, never copied
+    for c in untouched:
+        assert _files(v1, c) == before[c]
+    # probe: incremental index == full rebuild over the whole corpus
+    full = AnnIndex(str(tmp_path / "full"))
+    full.build(emb, label="full")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    got = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    want = sorted(map(tuple, full.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert got == want
+
+    # upsert: re-appending the same delta must not duplicate rows
+    v3 = idx.append(delta, label="redo")
+    again = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert again == want
+
+    # tombstone delete: non-donor, non-query ids; index answer must match
+    # a full rebuild over the corpus minus the deleted ids
+    del_ids = [20, 21, 33]
+    dels = emb.filter(F.col("vec_id").isin(del_ids))
+    assert dels.count() == len(del_ids)
+    idx.append(None, deletes=dels, label="gc")
+    shrunk = AnnIndex(str(tmp_path / "shrunk"))
+    shrunk.build(emb.filter(~F.col("vec_id").isin(del_ids)), label="shrunk")
+    got_d = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    want_d = sorted(map(tuple, shrunk.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert got_d == want_d
+    ids_left = {
+        r[0]
+        for c in idx.meta()["cellmap"]
+        for r in idx._read_cells(spark, idx.meta(), [int(c)])
+        .select("vec_id").distinct().collect()
+    }
+    assert not (ids_left & set(del_ids))

@@ -22,7 +22,7 @@ costs O(batch + collisions) — never O(corpus):
    versioned-manifest commit, statestore.py);
 6. the bands/sets state tables COMPACT once their partition fan-in
    exceeds ``compact_after``: every partition older than the current
-   batch folds into ``batch=0`` (safe because structured streaming only
+   batch folds into a ``batch=-<ns>`` base (safe because structured streaming only
    ever replays the newest batch, and every older id still satisfies the
    ``batch < batch_id`` replay filter). Crash-atomic via the same
    hidden-dir + fsync'd manifest protocol as the IVM log — the COMMIT
@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 )
 
 from ..fs import get_fs
+from .compactlog import commit_and_publish, new_scratch, recover_compaction
 from ..queries.llm_dedup import minhash_bands, shingle_sets
 
 BANDS_SCHEMA = StructType(
@@ -76,55 +77,23 @@ SETS_SCHEMA = StructType(
 )
 
 
-_COMPACT_TMP = "_compact"
+_LEGACY_PUBLISH = "batch=0"  # pre-unique-name layout recovery
 
 
 def _recover_compaction(root: str, writer: bool = False) -> None:
-    """Finish (COMMIT present: delete recorded victims, publish the fold)
-    or — writer path only — discard (no COMMIT: fold incomplete, victims
-    untouched) a compaction a crash interrupted.
-
-    Same protocol and round-6 fixes as ivm.py's _recover_compaction:
-    readers never touch a COMMIT-less scratch (it may be an in-flight
-    compactor's), victims are deleted only while the fold still sits in
-    ``_compact/base``, and the publish rename tolerates a concurrent
-    recoverer winning the race."""
-    import json
-    import os
-
-    fs = get_fs(root)
-    tmp = os.path.join(root, _COMPACT_TMP)
-    if not fs.is_dir(tmp):
-        return
-    commit = os.path.join(tmp, "COMMIT")
-    if not fs.is_file(commit):
-        if writer:
-            fs.delete(tmp)  # own stale scratch
-        return
-    base = os.path.join(tmp, "base")
-    # "batch=0" is itself a victim on every compaction after the first;
-    # once the writer's rename published the fold under that name, an
-    # unconditional victim sweep in the post-rename crash window would
-    # delete the whole folded state and publish nothing. base absent ⇒
-    # the writer already finished its victim loop and the rename.
-    if fs.is_dir(base):
-        victims = json.loads(fs.read_text(commit))
-        for d in victims:
-            fs.delete(os.path.join(root, d))
-        try:
-            fs.rename(base, os.path.join(root, "batch=0"))
-        except FileNotFoundError:
-            if not fs.is_dir(os.path.join(root, "batch=0")):
-                raise
-    fs.delete(tmp)
+    """Crash recovery — protocol and round-6 TOCTOU rationale in
+    streaming/compactlog.py (shared with ivm.py): folds publish under
+    unique ``batch=-<ns-timestamp>`` names from epoch-scoped scratch
+    dirs, so no victims list ever names live state."""
+    recover_compaction(root, _LEGACY_PUBLISH, writer=writer)
 
 
 def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None:
     """Fold every ``batch=<id>`` partition with id < ``keep_from`` into
-    ``batch=0``. Reading the leaf dirs directly drops the directory-
+    a unique ``batch=-<ns>`` base. Reading the leaf dirs directly drops the directory-
     encoded partition column, so the fold is schema-stable."""
-    import json
     import os
+    import time
 
     fs = get_fs(root)
     _recover_compaction(root, writer=True)
@@ -132,15 +101,17 @@ def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None
     victims = sorted(d for d in dirs if int(d.split("=", 1)[1]) < keep_from)
     if len(victims) < 2:
         return
-    tmp = os.path.join(root, _COMPACT_TMP)
+    scratch = new_scratch(root)
     folded = spark.read.parquet(*[os.path.join(root, d) for d in victims])
-    folded.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
-    # fsync'd before any victim delete: from here the fold is authoritative
-    fs.write_text_atomic(os.path.join(tmp, "COMMIT"), json.dumps(victims))
-    for d in victims:
-        fs.delete(os.path.join(root, d))
-    fs.rename(os.path.join(tmp, "base"), os.path.join(root, "batch=0"))
-    fs.delete(tmp)
+    folded.write.mode("overwrite").parquet(os.path.join(scratch, "base"))
+    # COMMIT (victims + unique publish name) fsync'd before any victim
+    # delete; the finish is idempotent under concurrent recoverers.
+    # Publish ids are UNIQUE NEGATIVE ns-timestamps: still BIGINT for the
+    # replay filter (and always < every real batch id, so folds survive
+    # `batch < batch_id`), always inside the next victim window, and
+    # never equal to any past name — which is what makes a stale victim
+    # sweep harmless (see compactlog module doc).
+    commit_and_publish(root, scratch, victims, f"batch=-{time.time_ns()}")
 
 
 def _read_prior(

@@ -64,12 +64,14 @@ documents (HDFS yes, bare S3 no — plug a coordination pointer there).
 from __future__ import annotations
 
 import os
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..fs import get_fs
+from .compactlog import commit_and_publish, new_scratch, recover_compaction
 from .statestore import AtomicStateStore, BucketedStateStore
 
 
@@ -211,96 +213,38 @@ def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFra
 
 
 # --- crash-atomic delta-log compaction ---------------------------------------
-# The fold is the view's ONLY source of truth, so "delete the log, then
-# write the replacement" is a loss window. Protocol (local-FS rename
-# atomicity, same contract as the state store's manifest swap):
-#   1. write the folded result under <root>/_compact/base — the leading
-#      underscore hides it from Spark's parquet reader;
-#   2. fsync a <root>/_compact/COMMIT flag RECORDING THE EXACT VICTIM
-#      partitions the fold covers: from here the fold is authoritative
-#      for precisely those partitions;
-#   3. remove the victims;
-#   4. rename _compact/base -> delta_batch=base and drop _compact.
-# A crash before 2 leaves the log untouched (stale _compact is discarded);
-# a crash after 2 is finished by _recover_compaction on the next
-# read/compact — deleting ONLY the recorded victims, so a delta a
-# restarted stream appended between the crash and the recovery survives
-# (round-5 review: an unscoped "delete everything" recovery silently
-# dropped such a batch, and the store's label gate meant it never
-# re-applied).
+# The fold is the view's ONLY source of truth; the hidden-scratch +
+# fsync'd COMMIT + single-winner CLAIM protocol lives in
+# streaming/compactlog.py (shared with dedup.py's LSM fold). The round-6
+# TOCTOU — a stale recoverer deleting the just-published base after
+# another process finished the recovery — is closed there by unique
+# publish names (a victims list never names live state) and epoch-scoped
+# scratch dirs (a stale finisher's paths never exist again).
 
-_COMPACT_TMP = "_compact"
+_LEGACY_PUBLISH = "delta_batch=base"  # pre-unique-name layout recovery
 
 
 def _recover_compaction(root: str, writer: bool = False) -> None:
-    """Finish a COMMIT-ted compaction a crash interrupted, or (writer
-    path only) discard a COMMIT-less scratch dir.
-
-    Readers must run this too: a crash after COMMIT but mid-victim-delete
-    leaves the log in a state where folding the surviving deltas would
-    silently return PARTIAL results — the fold in ``_compact/base`` is
-    authoritative from COMMIT onward. But a reader must NEVER touch a
-    COMMIT-less ``_compact``: that is an in-flight compactor's scratch,
-    and deleting it aborts live maintenance (round-6 review finding) —
-    only the single-writer maintenance path may discard its own stale
-    scratch. The finish itself is race-tolerant (two recoverers may tie):
-    victim deletion is idempotent and the publish rename has exactly one
-    winner; the loser sees ENOENT and verifies the destination exists.
-    """
-    import json
-
-    fs = get_fs(root)
-    tmp = os.path.join(root, _COMPACT_TMP)
-    if not fs.is_dir(tmp):
-        return
-    commit = os.path.join(tmp, "COMMIT")
-    if not fs.is_file(commit):
-        if writer:
-            fs.delete(tmp)  # own stale scratch
-        return
-    base = os.path.join(tmp, "base")
-    # Delete victims ONLY while the fold still sits in _compact/base.
-    # Once the writer's rename published it as delta_batch=base, that
-    # name — which IS a victim on every compaction after the first
-    # (the previous base is folded too) — holds the entire view state;
-    # an unconditional victim sweep in the post-rename crash window
-    # would delete it and publish nothing (round-6 review finding).
-    # base absent ⇒ the writer's victim loop already completed before
-    # its rename, so there is nothing left to delete or publish.
-    if fs.is_dir(base):
-        victims = json.loads(fs.read_text(commit))
-        for d in victims:
-            fs.delete(os.path.join(root, d))
-        try:
-            fs.rename(base, os.path.join(root, "delta_batch=base"))
-        except FileNotFoundError:
-            # concurrent recoverer won the rename; verify it published
-            if not fs.is_dir(os.path.join(root, "delta_batch=base")):
-                raise
-    fs.delete(tmp)
+    recover_compaction(root, _LEGACY_PUBLISH, writer=writer)
 
 
 def _compact_delta_log(spark: SparkSession, root: str, fold) -> None:
     """Fold the delta log into one base partition, crash-atomically.
     ``fold(df) -> df`` must preserve the log's schema."""
-    import json
-
     fs = get_fs(root)
     _recover_compaction(root, writer=True)
     if _no_deltas(root):
         return  # nothing to fold
     victims = sorted(d for d in fs.listdir(root) if d.startswith("delta_batch="))
-    tmp = os.path.join(root, _COMPACT_TMP)
+    scratch = new_scratch(root)
     fold(
         spark.read.parquet(*[os.path.join(root, d) for d in victims])
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "base"))
-    # write_text_atomic fsyncs before the swap: from here the fold is
-    # authoritative for exactly these victims
-    fs.write_text_atomic(os.path.join(tmp, "COMMIT"), json.dumps(victims))
-    for d in victims:
-        fs.delete(os.path.join(root, d))
-    fs.rename(os.path.join(tmp, "base"), os.path.join(root, "delta_batch=base"))
-    fs.delete(tmp)
+    ).write.mode("overwrite").parquet(os.path.join(scratch, "base"))
+    # COMMIT (victims + unique publish name) fsync'd before any victim
+    # delete; the finish is idempotent under concurrent recoverers
+    commit_and_publish(
+        root, scratch, victims, f"delta_batch=base-{uuid.uuid4().hex[:8]}"
+    )
 
 
 def compact_view(spark: SparkSession, state_dir: str, view: AggView) -> None:

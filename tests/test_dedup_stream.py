@@ -158,7 +158,9 @@ def test_stream_dedup_compaction_folds_state_and_preserves_verdicts(
 
     band_parts = sorted(d for d in os.listdir(f"{state}/bands")
                         if d.startswith("batch="))
-    assert len(band_parts) <= 3 and "batch=0" in band_parts, band_parts
+    assert len(band_parts) <= 3 and any(
+        d.startswith("batch=-") for d in band_parts
+    ), band_parts  # unique publish name batch=-<ns>
 
     got = {
         r["doc_id"]: (r["is_dup"], r["match_doc_id"])
@@ -199,6 +201,7 @@ def test_dedup_state_compaction_crash_recovery(spark, tmp_path):
     prior = _read_prior(spark, base, BANDS_SCHEMA, batch_id=10)  # triggers recovery
     assert sorted(r["doc_id"] for r in prior.collect()) == [0, 1, 2, 3]
     parts = sorted(d for d in os.listdir(base) if d.startswith("batch="))
+    # legacy fixed-name COMMIT (bare array) publishes under the legacy name
     assert parts == ["batch=0", "batch=3"]
     assert not os.path.isdir(f"{base}/_compact")
 
@@ -215,18 +218,20 @@ def test_dedup_state_compaction_crash_recovery(spark, tmp_path):
     # a direct compact (writer) discards the stale scratch and folds
     _compact_state_table(spark, base, keep_from=4)
     parts2 = sorted(d for d in os.listdir(base) if d.startswith("batch="))
-    assert parts2 == ["batch=0"]
+    assert len(parts2) == 1 and parts2[0].startswith("batch=-"), parts2
     assert not os.path.isdir(f"{base}/_compact")
+    published = parts2[0]
 
-    # post-rename crash window (round-6 review, HIGH): on compactions
-    # after the first, 'batch=0' is both a victim and the rename
-    # destination; once the rename published the fold there, recovery
-    # must NOT delete it (base absent from _compact = swap completed)
+    # post-rename crash window of the LEGACY layout (round-6 review,
+    # HIGH): a fixed-name _compact whose bare-array COMMIT lists the
+    # published partition as a victim, base already renamed out. The new
+    # protocol can't produce this (publish names are unique and never
+    # victims), but pre-upgrade state must still recover losslessly.
     shutil.rmtree(f"{base}/_compact", ignore_errors=True)
     os.makedirs(f"{base}/_compact")
     with open(f"{base}/_compact/COMMIT", "w") as f:
-        json.dump(["batch=0"], f)
+        json.dump([published], f)
     prior3 = _read_prior(spark, base, BANDS_SCHEMA, batch_id=10)
     assert sorted(r["doc_id"] for r in prior3.collect()) == [0, 1, 2, 3]
-    assert sorted(d for d in os.listdir(base) if d.startswith("batch=")) == ["batch=0"]
+    assert sorted(d for d in os.listdir(base) if d.startswith("batch=")) == [published]
     assert not os.path.isdir(f"{base}/_compact")

@@ -131,7 +131,8 @@ def test_view_compaction_preserves_contents(spark, tmp_path):
     before = _view_rows(spark, state)
     compact_view(spark, state, VIEW)
     droot = os.path.join(state, "view_by_grp")
-    assert os.listdir(droot) == ["delta_batch=base"]
+    (base,) = os.listdir(droot)
+    assert base.startswith("delta_batch=base-")  # unique publish name
     assert _view_rows(spark, state) == before
 
 
@@ -152,7 +153,8 @@ def test_compaction_crash_after_commit_recovers(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
 
     droot = os.path.join(state, "view_by_grp")
-    assert os.path.isfile(os.path.join(droot, "_compact", "COMMIT"))
+    (scratch,) = [d for d in os.listdir(droot) if d.startswith("_compact")]
+    assert os.path.isfile(os.path.join(droot, scratch, "COMMIT"))
 
     # a restarted stream appends a NEW delta between the crash and the
     # recovery; recovery must delete ONLY the recorded victims, never
@@ -167,7 +169,8 @@ def test_compaction_crash_after_commit_recovers(spark, tmp_path, monkeypatch):
     got = _view_rows(spark, state)
     assert got.pop("Z") == (4.0, 1)
     assert got == before
-    assert sorted(os.listdir(droot)) == ["delta_batch=99", "delta_batch=base"]
+    late_d, base_d = sorted(os.listdir(droot))
+    assert late_d == "delta_batch=99" and base_d.startswith("delta_batch=base-")
 
 
 def _raise_injected(path, **kw):
@@ -193,7 +196,8 @@ def test_compaction_crash_before_commit_is_discarded(spark, tmp_path):
     assert os.path.isdir(os.path.join(droot, "_compact"))
     # writer: discards the stale scratch and compacts normally
     compact_view(spark, state, VIEW)
-    assert os.listdir(droot) == ["delta_batch=base"]
+    (base,) = os.listdir(droot)
+    assert base.startswith("delta_batch=base-")
     assert _view_rows(spark, state) == before
 
 
@@ -209,17 +213,20 @@ def test_compaction_crash_after_rename_keeps_published_base(spark, tmp_path):
     _, state, _ = _run(spark, tmp_path, "f")
     before = _view_rows(spark, state)
     droot = os.path.join(state, "view_by_grp")
-    compact_view(spark, state, VIEW)  # first compaction -> delta_batch=base
-    # second compaction's post-rename crash state, reconstructed exactly:
-    # COMMIT lists the previous base as a victim; _compact/base is gone
-    # (already renamed onto delta_batch=base); only the cleanup is left.
+    compact_view(spark, state, VIEW)  # first compaction -> delta_batch=base-<u>
+    (base,) = os.listdir(droot)
+    # legacy-layout post-rename crash state, reconstructed exactly: a
+    # fixed-name _compact whose bare-array COMMIT lists the published
+    # name as a victim and whose base is gone (swap completed). The new
+    # protocol cannot produce this (publish names are unique and never
+    # victims), but recovery of pre-upgrade state must not lose the view.
     tmp = os.path.join(droot, "_compact")
     os.makedirs(tmp)
     with open(os.path.join(tmp, "COMMIT"), "w") as f:
-        json.dump(["delta_batch=base"], f)
+        json.dump([base], f)
     assert _view_rows(spark, state) == before  # recovery must not lose it
     assert not os.path.isdir(tmp)
-    assert os.listdir(droot) == ["delta_batch=base"]
+    assert os.listdir(droot) == [base]
 
 
 def test_merge_rejects_label_older_than_retained_window(spark, tmp_path):
@@ -572,7 +579,8 @@ def test_join_view_compaction_preserves_multiplicities(spark, tmp_path):
     before = _view_dict(spark, m)
     assert before == {(1, 5, "same", "dup"): 2}
     m.compact(spark)
-    assert os.listdir(m.delta_root) == ["delta_batch=base"]
+    (jbase,) = os.listdir(m.delta_root)
+    assert jbase.startswith("delta_batch=base-")
     assert _view_dict(spark, m) == before
     # and maintenance continues on top of the compacted base
     m.apply_batch(None, _cdc(spark, [("0/03", "D", 21, 5, "dup")], R_SCHEMA),

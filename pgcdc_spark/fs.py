@@ -150,10 +150,18 @@ class HadoopStateFS:
         self._fs.mkdirs(self._p(path))
 
     def delete(self, path: str) -> None:
+        # Missing path / concurrent delete is the same no-op as local —
+        # but ONLY not-found shapes are swallowed: a permission or IO
+        # failure during state GC must surface loudly, not pass silently
+        # (round-6 review: the blanket except hid those). HDFS signals
+        # not-found as either a false return or a FileNotFoundException
+        # depending on the FileSystem implementation.
         try:
             self._fs.delete(self._p(path), True)
-        except Exception:
-            pass  # missing path / concurrent delete: same no-op as local
+        except Exception as e:
+            if "FileNotFoundException" in str(e) or not self.exists(path):
+                return
+            raise
 
     def rename(self, src: str, dst: str) -> None:
         # FileSystem.rename signals failure inconsistently (false on HDFS,

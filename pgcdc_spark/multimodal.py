@@ -363,12 +363,21 @@ def image_feature(img: "Any") -> list[float]:
     identical across Arrow batch boundaries, partitionings, and numpy's
     pairwise-summation blocking, and bit-reproducible by a SQL oracle
     computing ``sqrt(s2/n - (s1/n)^2)`` in the same operation order.
-    (Catastrophic cancellation is not a concern at 8-bit dynamic range.)"""
+    (Catastrophic cancellation is not a concern at 8-bit dynamic range.)
+
+    Float rasters (a registered codec may emit normalized [0,1] arrays)
+    keep their dtype: the int64 exact-sum path is gated on integer input
+    — truncating floats would silently zero the statistics (round-7
+    review)."""
     import numpy as np
 
     h, w = img.shape[0], img.shape[1]
     n = h * w
-    a = img.astype(np.int64)
+    a = (
+        img.astype(np.int64)
+        if np.issubdtype(img.dtype, np.integer)
+        else img.astype(np.float64)
+    )
     s1 = a.sum(axis=(0, 1))          # exact per-channel integer sums
     s2 = (a * a).sum(axis=(0, 1))
     m = s1 / n

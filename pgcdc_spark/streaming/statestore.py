@@ -381,20 +381,35 @@ class BucketedStateStore(AtomicStateStore):
             # batch, so landing here means something upstream replayed far
             # beyond the retained window — re-applying would be silent
             # double-counting for on_transition consumers.
+            # Non-numeric labels have no order: an evicted label is
+            # INDISTINGUISHABLE from a never-applied one, so silently
+            # re-merging would be exactly the double-count this guard
+            # exists to prevent (round-6 review — the old path fell
+            # through and re-merged). Numeric, monotone labels are the
+            # supported regime for windows deeper than _APPLIED_WINDOW.
+            # The incoming label and the retained entries are converted
+            # SEPARATELY so the error names the actual offender (round-7
+            # review: a legacy non-numeric entry inside the window used
+            # to be reported as "non-numeric label <numeric label>").
             try:
-                label_n, oldest = int(label), min(int(x) for x in applied_now)
+                label_n = int(label)
             except ValueError:
-                # Non-numeric labels have no order: an evicted label is
-                # INDISTINGUISHABLE from a never-applied one, so silently
-                # re-merging would be exactly the double-count this guard
-                # exists to prevent (round-6 review — the old path fell
-                # through and re-merged). Numeric, monotone labels are the
-                # supported regime for windows deeper than _APPLIED_WINDOW.
                 raise ValueError(
                     f"non-numeric label {label!r} with a full "
                     f"{_APPLIED_WINDOW}-entry applied window: evicted labels "
                     "cannot be detected without a total order; use numeric "
                     "monotone labels (batch ids) or raise _APPLIED_WINDOW"
+                ) from None
+            try:
+                oldest = min(int(x) for x in applied_now)
+            except ValueError:
+                bad = [x for x in applied_now if not str(x).lstrip("-").isdigit()]
+                raise ValueError(
+                    f"non-numeric entries {bad!r} in the full "
+                    f"{_APPLIED_WINDOW}-entry applied window: the retained "
+                    "labels have no total order, so eviction of "
+                    f"{label!r} cannot be ruled out; rebuild the window "
+                    "with numeric monotone labels or raise _APPLIED_WINDOW"
                 ) from None
             if label_n < oldest:
                 raise ValueError(

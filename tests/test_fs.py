@@ -112,7 +112,8 @@ def test_agg_view_delta_log_on_file_uri_root(spark, tmp_path):
                                      F.sum("count_delta").alias("count_delta"))
 
     _compact_delta_log(spark, root, fold)
-    assert fs.listdir(root) == ["delta_batch=base"]
+    (base,) = fs.listdir(root)
+    assert base.startswith("delta_batch=base-")  # unique publish name
     got = {r["grp"]: (float(r["sum_delta"]), r["count_delta"])
            for r in spark.read.parquet(root).collect()}
     assert got == {"A": (3.0, 2), "B": (4.0, 1)}
@@ -121,9 +122,46 @@ def test_agg_view_delta_log_on_file_uri_root(spark, tmp_path):
     # delete the published base
     fs.mkdirs(f"{root}/_compact")
     fs.write_text_atomic(f"{root}/_compact/COMMIT",
-                         json.dumps(["delta_batch=base"]))
+                         json.dumps([base]))
     _compact_delta_log(spark, root, fold)  # writer path runs recovery first
-    assert fs.listdir(root) == ["delta_batch=base"]
+    # legacy scratch discarded; the re-fold publishes under a fresh name
+    (base2,) = fs.listdir(root)
+    assert base2.startswith("delta_batch=base-")
     got2 = {r["grp"]: (float(r["sum_delta"]), r["count_delta"])
             for r in spark.read.parquet(root).collect()}
     assert got2 == got
+
+
+def test_hadoop_delete_swallows_only_not_found(spark, tmp_path):
+    """State-GC deletes: a missing path stays a no-op, but a permission /
+    IO failure must surface loudly (round-6 review: the blanket except
+    hid those)."""
+    root = f"file://{tmp_path}/delroot"
+    fs = get_fs(root)
+    fs.mkdirs(f"{root}/gcme")
+
+    class PermBoom:
+        def delete(self, p, rec):
+            raise RuntimeError("java.io.IOException: Permission denied")
+
+        def exists(self, p):
+            return True
+
+    class NotFound:
+        def delete(self, p, rec):
+            raise RuntimeError("java.io.FileNotFoundException: gone")
+
+        def exists(self, p):
+            return True
+
+    real = fs._fs
+    try:
+        fs._fs = PermBoom()
+        with pytest.raises(RuntimeError, match="Permission denied"):
+            fs.delete(f"{root}/gcme")
+        fs._fs = NotFound()
+        fs.delete(f"{root}/gcme")  # not-found-shaped: no-op
+    finally:
+        fs._fs = real
+    fs.delete(f"{root}/never-existed")  # plain missing path: no-op
+    assert fs.is_dir(f"{root}/gcme")

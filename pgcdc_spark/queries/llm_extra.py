@@ -981,3 +981,131 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+# --- end-to-end training-mix pipeline ----------------------------------------
+# Operator COMPOSITION under the driver gate (VERDICT r6 item 4): the
+# standalone stages — quality scoring (llm_text.docs_quality_score),
+# near-dup keep-best (dedup_keep_best above, itself composing the
+# iterative CC operator), benchmark decontamination
+# (llm_text.docs_decontam_overlap), sequence packing
+# (llm_text.docs_pack_sequences' shape), stratified per-source sampling —
+# chained into ONE lazy plan producing the packed training mix. The
+# oracle nests the SAME component oracles as derived tables and chains
+# them with identical set logic, so a hash match proves the composition,
+# not just the parts. Scale shape: the gates are semi/anti joins whose
+# build sides are doc-id lists (AQE broadcasts them); the only wide ops
+# are the ones the components already pay (CC's bounded iteration, the
+# per-source pack window, one group-by); sampling is a per-source
+# WindowGroupLimit over the tiny packs table.
+
+from .llm_text import (  # noqa: E402
+    _DECONTAM_ORACLE,
+    _PACK_BUDGET,
+    _QUALITY_ORACLE,
+    docs_decontam_overlap,
+    docs_quality_score,
+)
+
+_MIX_QUOTA = 8
+_MIX_MIN_QUALITY = 0.6
+
+_TRAINING_MIX_ORACLE = f"""
+WITH
+q AS (
+  SELECT doc_id FROM ({_QUALITY_ORACLE}) WHERE quality_score >= {_MIX_MIN_QUALITY}
+),
+kb AS (
+  SELECT doc_id FROM ({_KEEP_BEST_ORACLE}) WHERE NOT keep
+),
+cont AS (
+  SELECT doc_id FROM ({_DECONTAM_ORACLE}) WHERE contaminated
+),
+survivors AS (
+  SELECT d.source, d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN q USING (doc_id)
+  WHERE d.source <> 'src0'
+    AND d.doc_id NOT IN (SELECT doc_id FROM kb)
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+t AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM survivors
+),
+packs AS (
+  SELECT source,
+         CAST((end_off - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+         MIN(doc_id) AS first_doc_id
+  FROM t GROUP BY source, pack_id
+)
+SELECT source, pack_id, n_docs, pack_tokens, first_doc_id, sample_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY md5(pack_id::VARCHAR), pack_id
+  ) AS sample_rank
+  FROM packs
+) WHERE sample_rank <= {_MIX_QUOTA}
+"""
+
+
+@query("training_mix_pipeline", oracle=_TRAINING_MIX_ORACLE,
+       tags=("llm", "pipeline", "dedup", "sampling"))
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality filter -> near-dup keep-best -> decontam -> pack ->
+    stratified sample, as one composed lazy plan over the SAME component
+    code paths the standalone queries run. The benchmark slice (src0)
+    and its contaminated overlaps never reach packing; dropped near-dups
+    are removed by cluster verdict, not hash equality; packs form over
+    exactly the surviving ordered token stream."""
+    (docs,) = load(spark, sf_dir, "documents")
+    q = (
+        docs_quality_score(spark, sf_dir)
+        .filter(F.col("quality_score") >= _MIX_MIN_QUALITY)
+        .select("doc_id")
+    )
+    kb = dedup_keep_best(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
+    cont = (
+        docs_decontam_overlap(spark, sf_dir)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    survivors = (
+        docs.filter(F.col("source") != "src0")
+        .join(q, "doc_id", "left_semi")
+        .join(kb, "doc_id", "left_anti")
+        .join(cont, "doc_id", "left_anti")
+        .select(
+            "source", "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packs = (
+        survivors.withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("pack_id", F.expr(f"(end_off - n_tokens) div {_PACK_BUDGET}"))
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.md5(F.col("pack_id").cast("string").cast("binary")), F.col("pack_id")
+    )
+    return (
+        packs.withColumn("sample_rank", F.row_number().over(ws))
+        .filter(F.col("sample_rank") <= _MIX_QUOTA)
+        .select("source", "pack_id", "n_docs", "pack_tokens",
+                "first_doc_id", "sample_rank")
+    )

@@ -96,6 +96,7 @@ def test_no_collect_in_query_surface(spark):
     iterative = {"dedup_cc_clusters", "cdc_evolving_state",
                  "cdc_widening_state",  # same sanctioned schema discovery
                  "dedup_keep_best",  # composes the iterative CC operator
+                 "training_mix_pipeline",  # composes dedup_keep_best (CC)
                  "graph_bfs_hops",   # declared-iterative BFS frontier loop
                  # build-once/probe-many index queries: on a cold cache the
                  # builder runs the DECLARED one-time O(corpus) index-build

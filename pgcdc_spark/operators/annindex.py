@@ -69,6 +69,11 @@ from ..fs import get_fs
 
 _MANIFEST = "_CURRENT"
 _META = "_META"
+# Replay gate: recently applied maintenance labels ride in the version
+# manifest (bounded window, statestore discipline) — the manifest swap is
+# atomic, so a label is recorded iff its batch's state is visible, which
+# makes micro-batch replays exact no-ops.
+_APPLIED_WINDOW = 64
 
 
 class AnnIndex:
@@ -207,6 +212,7 @@ class AnnIndex:
             # it instead of trusting partition dirs to exist (an empty or
             # never-populated cell is simply absent here)
             "cellmap": {c: version for c in self._cell_dirs(version)},
+            "applied": [label],
         }
         self.fs.write_text_atomic(
             os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
@@ -246,6 +252,8 @@ class AnnIndex:
             raise ValueError("append needs new_emb and/or deletes")
         spark = (new_emb if new_emb is not None else deletes).sparkSession
         m = self.meta()
+        if label in m.get("applied", []):
+            return m["version"]  # replayed micro-batch: exact no-op
         cent = spark.read.parquet(
             os.path.join(self.root, m["centroids"], "centroids")
         )
@@ -331,6 +339,7 @@ class AnnIndex:
             "centroids": m["centroids"],
             "codebook": m["codebook"],
             "cellmap": cellmap,
+            "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
         }
         self.fs.write_text_atomic(
             os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)

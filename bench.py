@@ -68,6 +68,11 @@ EXTRA = [
     # builds (and caches) the index artifact, so the measured runs time
     # the serving path alone: pruned cells read + broadcast LUT + ADC agg
     "emb_ann_index_probe",
+    # r7: probe latency against the INCREMENTALLY maintained index (base
+    # build + append, cells spanning versions), and the composed
+    # quality->dedup->decontam->pack->sample training-mix plan
+    "emb_ann_index_incremental",
+    "training_mix_pipeline",
 ]
 
 

@@ -347,6 +347,41 @@ class AnnIndex:
         self._publish(version)
         return version
 
+    # -- compaction -----------------------------------------------------------
+
+    def compact(self, spark: SparkSession, label: str = "compact") -> str:
+        """Fold the version chain: rewrite every LIVE cell partition into
+        one self-contained version so long append histories stop spanning
+        many small per-version layers (the LSM fold of the statestore,
+        applied to cells). O(live state) read + one partitioned write —
+        codes are MOVED, never recomputed; the frozen quantizer tables
+        stay referenced in their owning version. After the next publish
+        cycle, superseded delta versions leave the GC closure and are
+        dropped."""
+        m = self.meta()
+        if label in m.get("applied", []):
+            return m["version"]
+        cids = sorted(int(c) for c in m["cellmap"])
+        version = f"v-{label}-{uuid.uuid4().hex[:8]}"
+        vdir = os.path.join(self.root, version)
+        live = self._read_cells(spark, m, cids)
+        if live is not None:
+            live.select("cid", "vec_id", "s", "pqcid").write.partitionBy(
+                "cid"
+            ).parquet(os.path.join(vdir, "cells"))
+        meta = {
+            "base": m["version"],
+            "centroids": m["centroids"],
+            "codebook": m["codebook"],
+            "cellmap": {c: version for c in self._cell_dirs(version)},
+            "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
+        }
+        self.fs.write_text_atomic(
+            os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
+        )
+        self._publish(version)
+        return version
+
     # -- probe ----------------------------------------------------------------
 
     def _read_cells(
@@ -372,7 +407,7 @@ class AnnIndex:
 
     def probe(
         self, spark: SparkSession, queries: DataFrame,
-        nprobe: int = 2, k: int = 10,
+        nprobe: int = 2, k: int = 10, version: str | None = None,
     ) -> DataFrame:
         """Top-k neighbors per query from the stored index, never touching
         a float corpus vector.
@@ -389,7 +424,9 @@ class AnnIndex:
 
         from ..queries.llm_similarity import nearest_cells
 
-        m = self.meta()
+        # version=None probes the tip; a retained older tip (the GC keeps
+        # the previous tip's closure) may be probed for time travel
+        m = self.meta(version)
         cent = spark.read.parquet(
             os.path.join(self.root, m["centroids"], "centroids")
         )

@@ -415,3 +415,118 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+# --- semantic dedup (SemDeDup shape: within-cell cosine pruning) --------------
+# Abbas et al., "SemDeDup" (2023): cluster the embedding space, compare
+# pairs ONLY within a cluster, and drop all but one member of each
+# semantic-duplicate group. The cluster (here: the deterministic IVF
+# cell) bounds the quadratic — pair scoring is O(sum cell^2), never
+# O(corpus^2), and each cell's pairs co-locate in one shuffle partition
+# group keyed by cid. Keep rule: a vector is dropped iff some
+# smaller-id vector in its cell clears the cosine threshold (keep-first
+# deterministic canonical, the same discipline as dedup_keep_best).
+# Every vector reports its best in-cell neighbor, so the query also
+# serves as the threshold-tuning diagnostic.
+
+_SEMDEDUP_TAU = 0.40
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_CENT_MOD} = 1
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id, a.cid, b.vec_id AS other_id,
+    list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cosine
+  FROM asg a
+  JOIN asg b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+  JOIN e x ON x.vec_id = a.vec_id
+  JOIN e y ON y.vec_id = b.vec_id
+),
+best AS (
+  SELECT vec_id, cid, other_id AS best_neighbor, cosine AS best_cos
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, other_id) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT vec_id FROM pairs
+  WHERE cosine >= {_SEMDEDUP_TAU} AND other_id < vec_id
+)
+SELECT b.vec_id, b.cid, b.best_neighbor, b.best_cos,
+       (d.vec_id IS NOT NULL) AS dropped
+FROM best b LEFT JOIN drops d ON d.vec_id = b.vec_id
+"""
+
+
+@query("emb_semantic_dedup", oracle=_SEMDEDUP_ORACLE,
+       tags=("llm", "similarity", "dedup", "semdedup"))
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: IVF cells bound the
+    pairwise cosine work, each vector reports its best in-cell neighbor,
+    and keep-first canonicals drop any vector semantically covered by a
+    smaller id. One shuffle on cid for the self-join, one per-vec_id
+    window — no corpus cross join anywhere."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    cent = ivf_centroids(base)
+    asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "e", "n", "cid")
+    other = asg.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("e").alias("oe"),
+        F.col("n").alias("on_"),
+        "cid",
+    )
+    pairs = (
+        asg.join(other, "cid")
+        .filter(F.col("other_id") != F.col("vec_id"))
+        .select(
+            "vec_id", "cid", "other_id",
+            (dot_fold_expr("e", "oe") / (F.col("n") * F.col("on_"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("other_id")
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("other_id").alias("best_neighbor"),
+                F.col("cosine").alias("best_cos"))
+    )
+    drops = (
+        pairs.filter(
+            (F.col("cosine") >= _SEMDEDUP_TAU)
+            & (F.col("other_id") < F.col("vec_id"))
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped_flag", F.lit(True))
+    )
+    return (
+        best.join(drops, "vec_id", "left")
+        .select(
+            "vec_id", "cid", "best_neighbor", "best_cos",
+            F.coalesce("dropped_flag", F.lit(False)).alias("dropped"),
+        )
+    )

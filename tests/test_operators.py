@@ -459,3 +459,43 @@ def test_ann_index_append_is_incremental(spark, sf_smoke, tmp_path):
         .select("vec_id").distinct().collect()
     }
     assert not (ids_left & set(del_ids))
+
+
+def test_ann_index_compact_and_version_probe(spark, sf_smoke, tmp_path):
+    """compact() folds a multi-version cell chain into one self-contained
+    layer: probes are unchanged bit-for-bit, every live cell is owned by
+    the new version, and the previous tip remains probe-able (time
+    travel) until the GC window moves past it."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    pred = "(vec_id % 100 = 2) AND (vec_id % 53 <> 1) AND (vec_id % 127 <> 1)"
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    idx = AnnIndex(str(tmp_path / "cmp"))
+    idx.build(emb.filter(F.expr(f"NOT ({pred})")), label="base")
+    v_delta = idx.append(emb.filter(F.expr(pred)), label="delta")
+    assert len(set(idx.meta()["cellmap"].values())) > 1  # spans versions
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    before = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+
+    v_cmp = idx.compact(spark, label="cmp1")
+    m = idx.meta()
+    assert set(m["cellmap"].values()) == {v_cmp}  # one self-contained layer
+    after = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert after == before  # fold is a pure move, bit-identical
+
+    # time travel: the previous tip (pre-compaction) still probes —
+    # its closure is retained as the GC escape hatch
+    old = sorted(map(tuple, idx.probe(
+        spark, queries, nprobe=2, k=10, version=v_delta
+    ).collect()))
+    assert old == before
+
+    # replaying the compaction label is a no-op
+    assert idx.compact(spark, label="cmp1") == v_cmp

@@ -1109,3 +1109,32 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "pack_id", "n_docs", "pack_tokens",
                 "first_doc_id", "sample_rank")
     )
+
+
+def _ann_compact_index_for(spark: SparkSession, sf_dir: str):
+    from ..operators.annindex import AnnIndex
+
+    idx = AnnIndex(_ann_root(sf_dir, "cmp"))
+    if idx.current_version() is None:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        idx.build(emb.filter(F.expr(f"NOT ({_ANN_DELTA_PRED})")), label="base")
+        idx.append(emb.filter(F.expr(_ANN_DELTA_PRED)), label="delta")
+        idx.compact(spark, label="fold")
+    return idx
+
+
+@query("emb_ann_index_compacted", oracle=_IVFPQ_ORACLE,
+       tags=("llm", "similarity", "ivf", "pq", "index", "compaction"))
+def emb_ann_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k served AFTER AnnIndex.compact folded the base+append
+    version chain into one self-contained cell layer (codes moved, never
+    recomputed). Same full-corpus rebuild oracle as the probe and
+    incremental variants: a green row proves build -> append -> compact
+    -> probe preserves every code bit-for-bit under the driver gate."""
+    idx = _ann_compact_index_for(spark, sf_dir)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    return idx.probe(spark, queries, nprobe=2, k=_TOP_K)

@@ -530,3 +530,114 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dropped_flag", F.lit(False)).alias("dropped"),
         )
     )
+
+
+# --- k-means (Lloyd) over embeddings, declaratively unrolled ------------------
+# The clustering primitive under SemDeDup/IVF when the quantizer is
+# learned rather than rule-seeded: seed k centers (the deterministic
+# donor rule, so both engines agree), then TWO Lloyd iterations —
+# assign-to-nearest, recompute means — expressed as pure DataFrame
+# algebra with the iterations UNROLLED: no driver loop, no collect, the
+# whole refinement is one lazy plan Catalyst sees end-to-end. Exactness
+# discipline: squared distances and coordinate means go through exact
+# DECIMAL sums (order-free) before double division, so assignments and
+# final distances are bit-identical on both engines. Scale shape: the
+# point-dim table is the corpus (n x dims rows, one explode, never
+# shuffled on raw vectors); each assignment is a broadcast join on the
+# dim key + one partial-agg shuffle on (vec_id, cid); each mean update
+# one partial-agg shuffle on (cid, d). O(n * k * dims) compute — the
+# Lloyd lower bound — with k*dims broadcast state.
+
+_KM_ITERS_NOTE = "2 iterations unrolled"
+
+
+def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist2): nearest center per vector, exact-decimal
+    squared L2, deterministic cid tie-break."""
+    j = pts.join(F.broadcast(cent), "d").select(
+        "vec_id", "cid",
+        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("t"),
+    )
+    dist = j.groupBy("vec_id", "cid").agg(
+        F.sum(F.col("t").cast("decimal(28,9)")).cast("double").alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dist2")
+    )
+
+
+def _km_update(pts: DataFrame, asg: DataFrame) -> DataFrame:
+    """(cid, d, c): per-cluster coordinate means — exact decimal sums,
+    double division (identical IEEE ops on both engines)."""
+    return (
+        pts.join(asg.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+
+
+_KMEANS_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id, t.d AS d, v[t.d + 1] AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       (SELECT UNNEST(range(0, {_DIMS})) AS d) t
+),
+c0 AS (SELECT vec_id AS cid, d, x AS c FROM pts WHERE vec_id % {_CENT_MOD} = 1),
+d1 AS (
+  SELECT p.vec_id, c.cid,
+         CAST(SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(28,9))) AS DOUBLE) AS dist2
+  FROM pts p JOIN c0 c USING (d) GROUP BY p.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cid, p.d,
+         CAST(SUM(CAST(p.x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS c
+  FROM pts p JOIN a1 a USING (vec_id) GROUP BY a.cid, p.d
+),
+d2 AS (
+  SELECT p.vec_id, c.cid,
+         CAST(SUM(CAST((p.x - c.c) * (p.x - c.c) AS DECIMAL(28,9))) AS DOUBLE) AS dist2
+  FROM pts p JOIN c1 c USING (d) GROUP BY p.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid, dist2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT vec_id, cid AS cluster_id, dist2 FROM a2
+"""
+
+
+@query("emb_kmeans_lloyd", oracle=_KMEANS_ORACLE,
+       tags=("llm", "similarity", "clustering", "kmeans"))
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations over the embedding corpus: donor-
+    seeded centers -> assign -> mean update -> re-assign, returning every
+    vector's final cluster and exact squared distance. Declarative
+    iteration (no driver loop, no collect) — the refinement is one plan;
+    a production k-means iterates this block with the graph/CC driver-
+    loop discipline once iteration count is data-dependent."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    )
+    c0 = pts.filter(F.col("vec_id") % _CENT_MOD == 1).select(
+        F.col("vec_id").alias("cid"), "d", F.col("x").alias("c")
+    )
+    a1 = _km_assign(pts, c0)
+    c1 = _km_update(pts, a1)
+    a2 = _km_assign(pts, c1)
+    return a2.select("vec_id", F.col("cid").alias("cluster_id"), "dist2")

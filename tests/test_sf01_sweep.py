@@ -2,9 +2,11 @@
 shape).
 
 The full oracle surface must hash-match DuckDB at 10x the driver gate —
-minus the two CC-composed queries whose recursive-CTE oracles are
+minus the three CC-composed queries whose recursive-CTE oracles are
 ORACLE-side superlinear at that size (dedup_cc_clusters,
-dedup_keep_best; their invariants are pytest-pinned in test_llm.py).
+dedup_keep_best, and the training_mix_pipeline composition that embeds
+the keep-best stage; their invariants are pytest-pinned in
+test_llm.py).
 
 Gated because it is a ~10-minute run: enable with
 
@@ -13,7 +15,8 @@ Gated because it is a ~10-minute run: enable with
 or regenerate the checked-in artifact directly:
 
     python scripts/parity_sweep.py /root/testdata/sf0.1 \
-        --skip dedup_cc_clusters,dedup_keep_best --out SWEEP_SF01.json
+        --skip dedup_cc_clusters,dedup_keep_best,training_mix_pipeline \
+        --out SWEEP_SF01.json
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ import os
 import pytest
 
 SF01 = "/root/testdata/sf0.1"
-SKIP = {"dedup_cc_clusters", "dedup_keep_best"}
+SKIP = {"dedup_cc_clusters", "dedup_keep_best", "training_mix_pipeline"}
 
 
 @pytest.mark.skipif(

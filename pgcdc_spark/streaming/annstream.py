@@ -42,11 +42,19 @@ def start_ann_index_stream(
     index_root: str,
     row_schema: StructType,
     max_files_per_trigger: int = 10,
+    compact_after: int = 16,
 ) -> StreamingQuery:
     """Drive the AnnIndex at ``index_root`` from a file-stream of CDC
     envelopes whose row images hold (vec_id: long, embedding:
     array<double>). Same harness shape as ivm.start_join_view_stream:
-    one source, one checkpoint, foreachBatch maintenance."""
+    one source, one checkpoint, foreachBatch maintenance.
+
+    ``compact_after``: once the live cellmap spans more than this many
+    version layers, the maintainer folds the chain into one
+    self-contained layer (AnnIndex.compact — the dedup-stream
+    compact_after discipline), bounding probe fan-in under continuous
+    appends. The fold is label-gated like any append, so a replay after
+    a crash mid-fold is a no-op."""
     from ..cdc.envelope import parse_envelope
     from ..cdc.transform import apply_pipeline
     from ..cdc.upsert import latest_state
@@ -88,6 +96,8 @@ def start_ann_index_stream(
                     deletes=dels if have_dels else None,
                     label=label,
                 )
+            if len(set(idx.meta()["cellmap"].values())) > compact_after:
+                idx.compact(spark, label=f"fold-{label}")
         finally:
             folded.unpersist()
 

@@ -92,8 +92,12 @@ def test_cdc_stream_maintains_ann_index(spark, tmp_path, corpus):
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
     def run():
+        # compact_after=1: every batch that leaves the cellmap spanning
+        # >1 version triggers a fold, so the stream exercises append AND
+        # compaction; probe equivalence below proves both preserve codes
         q = start_ann_index_stream(
-            spark, src, ckpt, root, ROW_SCHEMA, max_files_per_trigger=1
+            spark, src, ckpt, root, ROW_SCHEMA, max_files_per_trigger=1,
+            compact_after=1,
         )
         q.awaitTermination(240)
 
@@ -101,7 +105,7 @@ def test_cdc_stream_maintains_ann_index(spark, tmp_path, corpus):
     idx = AnnIndex(root)
     m = idx.meta()
     assert set(m["applied"]) >= {"1", "2"}  # appends recorded
-    assert len(set(m["cellmap"].values())) > 1  # cells span versions
+    assert len(set(m["cellmap"].values())) == 1  # compaction folded the chain
 
     # final corpus state after the changelog
     final = dict(corpus)

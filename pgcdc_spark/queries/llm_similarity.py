@@ -641,3 +641,48 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = _km_update(pts, a1)
     a2 = _km_assign(pts, c1)
     return a2.select("vec_id", F.col("cid").alias("cluster_id"), "dist2")
+
+
+# --- IVF recall@k diagnostic --------------------------------------------------
+# The number every ANN deployment watches: how much of the exact top-k
+# does the pruned index recover per query? Composes the two existing
+# plans — brute-force cosine top-k (ground truth) and IVF nprobe top-k —
+# with one semi-overlap count per query. Both sides are deterministic,
+# so the recall fractions are exact on both engines. Scale: ground truth
+# here is the O(n*q) brute-force baseline (q = 8 probes); in production
+# this query runs on a sampled query set, which is exactly its shape —
+# the corpus-sized work is the two plans it already composes.
+
+_RECALL_ORACLE = f"""
+WITH bf AS (SELECT qid, neighbor_id FROM ({_COSINE_ORACLE})),
+ivf AS (SELECT qid, neighbor_id FROM ({_IVF_ORACLE}))
+SELECT b.qid,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({_TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+FROM bf b
+LEFT JOIN ivf i ON i.qid = b.qid AND i.neighbor_id = b.neighbor_id
+GROUP BY b.qid
+"""
+
+
+@query("emb_ivf_recall_at_k", oracle=_RECALL_ORACLE,
+       tags=("llm", "similarity", "ivf", "diagnostics"))
+def emb_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the IVF(nprobe) index against the exact
+    brute-force top-k — the ANN quality gauge run when tuning n_cells /
+    nprobe. Reuses both existing query plans and adds one per-qid
+    overlap count (the join keys are two k-row-per-query sets, tiny)."""
+    bf = emb_cosine_topk(spark, sf_dir).select("qid", "neighbor_id")
+    ivf = emb_ivf_ann_topk(spark, sf_dir).select(
+        "qid", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ivf, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.lit(_TOP_K).cast("long").alias("k"),
+            (F.count("hit").cast("double") / _TOP_K).alias("recall_at_k"),
+        )
+    )

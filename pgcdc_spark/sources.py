@@ -18,6 +18,7 @@ unchecked cast).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -159,3 +160,40 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    modality_from_extension: bool = True,
+) -> DataFrame:
+    """Ingest a directory tree of raw media files via Spark's built-in
+    ``binaryFile`` source: one row per file with (path, modificationTime,
+    length, content: binary) — the on-ramp that turns an object-store
+    prefix of images/audio into the (doc_id, modality, payload) shape
+    the multimodal operators consume. Partition-parallel: each file is
+    read by the task that owns it, no driver involvement, and
+    ``pathGlobFilter`` prunes non-matching files at listing time.
+
+    ``modality_from_extension`` adds the modality column by extension
+    (ppm -> image, wav -> audio, else text) and a stable ``doc_id``
+    (xxhash64 of the path) so the result plugs directly into
+    ``multimodal.extract_features``."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if not modality_from_extension:
+        return df
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    return df.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("path"),
+        F.when(ext.isin("ppm", "pbm", "pgm", "png", "jpg", "jpeg"), "image")
+        .when(ext.isin("wav", "flac", "mp3"), "audio")
+        .otherwise("text")
+        .alias("modality"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )

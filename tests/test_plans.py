@@ -107,6 +107,7 @@ def test_no_collect_in_query_surface(spark):
                  "emb_ann_index_probe",
                  "emb_ann_index_incremental",
                  "emb_ann_index_compacted",
+                 "emb_ann_index_stats",  # same cold-cache build + cellmap read
                  # IVM batch twins: applying the 3-batch CDC fixture through
                  # the stream maintainer IS the declared maintenance work
                  # (state-transition writes to a temp store); the returned

@@ -198,3 +198,106 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import shortest_hops
 
     return shortest_hops(edges, sources, max_hops=_BFS_MAX_HOPS)
+
+
+# --- PageRank (3 unrolled power iterations) ----------------------------------
+# The other classic iterative-graph primitive next to BFS: damped
+# PageRank over the SAME deterministic functional graph (2 out-edges per
+# customer key), with a FIXED iteration count so the refinement unrolls
+# into one declarative plan — no driver loop, no collect, exactly like
+# emb_kmeans_lloyd. Exactness: the per-node contribution sums go through
+# order-free decimal casts, and every other op is the same IEEE double
+# expression on both engines, so ranks hash-match bit-for-bit. Scale
+# shape: each iteration is one broadcast-free equi-join edges(dst) x
+# ranks(src is carried on the edge) + one partial-agg shuffle on dst —
+# the standard distributed PageRank step; the out-degree table is
+# derived once.
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3  # unrolled
+
+_PAGERANK_ORACLE = f"""
+WITH
+edges AS (
+  SELECT c_custkey AS src, (c_custkey * 7 + 1) % (SELECT COUNT(*) FROM customer) AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 13 + 3) % (SELECT COUNT(*) FROM customer)
+  FROM customer
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (
+  SELECT c_custkey AS node, 1.0 / (SELECT COUNT(*) FROM customer) AS pr
+  FROM customer
+),
+it1 AS (
+  SELECT c.c_custkey AS node,
+    (1 - {_PR_DAMP}) / (SELECT COUNT(*) FROM customer)
+      + {_PR_DAMP} * COALESCE(
+          CAST(SUM(CAST(p.pr / g.d AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS pr
+  FROM customer c
+  LEFT JOIN edges e ON e.dst = c.c_custkey
+  LEFT JOIN pr0 p ON p.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY c.c_custkey
+),
+it2 AS (
+  SELECT c.c_custkey AS node,
+    (1 - {_PR_DAMP}) / (SELECT COUNT(*) FROM customer)
+      + {_PR_DAMP} * COALESCE(
+          CAST(SUM(CAST(p.pr / g.d AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS pr
+  FROM customer c
+  LEFT JOIN edges e ON e.dst = c.c_custkey
+  LEFT JOIN it1 p ON p.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY c.c_custkey
+),
+it3 AS (
+  SELECT c.c_custkey AS node,
+    (1 - {_PR_DAMP}) / (SELECT COUNT(*) FROM customer)
+      + {_PR_DAMP} * COALESCE(
+          CAST(SUM(CAST(p.pr / g.d AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS pr
+  FROM customer c
+  LEFT JOIN edges e ON e.dst = c.c_custkey
+  LEFT JOIN it2 p ON p.node = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY c.c_custkey
+)
+SELECT node, pr FROM it3
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph", "pagerank"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank, {iters} unrolled power iterations over the
+    deterministic 2-out-regular functional graph on customer keys. Every
+    rank value is hash-checked — the oracle replays the identical
+    decimal-sum arithmetic."""
+    (customer,) = load(spark, sf_dir, "customer")
+    n = customer.count()  # bounded scalar, same sanction as graph_bfs_hops
+    k = F.col("c_custkey")
+    edges = customer.select(
+        k.alias("src"), ((k * 7 + 1) % n).alias("dst")
+    ).unionByName(
+        customer.select(k.alias("src"), ((k * 13 + 3) % n).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = customer.select(k.alias("node"))
+    pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("d")).alias("w"))
+        )
+        agg = contrib.groupBy("dst").agg(
+            F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("s")
+        )
+        pr = nodes.join(agg, nodes["node"] == agg["dst"], "left").select(
+            "node",
+            (
+                F.lit(1 - _PR_DAMP) / n
+                + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr

@@ -165,3 +165,33 @@ def test_hadoop_delete_swallows_only_not_found(spark, tmp_path):
         fs._fs = real
     fs.delete(f"{root}/never-existed")  # plain missing path: no-op
     assert fs.is_dir(f"{root}/gcme")
+
+
+def test_ann_index_on_file_uri_root(spark, tmp_path):
+    """The ANN index artifact is FS-portable like the state store: build,
+    append, and probe against a file: URI root route every manifest and
+    cellmap operation through HadoopStateFS, bit-identical to a local
+    root over the same corpus."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    (emb,) = load(spark, "/root/testdata/sf0.001", "embeddings")
+    pred = "(vec_id % 100 = 2) AND (vec_id % 53 <> 1) AND (vec_id % 127 <> 1)"
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+
+    uri = AnnIndex(f"file://{tmp_path}/ann_uri")
+    uri.build(emb.filter(F.expr(f"NOT ({pred})")), label="base")
+    uri.append(emb.filter(F.expr(pred)), label="delta")
+    local = AnnIndex(str(tmp_path / "ann_local"))
+    local.build(emb.filter(F.expr(f"NOT ({pred})")), label="base")
+    local.append(emb.filter(F.expr(pred)), label="delta")
+
+    got = sorted(map(tuple, uri.probe(spark, queries, nprobe=2, k=10).collect()))
+    want = sorted(map(tuple, local.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert got and got == want
+    assert len(set(uri.meta()["cellmap"].values())) > 1  # chain spans versions

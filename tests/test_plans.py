@@ -98,6 +98,7 @@ def test_no_collect_in_query_surface(spark):
                  "dedup_keep_best",  # composes the iterative CC operator
                  "training_mix_pipeline",  # composes dedup_keep_best (CC)
                  "graph_bfs_hops",   # declared-iterative BFS frontier loop
+                 "graph_pagerank",   # same bounded n=count() scalar as BFS
                  # build-once/probe-many index queries: on a cold cache the
                  # builder runs the DECLARED one-time O(corpus) index-build
                  # job (operators/annindex.py — the artifact's whole point);

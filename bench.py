@@ -73,6 +73,11 @@ EXTRA = [
     # quality->dedup->decontam->pack->sample training-mix plan
     "emb_ann_index_incremental",
     "training_mix_pipeline",
+    # r7 operator families: cell-bounded semantic dedup, unrolled Lloyd
+    # k-means, unrolled PageRank
+    "emb_semantic_dedup",
+    "emb_kmeans_lloyd",
+    "graph_pagerank",
 ]
 
 

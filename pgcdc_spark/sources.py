@@ -197,3 +197,21 @@ def read_binary_files(
         F.col("content").alias("payload"),
         F.col("length").cast("long").alias("n_bytes"),
     )
+
+
+def read_avro(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Avro scan (row-oriented interchange format, the usual Kafka Connect
+    payload encoding). Spark ships Avro as an EXTERNAL module
+    (spark-avro jar) which this container does not bundle — the reader
+    raises Spark's standard deploy hint when absent; on a real cluster
+    (`--packages org.apache.spark:spark-avro_2.13:<ver>`) it lights up
+    unchanged. Gated test in tests/test_sources.py."""
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — same external-module gate as read_avro."""
+    df.write.mode(mode).format("avro").save(path)

@@ -10,7 +10,7 @@ shuffle); rollups shuffle only |groups| after map-side combine.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import fan_out, load
 from . import query
@@ -876,4 +876,108 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sk").desc(), F.col("doc_id"))
         .limit(_WSAMPLE_K)
         .select("doc_id", "source", "n_chars")
+    )
+
+
+# --- BM25 retrieval scoring ---------------------------------------------------
+# The classic lexical-retrieval scorer (Robertson-Sparck Jones BM25, the
+# e.g. Elasticsearch/Lucene default) over the documents table for a fixed
+# query-term set: tf from per-doc token counts, idf from corpus document
+# frequencies, length normalization against the corpus mean. Scale
+# shape: one explode -> two partial-agg shuffles (per-(doc,term) tf and
+# per-term df); N and avgdl are 1-row aggregates broadcast into the
+# scorer; the final top-k is TakeOrderedAndProject. ln() differs in the
+# last ulp across libms, so scores round to 9 decimals on both engines
+# (SURVEY trap list); ordering uses the rounded score with doc_id as the
+# total-order tiebreak.
+
+_BM25_TERMS = ("the", "data", "system", "model", "analysis")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE t IN {_BM25_TERMS} GROUP BY doc_id, t
+),
+df AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+  WHERE t IN {_BM25_TERMS} GROUP BY t
+),
+scored AS (
+  SELECT f.doc_id,
+    ROUND(SUM(
+      CAST(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        * f.tf * ({_BM25_K1} + 1.0)
+        / (f.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+      AS DECIMAL(28,9))
+    )::DOUBLE, 9) AS bm25
+  FROM tf f
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  JOIN df d USING (t)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM scored
+) WHERE rank <= {_BM25_TOP}
+"""
+
+
+@query("docs_bm25_topk", oracle=_BM25_ORACLE, tags=("llm", "text", "retrieval"))
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents by BM25 for a fixed query-term set. The
+    per-(doc,term) partial sums go through exact decimals before the
+    9-decimal round, so the ranking key is engine-stable."""
+    (docs,) = load(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t").isin(terms))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tok.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf * F.col("tf") * (_BM25_K1 + 1.0)
+        / (F.col("tf") + _BM25_K1
+           * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df_), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(28,9)")).cast("double"), 9
+            ).alias("bm25")
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP)
+        .select("doc_id", "bm25", "rank")
     )

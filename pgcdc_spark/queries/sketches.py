@@ -83,3 +83,88 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est")
     ).select(F.lit("__all__").alias("event_type"), "n_users_est")
     return est.unionByName(total)
+
+
+# --- count-min sketch heavy-hitter estimation --------------------------------
+# The mergeable frequency sketch (Cormode-Muthukrishnan 2005): d hash
+# rows x w buckets of counters, update = +1 in one bucket per row,
+# estimate = min over rows — always an OVERestimate, off by at most
+# eps*N with high probability. The counter table is FIXED-SIZE (d*w
+# cells) whatever the corpus size: partial aggregation reduces each
+# partition to <= d*w rows before the one shuffle, and two sketches
+# merge by cell-wise addition (the same rollup contract as the HLL and
+# bitmap entries). Hashes are md5-derived, so BOTH engines compute the
+# identical sketch — estimates are hash-checked exactly, and the CMS
+# overestimate invariant (est >= true count) rides in the result.
+
+_CMS_D = 4
+_CMS_W = 32
+_CMS_TOP = 25
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+exact AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY t
+),
+top AS (
+  SELECT t, exact_n FROM exact ORDER BY exact_n DESC, t LIMIT {_CMS_TOP}
+),
+rows_ AS (SELECT UNNEST(range(0, {_CMS_D})) AS i),
+counters AS (
+  SELECT i,
+         ('0x' || substr(md5(i || ':' || t), 1, 8))::BIGINT % {_CMS_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok, rows_ GROUP BY 1, 2
+),
+est AS (
+  SELECT p.t, p.exact_n, MIN(c.c) AS cms_est
+  FROM top p
+  JOIN rows_ r ON TRUE
+  JOIN counters c
+    ON c.i = r.i
+   AND c.bucket = ('0x' || substr(md5(r.i || ':' || p.t), 1, 8))::BIGINT % {_CMS_W}
+  GROUP BY p.t, p.exact_n
+)
+SELECT t, exact_n, cms_est, cms_est - exact_n AS overestimate FROM est
+"""
+
+
+@query("docs_cms_heavy_hitters", oracle=_CMS_ORACLE,
+       tags=("llm", "text", "sketch", "heavy-hitters"))
+def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for the top-{k} exact heavy hitters, computed
+    from a {d}x{w} fixed-size counter table. md5-derived bucket hashing
+    makes the sketch engine-identical, so the driver hash-checks the
+    estimates AND the overestimate margins exactly."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "t").limit(_CMS_TOP)
+
+    def bucket(i_col, t_col):
+        return F.conv(
+            F.substring(F.md5(F.concat(i_col.cast("string"), F.lit(":"), t_col)
+                              .cast("binary")), 1, 8), 16, 10
+        ).cast("long") % _CMS_W
+
+    rows_ = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("i")
+    counters = (
+        tok.select("t", rows_)
+        .select("i", bucket(F.col("i"), F.col("t")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    probes = top.select("t", "exact_n", rows_).select(
+        "t", "exact_n", "i", bucket(F.col("i"), F.col("t")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("t", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "t", "exact_n", "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        )
+    )

@@ -981,3 +981,54 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOP)
         .select("doc_id", "bm25", "rank")
     )
+
+
+# --- positional phrase search -------------------------------------------------
+# The inverted-index query shape: token positions per document (the
+# posting-list payload), phrase matching as a positional self-join —
+# term A at position p, term B at p+1. Scale: the postings table is one
+# posexplode (no shuffle); the phrase join keys on (doc_id, position
+# arithmetic) after an IN-list filter prunes it to the two query terms,
+# so the join sides are term-selective slivers of the corpus, never the
+# full postings table. Hit counts and first positions hash-check
+# exactly.
+
+_PHRASE = ("order", "fast")  # frequent in the synthetic corpus at every SF
+
+_PHRASE_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, t.i - 1 AS p, w[t.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) + 1)) t(i)
+),
+a AS (SELECT doc_id, p FROM pos WHERE tok = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, p FROM pos WHERE tok = '{_PHRASE[1]}')
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(a.p) AS BIGINT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+GROUP BY a.doc_id
+"""
+
+
+@query("docs_phrase_search", oracle=_PHRASE_ORACLE,
+       tags=("llm", "text", "retrieval", "phrase"))
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching ('{p0} {p1}') via positional postings: per
+    matching document the hit count and first match position."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    )
+    a = pos.filter(F.col("tok") == _PHRASE[0]).select("doc_id", "p")
+    b = pos.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", (F.col("p") - 1).alias("p")
+    )
+    return (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("p").cast("long").alias("first_pos"),
+        )
+    )

@@ -209,3 +209,66 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").getField("value").alias("close"),
         F.count(F.lit(1)).alias("n_trades"),
     )
+
+
+# --- per-group z-score outlier detection -------------------------------------
+# The standard data-quality screen before training-data aggregation:
+# per event_type, flag values beyond k standard deviations. Moments go
+# through exact decimal sums (the agg_stddev_stable discipline), so mean
+# and stddev are bit-identical on both engines and the flag boundary is
+# deterministic; z-scores round to 9 decimals (sqrt is IEEE-exact but
+# the division chain is kept to the shared rounding discipline anyway).
+# One partial-agg shuffle for the moments, one broadcast join back —
+# the corpus never shuffles twice.
+
+_Z_K = 3.0
+
+_OUTLIER_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,9))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+st AS (
+  SELECT event_type, n, s1 / n AS mu,
+         sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+  FROM m
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sigma, 9) AS z
+FROM events e JOIN st s USING (event_type)
+WHERE ABS((e.value - s.mu) / s.sigma) > {_Z_K}
+"""
+
+
+@query("events_outliers_zscore", oracle=_OUTLIER_ORACLE,
+       tags=("timeseries", "quality", "outliers"))
+def events_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits beyond {k} sigma of their event_type
+    population — exact-decimal moments, deterministic flag boundary."""
+    (events,) = load(spark, sf_dir, "events")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,9)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,9)"))
+        .cast("double").alias("s2"),
+    )
+    st = m.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > _Z_K)
+        .select("event_id", "event_type", F.round(z, 9).alias("z"))
+    )

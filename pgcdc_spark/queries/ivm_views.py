@@ -227,3 +227,48 @@ def ivm_join_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             label=str(b),
         )
     return m.read_view(spark)
+
+
+_DISTINCT_VIEW_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id % 25) AS BIGINT) AS n_distinct_cohort
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
+@query("ivm_distinct_view_state", oracle=_DISTINCT_VIEW_ORACLE, tags=("cdc", "ivm"))
+def ivm_distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) view maintained incrementally via refcounted
+    deltas (streaming/ivm.DistinctView) across the same 3-batch CDC
+    fixture: a cohort (user_id % 25) leaves a group's distinct set only
+    when its LAST live holder departs — the case plain count deltas
+    cannot express. Oracle: direct COUNT(DISTINCT) over the final upsert
+    state; agreement proves the refcount fold nets to the batch answer."""
+    from ..streaming.ivm import (
+        DistinctView,
+        apply_distinct_view_batch,
+        read_distinct_view,
+    )
+    from ..streaming.statestore import BucketedStateStore
+
+    view = DistinctView("cohorts", group_cols=["event_type"],
+                        distinct_col="cohort")
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-distinct-")
+    store = BucketedStateStore(os.path.join(state_dir, "state"),
+                               n_buckets=_N_BUCKETS)
+    delta_root = os.path.join(state_dir, f"view_{view.name}")
+    log = _events_changelog(spark, sf_dir).withColumn(
+        "cohort", F.col("user_id") % 25
+    )
+    for b in range(3):
+        apply_distinct_view_batch(
+            store, view, delta_root,
+            log.filter(F.col("batch") == b).drop("batch"),
+            label=str(b), keys=["user_id"], order_by=["ts_us", "event_id"],
+        )
+    return read_distinct_view(spark, state_dir, view)

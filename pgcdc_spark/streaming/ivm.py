@@ -212,6 +212,124 @@ def read_agg_view(spark: SparkSession, state_dir: str, view: AggView) -> DataFra
     )
 
 
+# --- COUNT(DISTINCT) views via refcounted deltas ------------------------------
+# DISTINCT is the classic hard case for IVM: a retraction only lowers the
+# distinct count when the LAST live holder of a value leaves, so plain
+# +/- count deltas (AggView) cannot maintain it. The standard fix is a
+# REFCOUNT view one level down: maintain, per (group, value), the number
+# of live rows holding that value — itself a SUM-shaped delta fold, so
+# the whole AggView machinery (state-transition deltas, per-label
+# partitions, replay-exactly-once, LSM compaction) applies verbatim with
+# the value column folded into the grouping key. The distinct count is
+# then COUNT(*) of values with positive refcount — computed at read
+# time from the folded refcounts (|groups x values| rows, not |state|).
+# Cost per batch: O(touched) like AggView; log size: one row per
+# (group, value) TOUCHED per batch.
+
+
+class DistinctView:
+    """COUNT(DISTINCT distinct_col) per ``group_cols``, via refcounts."""
+
+    def __init__(self, name: str, group_cols: list[str], distinct_col: str) -> None:
+        self.name = name
+        self.group_cols = list(group_cols)
+        self.distinct_col = distinct_col
+
+    def _agg(self, df: DataFrame, sign: int) -> DataFrame:
+        live = df.filter(F.col("op") != "D")
+        return live.groupBy(*self.group_cols, self.distinct_col).agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("rc_delta")
+        )
+
+    def delta(self, current: DataFrame | None, new_state: DataFrame) -> DataFrame:
+        """Per-(group, value) refcount delta of the transition."""
+        add = self._agg(new_state, +1)
+        if current is None:
+            return add
+        sub = self._agg(current, -1)
+        return (
+            add.unionByName(sub)
+            .groupBy(*self.group_cols, self.distinct_col)
+            .agg(F.sum("rc_delta").alias("rc_delta"))
+            .filter(F.col("rc_delta") != 0)
+        )
+
+
+def apply_distinct_view_batch(
+    store: "BucketedStateStore",
+    view: DistinctView,
+    delta_root: str,
+    batch_df: DataFrame,
+    label: str,
+    keys: list[str],
+    order_by: list[str] = ("lsn",),
+) -> None:
+    """Merge one change batch and maintain the refcount delta log —
+    same replay-exactly-once unit as apply_agg_view_batch."""
+    if batch_df.isEmpty():
+        return
+
+    def on_transition(current, new_state, touched) -> None:
+        view.delta(current, new_state).write.mode("overwrite").parquet(
+            os.path.join(delta_root, f"delta_batch={label}")
+        )
+
+    store.merge(
+        batch_df,
+        keys=list(keys),
+        order_by=list(order_by),
+        label=label,
+        on_transition=on_transition,
+    )
+
+
+def read_distinct_view(
+    spark: SparkSession, state_dir: str, view: DistinctView
+) -> DataFrame:
+    """Current distinct counts: fold refcounts, keep positive, count
+    values per group. A value whose holders all left nets to refcount 0
+    and drops out; a group with no live values drops entirely."""
+    root = os.path.join(state_dir, f"view_{view.name}")
+    _recover_compaction(root)
+    if _no_deltas(root):
+        st = BucketedStateStore(os.path.join(state_dir, "state")).read(spark)
+        if st is not None:
+            return (
+                st.limit(0)
+                .select(*view.group_cols)
+                .withColumn(f"n_distinct_{view.distinct_col}",
+                            F.lit(None).cast("long"))
+            )
+        cols = ", ".join(f"{c} string" for c in view.group_cols)
+        return spark.createDataFrame(
+            [], f"{cols}, n_distinct_{view.distinct_col} long"
+        )
+    deltas = spark.read.parquet(root)
+    rc = (
+        deltas.groupBy(*view.group_cols, view.distinct_col)
+        .agg(F.sum("rc_delta").alias("rc"))
+        .filter(F.col("rc") > 0)
+    )
+    return rc.groupBy(*view.group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(f"n_distinct_{view.distinct_col}")
+    )
+
+
+def compact_distinct_view(
+    spark: SparkSession, state_dir: str, view: DistinctView
+) -> None:
+    """Fold the refcount log into one base partition (same crash-atomic
+    protocol as compact_view)."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(*view.group_cols, view.distinct_col)
+            .agg(F.sum("rc_delta").alias("rc_delta"))
+        )
+
+    _compact_delta_log(spark, os.path.join(state_dir, f"view_{view.name}"), fold)
+
+
 # --- crash-atomic delta-log compaction ---------------------------------------
 # The fold is the view's ONLY source of truth; the hidden-scratch +
 # fsync'd COMMIT + single-winner CLAIM protocol lives in

@@ -586,3 +586,77 @@ def test_join_view_compaction_preserves_multiplicities(spark, tmp_path):
     m.apply_batch(None, _cdc(spark, [("0/03", "D", 21, 5, "dup")], R_SCHEMA),
                   label="1")
     assert _view_dict(spark, m) == {(1, 5, "same", "dup"): 1}
+
+
+def test_distinct_view_refcounts(spark, tmp_path):
+    """COUNT(DISTINCT) via refcounted deltas: a value leaves the distinct
+    set only when its LAST live holder departs; value moves retract one
+    refcount and add another; replays never double-count; compaction
+    preserves the fold."""
+    import os
+
+    from pgcdc_spark.streaming.ivm import (
+        DistinctView,
+        apply_distinct_view_batch,
+        compact_distinct_view,
+        read_distinct_view,
+    )
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    view = DistinctView("dv", group_cols=["grp"], distinct_col="val")
+    state = str(tmp_path / "dstate")
+    store = BucketedStateStore(os.path.join(state, "state"), n_buckets=4)
+    delta_root = os.path.join(state, "view_dv")
+    SCHEMA = "lsn string, op string, id long, grp string, val long"
+
+    def apply(label, rows):
+        apply_distinct_view_batch(
+            store, view, delta_root,
+            spark.createDataFrame(rows, SCHEMA),
+            label=label, keys=["id"],
+        )
+
+    def got():
+        return {
+            (r["grp"], r["n_distinct_val"])
+            for r in read_distinct_view(spark, state, view).collect()
+        }
+
+    def recompute():
+        st = store.read(spark).filter("op != 'D'")
+        return {
+            (r["grp"], r["n"])
+            for r in st.groupBy("grp")
+            .agg(F.countDistinct("val").alias("n")).collect()
+        }
+
+    # batch 0: A holds val 1 twice (ids 1,2) and val 2 once; B holds val 1
+    apply("0", [("01", "U", 1, "A", 1), ("02", "U", 2, "A", 1),
+                ("03", "U", 3, "A", 2), ("04", "U", 4, "B", 1)])
+    assert got() == recompute() == {("A", 2), ("B", 1)}
+
+    # batch 1: id 1 leaves val 1 (refcount 2->1: distinct UNCHANGED),
+    # id 3 deleted (val 2's last holder: distinct drops), B's id 4 moves
+    # val 1 -> 9 (retract+add, count unchanged)
+    apply("1", [("05", "U", 1, "A", 7), ("06", "D", 3, "A", 2),
+                ("07", "U", 4, "B", 9)])
+    assert got() == recompute() == {("A", 2), ("B", 1)}  # A: {1,7}, B: {9}
+
+    # replay of batch 1 is a no-op (store label gate)
+    apply("1", [("05", "U", 1, "A", 7), ("06", "D", 3, "A", 2),
+                ("07", "U", 4, "B", 9)])
+    assert got() == {("A", 2), ("B", 1)}
+
+    # batch 2: id 2 deleted -> val 1's LAST holder leaves A
+    apply("2", [("08", "D", 2, "A", 1)])
+    assert got() == recompute() == {("A", 1), ("B", 1)}
+
+    before = got()
+    compact_distinct_view(spark, state, view)
+    (base,) = [d for d in os.listdir(delta_root) if d.startswith("delta_batch=")]
+    assert base.startswith("delta_batch=base-")
+    assert got() == before
+
+    # group emptied entirely -> drops out of the view
+    apply("3", [("09", "D", 1, "A", 7)])
+    assert got() == recompute() == {("B", 1)}

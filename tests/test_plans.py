@@ -115,7 +115,7 @@ def test_no_collect_in_query_surface(spark):
                  # DataFrame then reads that state lazily. Maintenance jobs
                  # during build are the operator's contract, not a leak.
                  "ivm_agg_view_state", "ivm_minmax_view_state",
-                 "ivm_join_view_state"}
+                 "ivm_join_view_state", "ivm_distinct_view_state"}
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

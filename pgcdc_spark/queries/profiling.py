@@ -301,3 +301,75 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr
+
+
+# --- triangle counting --------------------------------------------------------
+# The third classic graph primitive (with BFS and PageRank): per-node
+# triangle participation over a deterministic ring-with-chords graph on
+# customer keys (undirected edges k ~ k+d mod N for d in 1..3, so both
+# engines derive the same ~3N-triangle edge set arithmetically). The
+# standard scalable algorithm: canonicalize each edge to (u < v) — the
+# degree/id ORIENTATION that bounds the two-hop join fan-out — then
+# count paths u->v->w closed by the (u, w) edge; every triangle is
+# found exactly once with u < v < w. Scale shape: two self equi-joins
+# on oriented endpoints (shuffle-partitioned by join key, no cartesian),
+# one explode + partial-agg count per node.
+
+_TRI_CHORDS = (1, 2, 3)
+
+_TRIANGLES_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM customer),
+raw AS (
+  {" UNION ALL ".join(
+      f"SELECT c_custkey AS a, (c_custkey + {d}) % (SELECT n FROM n) AS b FROM customer"
+      for d in _TRI_CHORDS)}
+),
+e AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+member AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY node
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLES_ORACLE,
+       tags=("graph", "triangles"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via oriented two-hop closure — each
+    triangle enumerated exactly once as u < v < w, membership exploded
+    and counted with map-side partial aggregation."""
+    (customer,) = load(spark, sf_dir, "customer")
+    n = customer.count()  # bounded scalar, same sanction as graph_bfs_hops
+    k = F.col("c_custkey")
+    raw = None
+    for d in _TRI_CHORDS:
+        part = customer.select(k.alias("a"), ((k + d) % n).alias("b"))
+        raw = part if raw is None else raw.unionByName(part)
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    member = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return member.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -99,6 +99,7 @@ def test_no_collect_in_query_surface(spark):
                  "training_mix_pipeline",  # composes dedup_keep_best (CC)
                  "graph_bfs_hops",   # declared-iterative BFS frontier loop
                  "graph_pagerank",   # same bounded n=count() scalar as BFS
+                 "graph_triangle_count",  # same bounded n=count() scalar
                  # build-once/probe-many index queries: on a cold cache the
                  # builder runs the DECLARED one-time O(corpus) index-build
                  # job (operators/annindex.py — the artifact's whole point);

@@ -570,16 +570,30 @@ def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+# Exactness of the coordinate means (round-7 sf0.1 finding): casting a
+# RAW float32-derived double to DECIMAL(28,9) can land exactly on a
+# half-grid tie (binary fractions terminate with digit 5), and the two
+# engines round such ties differently — a ~1e-12 mean divergence that
+# the fold-based distances then expose. Scaling by 2^43 first makes
+# every term an exact INTEGER double (float32 mantissa is 24 bits and
+# the corpus magnitudes are >= 2^-19, so x * 2^43 has no fraction):
+# integer-valued casts cannot tie, the decimal sum is exact, and the
+# final double division is the same IEEE op on both engines.
+_KM_SCALE = float(1 << 43)
+
+
 def _km_update(pts: DataFrame, asg: DataFrame) -> DataFrame:
     """(cid, cv, cc): per-cluster coordinate-mean centers rebuilt as
-    arrays — exact decimal sums, double division, sorted-dim collect."""
+    arrays — integer-exact scaled sums, double division, sorted-dim
+    collect."""
     dims = pts.select(
         "vec_id", F.posexplode("e").alias("d", "x")
     ).join(asg.select("vec_id", "cid"), "vec_id")
     means = dims.groupBy("cid", "d").agg(
         (
-            F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
-            / F.count(F.lit(1))
+            F.sum((F.col("x") * _KM_SCALE).cast("decimal(38,0)"))
+            .cast("double")
+            / (F.count(F.lit(1)) * _KM_SCALE)
         ).alias("c")
     )
     cent = means.groupBy("cid").agg(
@@ -610,7 +624,8 @@ a1 AS (
 ),
 m1 AS (
   SELECT a.cid, t.d AS d,
-         CAST(SUM(CAST(p.v[t.d + 1] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS c
+         CAST(SUM(CAST(p.v[t.d + 1] * {_KM_SCALE!r} AS DECIMAL(38,0))) AS DOUBLE)
+           / (COUNT(*) * {_KM_SCALE!r}) AS c
   FROM e p
   JOIN a1 a USING (vec_id),
   (SELECT UNNEST(range(0, {_DIMS})) AS d) t

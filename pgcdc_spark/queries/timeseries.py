@@ -272,3 +272,61 @@ def events_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > _Z_K)
         .select("event_id", "event_type", F.round(z, 9).alias("z"))
     )
+
+
+# --- MAD-based robust outlier screen -----------------------------------------
+# The robust sibling of the z-score screen: median / MAD are immune to
+# the outliers they hunt (a mean/stddev screen is contaminated by the
+# very values it flags). Two exact-percentile aggregations per group —
+# quantile_cont / percentile(0.5) interpolate the middle pair
+# identically on both engines — then the modified z-score
+# 0.6745 * |x - median| / MAD (Iglewicz-Hoaglin) with the conventional
+# 3.5 cutoff. Scale: two group aggregations + a broadcast join back;
+# percentile is a sort-based agg per group (heavier than moments —
+# exactly why this is the QUALITY screen, run on samples or groups, not
+# every scan).
+
+_MAD_K = 3.5
+_MAD_C = 0.6745
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND({_MAD_C} * ABS(e.value - m.med) / d.mad, 9) AS robust_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE {_MAD_C} * ABS(e.value - m.med) / d.mad > {_MAD_K}
+"""
+
+
+@query("events_outliers_mad", oracle=_MAD_ORACLE,
+       tags=("timeseries", "quality", "outliers", "robust"))
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events beyond the {k} modified-z cutoff of their event_type
+    population — exact median/MAD, so the screen is unaffected by the
+    outliers themselves."""
+    (events,) = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = _MAD_C * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(rz > _MAD_K)
+        .select("event_id", "event_type", F.round(rz, 9).alias("robust_z"))
+    )

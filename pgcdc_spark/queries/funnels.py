@@ -141,3 +141,61 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "weeks_later").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+# --- event-sequence transition matrix ----------------------------------------
+# The Markov-chain view of user behavior (session flow analysis, the
+# input to next-event prediction baselines): per ordered user timeline,
+# count event_type -> next event_type transitions and normalize rows
+# into probabilities. One lag window per user (single shuffle on
+# user_id), one partial-agg count, one broadcast of the per-source
+# totals. The (ts, event_id) order key is total, so both engines see
+# identical timelines; probabilities are exact integer ratios in
+# double division.
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, SUM(n) AS total FROM t GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n AS DOUBLE) / tot.total AS p
+FROM t JOIN tot USING (from_type)
+"""
+
+
+@query("events_markov_transitions", oracle=_TRANSITIONS_ORACLE,
+       tags=("funnel", "sequence", "markov"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type -> next event_type transition counts and probabilities
+    over per-user timelines (ts, event_id total order)."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            (F.col("n").cast("double") / F.col("total")).alias("p"),
+        )
+    )

@@ -720,3 +720,118 @@ def emb_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / _TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# --- dominant singular direction (power iteration, unrolled) ------------------
+# The linear-algebra primitive under PCA whitening / spectral embedding
+# sanity checks: the top right-singular direction of the embedding
+# matrix, by TWO unrolled power iterations of v -> X^T (X v) — the
+# scalable formulation that never materializes the 64x64 Gram matrix:
+# each half-step is one broadcast of the 64-entry direction + one
+# partial-agg shuffle (per-vector dots, then per-dim sums), O(n * dims)
+# per iteration. No driver loop, no collect.
+#
+# Exactness staging (the k-means 2^43 lesson applied): iteration-1 terms
+# are RAW float32-derived values times small integers — short binary
+# fractions whose decimal casts can tie — so they run in the exact
+# integer domain (x * 2^43 times (1 + d), every term a whole number
+# below 2^55, decimal(38,0) sums). From iteration 2 on, every factor is
+# a generic full-precision double (tie probability ~2^-40), so the
+# proven decimal product-sum idiom applies; magnitudes are staged so no
+# decimal overflows, and the final normalization (max-scale, then unit
+# norm, then sign-fix on dim 0) cancels every carried scale factor.
+
+_POW_SCALE = float(1 << 43)
+
+_TOP_SINGULAR_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id, t.d AS d, v[t.d + 1] AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       (SELECT UNNEST(range(0, {_DIMS})) AS d) t
+),
+s1 AS (  -- X v0 with v0_d = 1 + d, exact integer domain
+  SELECT vec_id,
+         CAST(SUM(CAST((x * {_POW_SCALE!r}) * (1 + d) AS DECIMAL(38,0))) AS DOUBLE)
+           / {_POW_SCALE!r} AS s
+  FROM pts GROUP BY vec_id
+),
+y1 AS (  -- X^T s1
+  SELECT d, CAST(SUM(CAST(p.x * s1.s AS DECIMAL(28,9))) AS DOUBLE) AS y
+  FROM pts p JOIN s1 USING (vec_id) GROUP BY d
+),
+s2 AS (  -- X y1
+  SELECT vec_id,
+         CAST(SUM(CAST(p.x * y1.y AS DECIMAL(38,9))) AS DOUBLE) AS s
+  FROM pts p JOIN y1 USING (d) GROUP BY vec_id
+),
+y2 AS (  -- X^T s2
+  SELECT d, CAST(SUM(CAST(p.x * s2.s AS DECIMAL(38,9))) AS DOUBLE) AS y
+  FROM pts p JOIN s2 USING (vec_id) GROUP BY d
+),
+mx AS (SELECT MAX(ABS(y)) AS m FROM y2),
+u AS (SELECT d, y / (SELECT m FROM mx) AS u FROM y2),
+nrm AS (
+  SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(28,9))) AS DOUBLE)) AS nr,
+         MAX(CASE WHEN d = 0 THEN u END) AS u0
+  FROM u
+)
+SELECT d, ROUND(u.u / n.nr * (CASE WHEN n.u0 < 0 THEN -1 ELSE 1 END), 9) AS loading
+FROM u, nrm n
+"""
+
+
+@query("emb_top_singular_direction", oracle=_TOP_SINGULAR_ORACLE,
+       tags=("llm", "similarity", "linalg", "pca"))
+def emb_top_singular_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top right-singular direction of the embedding matrix via two
+    unrolled v -> X^T(Xv) power iterations — broadcast direction, two
+    partial-agg shuffles per iteration, Gram matrix never materialized;
+    unit-normalized with a deterministic sign (dim-0 positive)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    )
+    s1 = pts.groupBy("vec_id").agg(
+        (
+            F.sum(((F.col("x") * _POW_SCALE) * (1 + F.col("d")))
+                  .cast("decimal(38,0)")).cast("double") / _POW_SCALE
+        ).alias("s")
+    )
+    y1 = (
+        pts.join(F.broadcast(s1), "vec_id")
+        .groupBy("d")
+        .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(28,9)"))
+             .cast("double").alias("y"))
+    )
+    s2 = (
+        pts.join(F.broadcast(y1), "d")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("x") * F.col("y")).cast("decimal(38,9)"))
+             .cast("double").alias("s"))
+    )
+    y2 = (
+        pts.join(F.broadcast(s2), "vec_id")
+        .groupBy("d")
+        .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,9)"))
+             .cast("double").alias("y"))
+    )
+    mx = y2.agg(F.max(F.abs("y")).alias("m"))
+    u = y2.crossJoin(F.broadcast(mx)).select(
+        "d", (F.col("y") / F.col("m")).alias("u")
+    )
+    nrm = u.agg(
+        F.sqrt(
+            F.sum((F.col("u") * F.col("u")).cast("decimal(28,9)"))
+            .cast("double")
+        ).alias("nr"),
+        F.max(F.when(F.col("d") == 0, F.col("u"))).alias("u0"),
+    )
+    return u.crossJoin(F.broadcast(nrm)).select(
+        "d",
+        F.round(
+            F.col("u") / F.col("nr")
+            * F.when(F.col("u0") < 0, -1.0).otherwise(1.0),
+            9,
+        ).alias("loading"),
+    )

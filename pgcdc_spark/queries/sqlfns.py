@@ -348,3 +348,71 @@ def agg_boolean_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_finished"
         ),
     )
+
+
+# --- weighted median ----------------------------------------------------------
+# The estimator behind revenue-weighted SLAs and sample-weight corrected
+# statistics: the smallest value whose CUMULATIVE weight reaches half
+# the group total (lower weighted median — a deterministic, exactly
+# mirrorable definition, unlike interpolating variants). One sort-window
+# per group over (value, tiebreak) with a running decimal weight sum,
+# one broadcast of the per-group totals, and a per-group argmin — the
+# same shape as the sessionize/frame windows, no extra scan.
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS v,
+         CAST(1 + o_custkey % 5 AS BIGINT) AS wt,
+         o_orderkey AS tb
+  FROM orders
+),
+cum AS (
+  SELECT grp, v, wt, tb,
+         SUM(wt) OVER (PARTITION BY grp ORDER BY v, tb
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(wt) OVER (PARTITION BY grp) AS total
+  FROM w
+)
+SELECT grp AS o_orderpriority,
+       MIN(v) AS weighted_median,
+       CAST(MAX(total) AS BIGINT) AS total_weight
+FROM cum
+WHERE cw * 2 >= total
+GROUP BY grp
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_ORACLE,
+       tags=("agg", "percentile", "weighted"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of order totalprice per priority, weights
+    derived arithmetically (1 + custkey % 5): the first value whose
+    running weight reaches half the group's total. Integer weights, so
+    the threshold compare (2*cum >= total) is exact."""
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    w = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        (1 + F.col("o_custkey") % 5).cast("long").alias("wt"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    cum_w = (
+        Window.partitionBy("grp").orderBy("v", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("grp")
+    cum = w.select(
+        "grp", "v",
+        F.sum("wt").over(cum_w).alias("cw"),
+        F.sum("wt").over(tot_w).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("total"))
+        .groupBy(F.col("grp").alias("o_orderpriority"))
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("total").cast("long").alias("total_weight"),
+        )
+    )

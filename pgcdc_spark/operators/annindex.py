@@ -15,7 +15,15 @@ same versioned-manifest commit protocol as the state store:
 - ``cells``       (cid, vec_id, s, pqcid)  — the corpus as 8 small ints
   per vector (the ~32x memory cut), **partitioned by cell id**: a probe
   reads ONLY its nprobe cells' directories (partition pruning is the
-  disk-level analogue of IVF candidate pruning).
+  disk-level analogue of IVF candidate pruning);
+- ``idmap``       (b, vec_id, cid)         — the inverse lookup
+  (FAISS's DirectMap), **partitioned by bucket** ``b = vec_id mod
+  _IDMAP_BUCKETS``: maintenance resolves WHERE a vec_id currently
+  lives by reading only the buckets its batch touches, so upserts
+  whose new embedding migrates to a different cell still evict the old
+  row from its OLD cell, and deletes are routed by id — no before-image
+  embedding required (REPLICA IDENTITY DEFAULT safe), no silent miss
+  when the delete envelope's image differs from what was indexed.
 
 Commit protocol (mirrors streaming/statestore.py, via pgcdc_spark/fs.py
 so the index root may be local or an HDFS/file: URI): each build writes a
@@ -31,16 +39,20 @@ be quadratic. ``append`` is the FAISS ``add``/``remove_ids`` shape —
 the coarse quantizer and PQ codebook are FROZEN at build time (k-means
 is trained once, additions are encoded against the trained quantizer),
 so an append only (a) assigns + PQ-encodes the NEW vectors (O(batch)
-broadcast jobs), (b) rewrites the TOUCHED ``cid=`` partitions (old
-members minus upserted/deleted ids, plus the delta) into the new
-version, and (c) inherits every untouched cell BY REFERENCE through the
-``_META`` cellmap — untouched partitions are never read, rewritten, or
-copied (their files stay byte-identical in the owning version; pinned in
-tests/test_operators.py). This is the touched-buckets-only pattern of
-streaming/statestore.py applied to IVF cell partitions. Deletes are
-handled the same way: the deleted vector's frozen-quantizer assignment
-names its cell, so a tombstone costs one touched-partition rewrite, not
-a corpus scan.
+broadcast jobs), (b) looks up the batch ids' CURRENT cells in the
+touched ``idmap`` buckets (O(batch + touched buckets) — this is how an
+upsert whose embedding drifted to a different cell finds, and evicts,
+its old row), (c) rewrites the TOUCHED ``cid=`` partitions (old members
+minus upserted/deleted ids, plus the delta) and touched idmap buckets
+into the new version, and (d) inherits every untouched cell and bucket
+BY REFERENCE through the ``_META`` cellmap/idmap — untouched partitions
+are never read, rewritten, or copied (their files stay byte-identical
+in the owning version; pinned in tests/test_operators.py). This is the
+touched-buckets-only pattern of streaming/statestore.py applied to IVF
+cell partitions. Deletes ride the same lookup: the idmap names the one
+cell holding the vector, so a tombstone costs one touched-partition
+rewrite, not a corpus scan — and a delete for an id the index never
+held is a correct no-op, not a mis-aimed rewrite.
 
 Scale: build is the same jobs the inline query runs (broadcast centroid
 scoring, one argmin shuffle for codes, one co-partitioned write); append
@@ -74,6 +86,11 @@ _META = "_META"
 # atomic, so a label is recorded iff its batch's state is visible, which
 # makes micro-batch replays exact no-ops.
 _APPLIED_WINDOW = 64
+# idmap bucket count: vec_id -> cid lookups during maintenance read only
+# ceil(|batch| / ...) of these partitions. 16 keeps test corpora to a few
+# files; a 100 TB corpus raises it (it bounds bucket size, and the read
+# cost per append is O(batch-touched buckets), independent of the total).
+_IDMAP_BUCKETS = 16
 
 
 class AnnIndex:
@@ -127,13 +144,19 @@ class AnnIndex:
         return os.path.join(self.root, owners.pop(), "cells")
 
     def _cell_dirs(self, version: str) -> list[str]:
-        cells = os.path.join(self.root, version, "cells")
-        if not self.fs.is_dir(cells):
+        return self._part_dirs(version, "cells", "cid")
+
+    def _idmap_dirs(self, version: str) -> list[str]:
+        return self._part_dirs(version, "idmap", "b")
+
+    def _part_dirs(self, version: str, table: str, col: str) -> list[str]:
+        d = os.path.join(self.root, version, table)
+        if not self.fs.is_dir(d):
             return []
         return sorted(
-            d.split("=", 1)[1]
-            for d in self.fs.listdir(cells)
-            if d.startswith("cid=")
+            p.split("=", 1)[1]
+            for p in self.fs.listdir(d)
+            if p.startswith(f"{col}=")
         )
 
     def _closure(self, version: str) -> set[str]:
@@ -145,6 +168,7 @@ class AnnIndex:
         return (
             {version, m["centroids"], m["codebook"]}
             | set(m["cellmap"].values())
+            | set(m.get("idmap", {}).values())
         )
 
     def _publish(self, version: str) -> None:
@@ -182,13 +206,27 @@ class AnnIndex:
             norm_fold_expr("embedding", cast=True).alias("n"),
         )
         cent = ivf_centroids(base)  # (cid, ce, cn)
+        codebook_src = emb.filter(F.col("vec_id") % _PQ_CB_MOD == 1)
+        # Degenerate-quantizer guard: the deterministic stand-in rules
+        # (vec_id mod 53 / mod 127 donors — stand-ins for one-shot k-means
+        # training) can select ZERO rows from an unlucky training set. A
+        # committed index with an empty centroid or codebook table would
+        # assign/encode nothing forever after (every append silently
+        # indexes no vectors), so fail the build loudly instead — the
+        # annstream bootstrap inherits this (ADVICE r7, medium).
+        if not cent.head(1) or not codebook_src.head(1):
+            raise ValueError(
+                "cannot train quantizer: training set has no centroid "
+                f"(vec_id % 53 == 1) or codebook (vec_id % {_PQ_CB_MOD} "
+                "== 1) donor rows; refusing to commit a degenerate index"
+            )
         asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
         codes = pq_codes(emb, "pqcid")  # (vec_id, s, pqcid)
         # co-locate codes with their cell: the serving layout is
         # (cell -> member codes); one shuffle on vec_id here buys
         # shuffle-free pruned probes forever after
         cells = asg.join(codes, "vec_id").select("cid", "vec_id", "s", "pqcid")
-        codebook = emb.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
+        codebook = codebook_src.select(
             F.col("vec_id").alias("pqcid"),
             F.posexplode(
                 F.expr(
@@ -204,6 +242,11 @@ class AnnIndex:
         cent.write.parquet(os.path.join(vdir, "centroids"))
         codebook.write.parquet(os.path.join(vdir, "codebook"))
         cells.write.partitionBy("cid").parquet(os.path.join(vdir, "cells"))
+        asg.withColumn(
+            "b", F.pmod(F.col("vec_id"), F.lit(_IDMAP_BUCKETS))
+        ).select("b", "vec_id", "cid").write.partitionBy("b").parquet(
+            os.path.join(vdir, "idmap")
+        )
         meta = {
             "base": None,
             "centroids": version,
@@ -212,6 +255,7 @@ class AnnIndex:
             # it instead of trusting partition dirs to exist (an empty or
             # never-populated cell is simply absent here)
             "cellmap": {c: version for c in self._cell_dirs(version)},
+            "idmap": {b: version for b in self._idmap_dirs(version)},
             "applied": [label],
         }
         self.fs.write_text_atomic(
@@ -228,21 +272,27 @@ class AnnIndex:
         deletes: DataFrame | None = None,
         label: str = "append",
     ) -> str:
-        """Incremental maintenance: O(batch + touched cells), never
-        O(corpus).
+        """Incremental maintenance: O(batch + touched cells + touched
+        idmap buckets), never O(corpus).
 
         ``new_emb`` (vec_id, embedding) rows are assigned and PQ-encoded
         against the index's FROZEN quantizer (centroids + codebook read
         from the current version — k-means is trained once; FAISS ``add``
-        semantics). ``deletes`` (vec_id, embedding) rows are tombstoned:
-        the frozen assignment of the embedding names the one cell that
-        holds the vector, so a delete is a touched-partition rewrite, not
-        a scan. A vec_id present in ``new_emb`` that already exists is an
-        UPSERT (old row dropped from its cell, new encoding written).
+        semantics). A vec_id that already exists is an UPSERT: its
+        CURRENT cell is resolved through the idmap (the old embedding may
+        have assigned elsewhere — embedding drift migrates cells), the
+        old row is evicted from that cell, and the new encoding lands in
+        the new assignment's cell. ``deletes`` needs only a ``vec_id``
+        column (any others are ignored): tombstones are routed by idmap
+        lookup, not by re-assigning a caller-supplied embedding, so a
+        partial or absent before-image (REPLICA IDENTITY DEFAULT) cannot
+        mis-aim the tombstone, and deleting an id the index never held is
+        a no-op by construction.
 
-        Only the touched ``cid=`` partitions are rewritten into the new
-        version; every other cell is inherited by reference through the
-        cellmap — its files in the owning version are not even opened.
+        Only the touched ``cid=`` cell partitions and ``b=`` idmap
+        buckets are rewritten into the new version; every other partition
+        is inherited by reference through the cellmap/idmap — its files
+        in the owning version are not even opened.
         """
         from ..functions.vectors import norm_fold_expr
         from ..queries.llm_extra import _PQ_M, _PQ_SUB, _pq_codes_from, _sub_d2
@@ -252,6 +302,10 @@ class AnnIndex:
             raise ValueError("append needs new_emb and/or deletes")
         spark = (new_emb if new_emb is not None else deletes).sparkSession
         m = self.meta()
+        if "idmap" not in m:
+            raise ValueError(
+                "index version predates the idmap layout; rebuild required"
+            )
         if label in m.get("applied", []):
             return m["version"]  # replayed micro-batch: exact no-op
         cent = spark.read.parquet(
@@ -261,19 +315,16 @@ class AnnIndex:
             os.path.join(self.root, m["codebook"], "codebook")
         )
 
-        def _assign(emb: DataFrame) -> DataFrame:
-            base = emb.select(
+        changed_ids = []  # DataFrames of vec_id to drop from old partitions
+        asg = None
+        delta_cells = None
+        if new_emb is not None:
+            base = new_emb.select(
                 "vec_id",
                 F.col("embedding").cast("array<double>").alias("e"),
                 norm_fold_expr("embedding", cast=True).alias("n"),
             )
-            return nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
-
-        changed_ids = []  # DataFrames of vec_id to drop from old partitions
-        touched: set[int] = set()
-        delta_cells = None
-        if new_emb is not None:
-            asg = _assign(new_emb)
+            asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
             # encode against the STORED codebook (frozen), not donors drawn
             # from the batch — identical d2 folds and argmin tie-break as
             # pq_codes, so append == rebuild bit-for-bit
@@ -294,16 +345,40 @@ class AnnIndex:
             delta_cells = asg.join(codes, "vec_id").select(
                 "cid", "vec_id", "s", "pqcid"
             )
-            # O(n_cells) driver metadata: which partitions does this batch
-            # touch (the statestore touched-buckets list)
-            touched |= {r[0] for r in asg.select("cid").distinct().collect()}
             changed_ids.append(asg.select("vec_id"))
         if deletes is not None:
-            dasg = _assign(deletes)
-            # a tombstone only touches a cell the index actually holds
-            dcells = {r[0] for r in dasg.select("cid").distinct().collect()}
-            touched |= {c for c in dcells if str(c) in m["cellmap"]}
-            changed_ids.append(dasg.select("vec_id"))
+            changed_ids.append(deletes.select("vec_id"))
+        changed = reduce(DataFrame.unionByName, changed_ids).distinct()
+
+        # WHERE do the batch's ids currently live? One pruned read of the
+        # idmap buckets the batch hashes into (O(batch-touched buckets),
+        # bounded by _IDMAP_BUCKETS) — upserted ids whose new embedding
+        # assigns to a DIFFERENT cell still surface their OLD cell here,
+        # and delete targets are resolved without any embedding.
+        bucket_of = F.pmod(F.col("vec_id"), F.lit(_IDMAP_BUCKETS))
+        tb = sorted(  # O(min(batch, _IDMAP_BUCKETS)) driver metadata
+            r[0]
+            for r in changed.select(bucket_of.alias("b")).distinct().collect()
+        )
+        old_map = self._read_idmap(
+            spark, m, [b for b in tb if str(b) in m["idmap"]]
+        )
+        old_loc = (
+            old_map.join(changed, "vec_id", "semi")
+            if old_map is not None
+            else None
+        )
+
+        # O(n_cells) driver metadata: which cell partitions does this
+        # batch touch (the statestore touched-buckets list) — new
+        # assignments plus every changed id's CURRENT home
+        touched: set[int] = set()
+        if asg is not None:
+            touched |= {r[0] for r in asg.select("cid").distinct().collect()}
+        if old_loc is not None:
+            touched |= {
+                r[0] for r in old_loc.select("cid").distinct().collect()
+            }
 
         # old rows of touched partitions only — resolved through the
         # cellmap, read per owning version so partition-column recovery
@@ -312,13 +387,12 @@ class AnnIndex:
         old_touched = self._read_cells(
             spark, m, [c for c in sorted(touched) if str(c) in m["cellmap"]]
         )
-        changed = reduce(DataFrame.unionByName, changed_ids).distinct()
         parts = []
         if old_touched is not None:
             parts.append(old_touched.join(changed, "vec_id", "left_anti"))
         if delta_cells is not None:
             parts.append(delta_cells)
-        if not parts:  # delete-only batch aimed at cells the index lacks
+        if not parts:  # delete-only batch aimed at ids the index lacks
             parts = [spark.createDataFrame(
                 [], "cid long, vec_id long, s int, pqcid long"
             )]
@@ -329,16 +403,35 @@ class AnnIndex:
         version = f"v-{label}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(self.root, version)
         merged.write.partitionBy("cid").parquet(os.path.join(vdir, "cells"))
+        # idmap fold for the same buckets: surviving old rows minus the
+        # changed ids, plus the batch's new assignments
+        imap_parts = []
+        if old_map is not None:
+            imap_parts.append(old_map.join(changed, "vec_id", "left_anti"))
+        if asg is not None:
+            imap_parts.append(
+                asg.withColumn("b", bucket_of).select("b", "vec_id", "cid")
+            )
+        if imap_parts:
+            reduce(DataFrame.unionByName, imap_parts).select(
+                "b", "vec_id", "cid"
+            ).write.partitionBy("b").parquet(os.path.join(vdir, "idmap"))
         cellmap = dict(m["cellmap"])
         for c in touched:
             cellmap.pop(str(c), None)  # a fully-tombstoned cell vanishes
         for c in self._cell_dirs(version):
             cellmap[c] = version
+        idmap = dict(m["idmap"])
+        for b in tb:
+            idmap.pop(str(b), None)  # an emptied bucket vanishes
+        for b in self._idmap_dirs(version):
+            idmap[b] = version
         meta = {
             "base": m["version"],
             "centroids": m["centroids"],
             "codebook": m["codebook"],
             "cellmap": cellmap,
+            "idmap": idmap,
             "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
         }
         self.fs.write_text_atomic(
@@ -369,11 +462,19 @@ class AnnIndex:
             live.select("cid", "vec_id", "s", "pqcid").write.partitionBy(
                 "cid"
             ).parquet(os.path.join(vdir, "cells"))
+        live_map = self._read_idmap(
+            spark, m, sorted(int(b) for b in m.get("idmap", {}))
+        )
+        if live_map is not None:
+            live_map.select("b", "vec_id", "cid").write.partitionBy(
+                "b"
+            ).parquet(os.path.join(vdir, "idmap"))
         meta = {
             "base": m["version"],
             "centroids": m["centroids"],
             "codebook": m["codebook"],
             "cellmap": {c: version for c in self._cell_dirs(version)},
+            "idmap": {b: version for b in self._idmap_dirs(version)},
             "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
         }
         self.fs.write_text_atomic(
@@ -390,15 +491,27 @@ class AnnIndex:
         """The (cid, vec_id, s, pqcid) rows of exactly the given cells,
         resolved through the cellmap — reads only those partitions' files,
         grouped per owning version so basePath partition recovery is exact."""
+        return self._read_parts(spark, m["cellmap"], "cells", "cid", cids)
+
+    def _read_idmap(
+        self, spark: SparkSession, m: dict, buckets: list[int]
+    ) -> DataFrame | None:
+        """The (b, vec_id, cid) rows of exactly the given idmap buckets."""
+        return self._read_parts(spark, m["idmap"], "idmap", "b", buckets)
+
+    def _read_parts(
+        self, spark: SparkSession, owners: dict, table: str, col: str,
+        keys: list[int],
+    ) -> DataFrame | None:
         by_version: dict[str, list] = defaultdict(list)
-        for c in cids:
-            by_version[m["cellmap"][str(c)]].append(c)
+        for k in keys:
+            by_version[owners[str(k)]].append(k)
         parts = []
-        for v, cs in sorted(by_version.items()):
-            croot = os.path.join(self.root, v, "cells")
+        for v, ks in sorted(by_version.items()):
+            troot = os.path.join(self.root, v, table)
             parts.append(
-                spark.read.option("basePath", croot).parquet(
-                    *[os.path.join(croot, f"cid={c}") for c in sorted(cs)]
+                spark.read.option("basePath", troot).parquet(
+                    *[os.path.join(troot, f"{col}={k}") for k in sorted(ks)]
                 )
             )
         if not parts:

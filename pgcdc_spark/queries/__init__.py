@@ -61,31 +61,36 @@ _MODULES = (
 )
 
 # Registry iteration order matters operationally: the driver's CORRECTNESS
-# run samples the first 50 queries in iteration order.  Rounds 1-5
-# cumulatively greenlit 149/158 names; the 9 below have never earned a
-# driver-side green row (8 were added in round 5 after that round's
-# rotation was fixed; mm_extract_features needed the round-6 f0..f7
-# canonicalization fix + full oracle).  all_queries() yields these first —
-# then round-6 additions, then every already-driver-green query in
-# registration order.  Do NOT reorder mid-round.
+# run samples the first 50 queries in iteration order.  DISCIPLINE (r7
+# verdict): rotating this list is part of ADDING any registry query —
+# every name that has never earned a driver-side green CORRECTNESS row
+# goes first, composition-verifying queries in front.  Rounds 1-7
+# cumulatively greenlit 163/178 oracle-backed names; the list below is
+# the 15 round-7 additions (never driver-sampled; all pass
+# scripts/parity_sweep.py at sf0.1) plus the round-8 additions.
+# all_queries() yields these first, then every already-driver-green
+# query in registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # never driver-sampled (8, all pass scripts/parity_sweep.py)
-    "mm_audio_resample",
-    "merge_into_customer_orders",
-    "profile_orders_columns",
-    "dq_expectations_orders",
-    "graph_bfs_hops",
-    "udf_sql_registered",
-    "cdc_widening_state",
-    "docs_weighted_sample",
-    # driver-red in r5 (array<float> canonicalization); now emits scalar
-    # f0..f7 against a full arithmetic oracle
-    "mm_extract_features",
-    # round-6 new surface
-    "emb_ann_index_probe",
-    "ivm_agg_view_state",
-    "ivm_minmax_view_state",
-    "ivm_join_view_state",
+    # round-8 new surface
+    "emb_ann_index_filtered_probe",
+    "mm_binary_ingest",
+    # round-7, composition-verifying first
+    "training_mix_pipeline",
+    "emb_ann_index_incremental",
+    "ivm_distinct_view_state",
+    # round-7, the rest
+    "agg_weighted_median",
+    "docs_bm25_topk",
+    "docs_cms_heavy_hitters",
+    "docs_phrase_search",
+    "emb_ann_index_compacted",
+    "emb_ann_index_stats",
+    "events_markov_transitions",
+    "events_outliers_mad",
+    "events_outliers_zscore",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "mm_quarantine_deadletter",
 )
 
 

@@ -624,7 +624,7 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal ADC sums), so probe-from-artifact is bit-identical to the
 # inline plan and shares its DuckDB oracle.
 
-_ANN_FORMAT = "v2"  # bump to invalidate cached on-disk indexes
+_ANN_FORMAT = "v3"  # bump to invalidate cached on-disk indexes (v3: idmap)
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
@@ -710,11 +710,17 @@ def _ann_incr_index_for(spark: SparkSession, sf_dir: str):
     from ..operators.annindex import AnnIndex
 
     idx = AnnIndex(_ann_root(sf_dir, "incr"))
+    # gate each STEP on its own applied label, not on "any version
+    # committed": a crash between build and append would otherwise leave
+    # a base-only index that is served forever (ADVICE r7) — append is
+    # label-idempotent, so retrying a half-done bootstrap is safe
     if idx.current_version() is None:
         (emb,) = load(spark, sf_dir, "embeddings")
         idx.build(
             emb.filter(F.expr(f"NOT ({_ANN_DELTA_PRED})")), label="base"
         )
+    if "delta" not in idx.meta().get("applied", []):
+        (emb,) = load(spark, sf_dir, "embeddings")
         idx.append(emb.filter(F.expr(_ANN_DELTA_PRED)), label="delta")
     return idx
 
@@ -1115,10 +1121,16 @@ def _ann_compact_index_for(spark: SparkSession, sf_dir: str):
     from ..operators.annindex import AnnIndex
 
     idx = AnnIndex(_ann_root(sf_dir, "cmp"))
+    # per-step applied-label gates (same crash-resume reasoning as
+    # _ann_incr_index_for): an interrupted bootstrap retries exactly the
+    # missing steps instead of serving a half-built index forever
     if idx.current_version() is None:
         (emb,) = load(spark, sf_dir, "embeddings")
         idx.build(emb.filter(F.expr(f"NOT ({_ANN_DELTA_PRED})")), label="base")
+    if "delta" not in idx.meta().get("applied", []):
+        (emb,) = load(spark, sf_dir, "embeddings")
         idx.append(emb.filter(F.expr(_ANN_DELTA_PRED)), label="delta")
+    if "fold" not in idx.meta().get("applied", []):
         idx.compact(spark, label="fold")
     return idx
 

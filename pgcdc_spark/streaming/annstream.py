@@ -18,7 +18,12 @@ Per micro-batch:
    O(batch + touched cells), never O(corpus);
 4. the FIRST non-empty batch bootstraps the index (``build``), training
    the deterministic quantizer on it — the FAISS contract (train once on
-   an initial sample, ``add`` forever after).
+   an initial sample, ``add`` forever after). If that batch holds no
+   quantizer donor rows, ``build`` REFUSES to commit (degenerate
+   quantizer guard) and the streaming query fails loudly — committing an
+   empty centroid/codebook table would silently index nothing forever,
+   and deferring would drop the batch's rows on the floor; the operator
+   must be bootstrapped from a training-capable initial snapshot.
 
 Replay idempotence: the batch label rides in the index version's
 manifest (``applied`` window) and the manifest swap is atomic, so a
@@ -79,7 +84,10 @@ def start_ann_index_stream(
             if not folded.head(1):
                 return
             ups = folded.filter(F.col("op") != "D").select("vec_id", "embedding")
-            dels = folded.filter(F.col("op") == "D").select("vec_id", "embedding")
+            # tombstones are routed by the index's idmap lookup — only the
+            # key is needed, so a partial/absent before-image (REPLICA
+            # IDENTITY DEFAULT) cannot mis-aim a delete
+            dels = folded.filter(F.col("op") == "D").select("vec_id")
             if idx.current_version() is None:
                 # bootstrap: train the quantizer on the first batch
                 # (delete-only first batches have nothing to index)

@@ -126,7 +126,7 @@ def commit_and_publish(
     written ``<scratch>/base`` fold — recording the victims and the
     caller's UNIQUE publish name (ivm: ``delta_batch=base-<uuid>``;
     dedup, whose replay filter parses batch ids as BIGINT:
-    ``batch=-<ns-timestamp>``) — then run the finish. Returns the
+    ``batch=<min(existing ids)-1>``) — then run the finish. Returns the
     published partition name. The caller must never reuse a publish
     name: uniqueness is what makes stale victim sweeps harmless."""
     fs = get_fs(root)

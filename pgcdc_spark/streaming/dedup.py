@@ -22,7 +22,7 @@ costs O(batch + collisions) — never O(corpus):
    versioned-manifest commit, statestore.py);
 6. the bands/sets state tables COMPACT once their partition fan-in
    exceeds ``compact_after``: every partition older than the current
-   batch folds into a ``batch=-<ns>`` base (safe because structured streaming only
+   batch folds into a unique negative ``batch=<min-1>`` base (safe because structured streaming only
    ever replays the newest batch, and every older id still satisfies the
    ``batch < batch_id`` replay filter). Crash-atomic via the same
    hidden-dir + fsync'd manifest protocol as the IVM log — the COMMIT
@@ -83,17 +83,17 @@ _LEGACY_PUBLISH = "batch=0"  # pre-unique-name layout recovery
 def _recover_compaction(root: str, writer: bool = False) -> None:
     """Crash recovery — protocol and round-6 TOCTOU rationale in
     streaming/compactlog.py (shared with ivm.py): folds publish under
-    unique ``batch=-<ns-timestamp>`` names from epoch-scoped scratch
-    dirs, so no victims list ever names live state."""
+    unique monotone-decreasing negative ``batch=<min-1>`` names from
+    epoch-scoped scratch dirs, so no victims list ever names live state."""
     recover_compaction(root, _LEGACY_PUBLISH, writer=writer)
 
 
 def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None:
     """Fold every ``batch=<id>`` partition with id < ``keep_from`` into
-    a unique ``batch=-<ns>`` base. Reading the leaf dirs directly drops the directory-
-    encoded partition column, so the fold is schema-stable."""
+    a unique negative ``batch=<min-1>`` base. Reading the leaf dirs
+    directly drops the directory-encoded partition column, so the fold
+    is schema-stable."""
     import os
-    import time
 
     fs = get_fs(root)
     _recover_compaction(root, writer=True)
@@ -106,12 +106,18 @@ def _compact_state_table(spark: SparkSession, root: str, keep_from: int) -> None
     folded.write.mode("overwrite").parquet(os.path.join(scratch, "base"))
     # COMMIT (victims + unique publish name) fsync'd before any victim
     # delete; the finish is idempotent under concurrent recoverers.
-    # Publish ids are UNIQUE NEGATIVE ns-timestamps: still BIGINT for the
-    # replay filter (and always < every real batch id, so folds survive
-    # `batch < batch_id`), always inside the next victim window, and
-    # never equal to any past name — which is what makes a stale victim
-    # sweep harmless (see compactlog module doc).
-    commit_and_publish(root, scratch, victims, f"batch=-{time.time_ns()}")
+    # Publish ids are UNIQUE NEGATIVE BIGINTs derived from the state
+    # itself: min(existing ids) - 1 is strictly below EVERY id currently
+    # on disk, and since each fold's name was itself below everything
+    # that existed at its time, names decrease monotonically and can
+    # never collide with any past name a stale victims list might hold
+    # (a clock-derived name could, under wall-clock step-back across
+    # restarts — ADVICE r7). Negative also keeps folds inside every
+    # future victim window and surviving the `batch < batch_id` replay
+    # filter. Recovery ran above, so `dirs` is the complete post-recovery
+    # id set.
+    fold_id = min(int(d.split("=", 1)[1]) for d in dirs) - 1
+    commit_and_publish(root, scratch, victims, f"batch={fold_id}")
 
 
 def _read_prior(

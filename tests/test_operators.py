@@ -461,6 +461,122 @@ def test_ann_index_append_is_incremental(spark, sf_smoke, tmp_path):
     assert not (ids_left & set(del_ids))
 
 
+def test_ann_index_upsert_cell_migration(spark, sf_smoke, tmp_path):
+    """An upsert whose NEW embedding assigns to a DIFFERENT cell than the
+    row's old embedding must evict the old row from its OLD cell — the
+    idmap lookup resolves where the id currently lives (ADVICE r7, high:
+    the pre-idmap append only rewrote cells touched by the NEW
+    assignment, so a migrating upsert left a stale duplicate behind and
+    probes diverged from a rebuild)."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    idx = AnnIndex(str(tmp_path / "mig"))
+    idx.build(corpus, label="base")
+
+    # pick a victim X and an embedding donor Y in DIFFERENT cells; X must
+    # be a non-donor (frozen quantizer == rebuild quantizer) and >= 8 so
+    # it stays out of the probe query set
+    m = idx.meta()
+    home = {
+        r["vec_id"]: r["cid"]
+        for r in idx._read_idmap(
+            spark, m, sorted(int(b) for b in m["idmap"])
+        ).collect()
+    }
+    x = next(
+        v for v in sorted(home)
+        if v >= 8 and v % 53 != 1 and v % 127 != 1
+    )
+    y = next(v for v in sorted(home) if home[v] != home[x])
+    old_cell = home[x]
+
+    upsert = emb.filter(F.col("vec_id") == y).select(
+        F.lit(x).cast("long").alias("vec_id"), "embedding"
+    )
+    idx.append(upsert, label="mig")
+
+    # X lives in exactly ONE cell, and not its old one (unless Y's cell
+    # coincides — excluded by construction)
+    m2 = idx.meta()
+    rows = (
+        idx._read_cells(spark, m2, sorted(int(c) for c in m2["cellmap"]))
+        .filter((F.col("vec_id") == x) & (F.col("s") == 0))
+        .select("cid")
+        .collect()
+    )
+    assert len(rows) == 1, f"vec_id={x} in cells {[r[0] for r in rows]}"
+    assert rows[0][0] != old_cell
+    home2 = {
+        r["vec_id"]: r["cid"]
+        for r in idx._read_idmap(
+            spark, m2, sorted(int(b) for b in m2["idmap"])
+        ).collect()
+    }
+    assert home2[x] == rows[0][0]
+
+    # probes == full rebuild over the corpus with X's embedding replaced
+    rebuilt = AnnIndex(str(tmp_path / "mig_truth"))
+    rebuilt.build(
+        corpus.filter(F.col("vec_id") != x).unionByName(upsert),
+        label="truth",
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    got = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    want = sorted(map(tuple, rebuilt.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert got == want
+
+    # deletes are routed by idmap, keyed on vec_id ONLY (no embedding /
+    # before-image needed), and deleting an absent id is a clean no-op
+    idx.append(None, deletes=spark.createDataFrame([(x,)], "vec_id long"),
+               label="del-x")
+    m3 = idx.meta()
+    left = (
+        idx._read_cells(spark, m3, sorted(int(c) for c in m3["cellmap"]))
+        .filter(F.col("vec_id") == x).count()
+    )
+    assert left == 0
+    assert x not in {
+        r["vec_id"]
+        for r in idx._read_idmap(
+            spark, m3, sorted(int(b) for b in m3["idmap"])
+        ).collect()
+    }
+    before = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    idx.append(None, deletes=spark.createDataFrame([(10**9,)], "vec_id long"),
+               label="del-absent")
+    after = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert after == before
+
+
+def test_ann_index_build_refuses_degenerate_quantizer(spark, sf_smoke, tmp_path):
+    """A training set with no centroid or codebook donor rows must fail
+    the build loudly instead of committing an index that silently
+    assigns/encodes nothing forever (ADVICE r7, medium — the annstream
+    bootstrap inherits this guard)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    no_donors = emb.filter(
+        (F.col("vec_id") % 53 != 1) & (F.col("vec_id") % 127 != 1)
+    )
+    idx = AnnIndex(str(tmp_path / "degen"))
+    with _pytest.raises(ValueError, match="degenerate"):
+        idx.build(no_donors, label="bad")
+    assert idx.current_version() is None  # nothing committed
+
+
 def test_ann_index_compact_and_version_probe(spark, sf_smoke, tmp_path):
     """compact() folds a multi-version cell chain into one self-contained
     layer: probes are unchanged bit-for-bit, every live cell is owned by

@@ -81,6 +81,42 @@ EXTRA = [
 ]
 
 
+# Family map (VERDICT r7 item 6): the one-scalar headline drifts as the
+# registry grows — cross-round comparisons should be per operator family.
+# Every benched query belongs to exactly one family; subtotals ride in the
+# stdout JSON ("families") and BENCH_DETAIL ("totals.families").
+FAMILIES = {
+    "relational": [
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q9_profit_by_nation",
+        "join_range_binned", "agg_rollup", "agg_distinct_stats",
+        "window_topk_per_group", "window_running_frames",
+        "events_hourly_rollup", "q18_large_orders", "agg_bitmap_distinct",
+        "events_linear_interp", "events_funnel_conversion",
+        "join_asof_tolerance",
+    ],
+    "cdc": [
+        "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",
+    ],
+    "dedup": [
+        "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
+        "dedup_verified_pairs", "dedup_dup_ngram_spans", "emb_semantic_dedup",
+    ],
+    "ann": [
+        "emb_cosine_topk", "emb_ivf_ann_topk", "emb_ivf_pq_topk",
+        "emb_ann_index_probe", "emb_ann_index_incremental",
+        "emb_kmeans_lloyd",
+    ],
+    "text": [
+        "docs_quality_score", "docs_unigram_logprob", "docs_pack_sequences",
+        "training_mix_pipeline",
+    ],
+    "graph": ["graph_pagerank"],
+    "multimodal": ["mm_audio_resample"],
+    "streaming": ["streaming_upsert_e2e"],
+}
+
+
 def _streaming_benchmarks(spark, sf_dir: str, runs: dict) -> dict[str, float]:
     """End-to-end streaming CDC upsert: replay the events table as
     envelope JSON lines through start_upsert_stream (availableNow, 4
@@ -189,11 +225,19 @@ def main() -> None:
     # driver's output capture, so the official record had no parsed bench
     # value.  Full telemetry (per-run arrays, batch/extras/streaming
     # subtotals) goes to the BENCH_DETAIL.json sidecar instead.
+    assert set(sum(FAMILIES.values(), [])) == set(timings), (
+        "FAMILIES must cover exactly the benched queries"
+    )
+    families = {
+        fam: round(sum(timings[n] for n in names), 4)
+        for fam, names in FAMILIES.items()
+    }
     detail = {
         "totals": {
             "batch": batch_total,
             "extras": extras_total,
             "streaming": round(sum(streaming.values()), 4),
+            "families": families,
         },
         "runs": runs,
         "sf": sf,
@@ -207,6 +251,7 @@ def main() -> None:
         "value": batch_total,
         "unit": "sec",
         "queries": timings,
+        "families": families,
         "sf": sf,
     }))
 

@@ -189,12 +189,25 @@ class AnnIndex:
 
     # -- build ----------------------------------------------------------------
 
-    def build(self, emb: DataFrame, label: str = "build") -> str:
+    def build(
+        self, emb: DataFrame, label: str = "build",
+        attrs: tuple[str, ...] = (),
+    ) -> str:
         """One O(corpus) indexing job: train the quantizer (deterministic
         stand-in rules), coarse-assign every vector, PQ-encode it, and
         commit the tables as a fresh self-contained version.
 
         ``emb`` must have (vec_id: long, embedding: array<float|double>).
+
+        ``attrs`` names metadata columns of ``emb`` (e.g. a label, a
+        source, a date) DENORMALIZED onto every cell row: filtered ANN
+        (vector search AND metadata predicate) then pushes the predicate
+        into the pruned ``cid=`` parquet scan itself — partition pruning
+        from IVF, row-group/page pruning from the parquet filter — never
+        a post-candidate join back to the corpus table. The ~``_PQ_M``-x
+        duplication costs a few bytes/vector; a deployment with wide or
+        many attrs would hold them in a sibling cid-partitioned attrs
+        table instead (same pruning, one extra cell-local join).
         """
         from ..functions.vectors import norm_fold_expr
         from ..queries.llm_extra import _PQ_CB_MOD, _PQ_M, _PQ_SUB, pq_codes
@@ -226,6 +239,10 @@ class AnnIndex:
         # (cell -> member codes); one shuffle on vec_id here buys
         # shuffle-free pruned probes forever after
         cells = asg.join(codes, "vec_id").select("cid", "vec_id", "s", "pqcid")
+        if attrs:
+            cells = cells.join(
+                emb.select("vec_id", *attrs), "vec_id"
+            ).select("cid", "vec_id", "s", "pqcid", *attrs)
         codebook = codebook_src.select(
             F.col("vec_id").alias("pqcid"),
             F.posexplode(
@@ -256,6 +273,7 @@ class AnnIndex:
             # never-populated cell is simply absent here)
             "cellmap": {c: version for c in self._cell_dirs(version)},
             "idmap": {b: version for b in self._idmap_dirs(version)},
+            "attrs": list(attrs),
             "applied": [label],
         }
         self.fs.write_text_atomic(
@@ -308,6 +326,14 @@ class AnnIndex:
             )
         if label in m.get("applied", []):
             return m["version"]  # replayed micro-batch: exact no-op
+        attrs = tuple(m.get("attrs", []))
+        if new_emb is not None:
+            missing = [a for a in attrs if a not in new_emb.columns]
+            if missing:
+                raise ValueError(
+                    f"index carries attrs {list(attrs)}; new_emb lacks "
+                    f"{missing}"
+                )
         cent = spark.read.parquet(
             os.path.join(self.root, m["centroids"], "centroids")
         )
@@ -345,6 +371,10 @@ class AnnIndex:
             delta_cells = asg.join(codes, "vec_id").select(
                 "cid", "vec_id", "s", "pqcid"
             )
+            if attrs:
+                delta_cells = delta_cells.join(
+                    new_emb.select("vec_id", *attrs), "vec_id"
+                ).select("cid", "vec_id", "s", "pqcid", *attrs)
             changed_ids.append(asg.select("vec_id"))
         if deletes is not None:
             changed_ids.append(deletes.select("vec_id"))
@@ -393,11 +423,14 @@ class AnnIndex:
         if delta_cells is not None:
             parts.append(delta_cells)
         if not parts:  # delete-only batch aimed at ids the index lacks
+            # schema is never observed (zero partition dirs -> never read
+            # back through the cellmap); the write just materializes vdir
             parts = [spark.createDataFrame(
                 [], "cid long, vec_id long, s int, pqcid long"
+                + "".join(f", {a} string" for a in attrs)
             )]
         merged = reduce(DataFrame.unionByName, parts).select(
-            "cid", "vec_id", "s", "pqcid"
+            "cid", "vec_id", "s", "pqcid", *attrs
         )
 
         version = f"v-{label}-{uuid.uuid4().hex[:8]}"
@@ -432,6 +465,7 @@ class AnnIndex:
             "codebook": m["codebook"],
             "cellmap": cellmap,
             "idmap": idmap,
+            "attrs": list(attrs),
             "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
         }
         self.fs.write_text_atomic(
@@ -457,9 +491,10 @@ class AnnIndex:
         cids = sorted(int(c) for c in m["cellmap"])
         version = f"v-{label}-{uuid.uuid4().hex[:8]}"
         vdir = os.path.join(self.root, version)
+        attrs = tuple(m.get("attrs", []))
         live = self._read_cells(spark, m, cids)
         if live is not None:
-            live.select("cid", "vec_id", "s", "pqcid").write.partitionBy(
+            live.select("cid", "vec_id", "s", "pqcid", *attrs).write.partitionBy(
                 "cid"
             ).parquet(os.path.join(vdir, "cells"))
         live_map = self._read_idmap(
@@ -475,6 +510,7 @@ class AnnIndex:
             "codebook": m["codebook"],
             "cellmap": {c: version for c in self._cell_dirs(version)},
             "idmap": {b: version for b in self._idmap_dirs(version)},
+            "attrs": list(attrs),
             "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
         }
         self.fs.write_text_atomic(
@@ -521,6 +557,7 @@ class AnnIndex:
     def probe(
         self, spark: SparkSession, queries: DataFrame,
         nprobe: int = 2, k: int = 10, version: str | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Top-k neighbors per query from the stored index, never touching
         a float corpus vector.
@@ -531,7 +568,18 @@ class AnnIndex:
         so empty/absent cells contribute nothing instead of failing);
         broadcasts centroids, the probe list, and the per-query ADC LUT.
         Self-matches (vec_id == qid) are excluded, mirroring the inline
-        query."""
+        query.
+
+        ``where``: optional SQL predicate over the index's denormalized
+        ``attrs`` columns (see ``build``) — PRE-FILTER semantics: only
+        vectors passing the predicate are scored and ranked, so the
+        result is the top-k OF THE FILTERED SET (FAISS IDSelector /
+        filtered-search shape), not a post-hoc filter of an unfiltered
+        top-k that may return < k survivors. The predicate lands
+        directly on the pruned cells scan, where Catalyst pushes it into
+        the parquet reader (PushedFilters — pinned in tests/test_plans):
+        at 100 TB the filter discards non-matching row groups inside the
+        nprobe cells instead of shipping candidates to a join."""
         from ..functions.vectors import norm_fold_expr
         from ..queries.llm_extra import _PQ_M, _PQ_SUB, _sub_d2
 
@@ -552,6 +600,8 @@ class AnnIndex:
             if str(c) in m["cellmap"]
         )
         cells = self._read_cells(spark, m, probed)
+        if cells is not None and where is not None:
+            cells = cells.filter(where)
         if cells is None:
             return spark.createDataFrame(
                 [], "qid long, neighbor_id long, approx_dist2 double, rank int"

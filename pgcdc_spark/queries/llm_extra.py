@@ -493,7 +493,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by emb_ivf_ann_topk and emb_pq_adc_topk, so DuckDB mirrors the whole
 # composition.
 
-_IVFPQ_ORACLE = f"""
+def _ivfpq_oracle(cand_join: str = "") -> str:
+    """The IVF-PQ reference plan in DuckDB SQL; ``cand_join`` optionally
+    narrows the candidate set (filtered ANN: a metadata predicate joined
+    into cand, mirroring probe(where=...)'s pre-filter semantics)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -522,7 +526,7 @@ probe AS (
 ),
 cand AS (
   SELECT p.qid, a.vec_id
-  FROM probe p JOIN asg a ON a.cid_c = p.cid_c
+  FROM probe p JOIN asg a ON a.cid_c = p.cid_c{cand_join}
   WHERE a.vec_id <> p.qid
 ),
 subs AS (
@@ -561,6 +565,9 @@ SELECT qid, vec_id AS neighbor_id, approx_dist2, rank FROM (
   FROM adc
 ) WHERE rank <= {_TOP_K}
 """
+
+
+_IVFPQ_ORACLE = _ivfpq_oracle()
 
 
 @query("emb_ivf_pq_topk", oracle=_IVFPQ_ORACLE, tags=("llm", "similarity", "ivf", "pq"))
@@ -668,7 +675,10 @@ def _ann_index_for(spark: SparkSession, sf_dir: str):
     idx = AnnIndex(_ann_root(sf_dir, "full"))
     if idx.current_version() is None:
         (emb,) = load(spark, sf_dir, "embeddings")
-        idx.build(emb, label="corpus")
+        # denormalize the metadata column onto the cell rows so filtered
+        # probes (emb_ann_index_filtered_probe) push their predicate into
+        # the pruned cells scan
+        idx.build(emb, label="corpus", attrs=("label",))
     return idx
 
 
@@ -687,6 +697,45 @@ def emb_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
     )
     return idx.probe(spark, queries, nprobe=2, k=_TOP_K)
+
+
+# Filtered ANN: real retrieval is vector search AND a metadata predicate
+# (per-source, per-date, per-label). Semantics here are PRE-FILTER: the
+# predicate restricts the candidate set BEFORE ranking, so the result is
+# the true top-k of the filtered corpus slice within the probed cells
+# (FAISS IDSelector shape) — a post-filter of an unfiltered top-k would
+# return up to k - |filtered-out| survivors and miss passing vectors
+# ranked k+1..n. The predicate rides the denormalized `label` attr in the
+# cell rows, so it lands inside the pruned `cid=` parquet scan
+# (PushedFilters — pinned in tests/test_plans.py), never as a
+# post-candidate join back to the corpus.
+_ANN_FILTER_LABEL = 3
+
+
+@query(
+    "emb_ann_index_filtered_probe",
+    oracle=_ivfpq_oracle(
+        "\n  JOIN embeddings em ON em.vec_id = a.vec_id "
+        f"AND em.label = {_ANN_FILTER_LABEL}"
+    ),
+    tags=("llm", "similarity", "ivf", "pq", "index", "filtered"),
+)
+def emb_ann_index_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k over the `label = 3` slice, served from the persisted
+    index with the predicate pushed into the pruned cells read. The
+    oracle is the same IVF-PQ rebuild SQL with the predicate joined into
+    its candidate set — a green row proves the filtered serving path
+    ranks exactly the filtered candidates, bit-for-bit."""
+    idx = _ann_index_for(spark, sf_dir)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    return idx.probe(
+        spark, queries, nprobe=2, k=_TOP_K,
+        where=f"label = {_ANN_FILTER_LABEL}",
+    )
 
 
 # --- incremental index maintenance -------------------------------------------

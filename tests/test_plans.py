@@ -415,3 +415,26 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_ann_filtered_probe_pushes_predicate_into_cell_scan(spark):
+    """emb_ann_index_filtered_probe: the metadata predicate must land
+    INSIDE the pruned cells parquet scan (PushedFilters on `label`), not
+    as a filter/join after the candidate union — at 100 TB that is the
+    difference between skipping row groups inside the nprobe cells and
+    shipping every candidate to a post-hoc join."""
+    plan = _plan(spark, "emb_ann_index_filtered_probe")
+    # the cells scan is the one reading PQ codes + the denormalized attr
+    cell_scans = [
+        seg for seg in plan.split("FileScan")[1:]
+        if "pqcid" in seg[:200] and "label" in seg[:200]
+    ]
+    assert cell_scans, "no cells FileScan in the probe plan"
+    for seg in cell_scans:
+        pushed = seg[seg.index("PushedFilters") :][:300]
+        assert "EqualTo(label,3)" in pushed, (
+            "label predicate not pushed into the cells parquet scan"
+        )
+        # and the scan stays cell-pruned: cid is a partition filter
+        part = seg[seg.index("PartitionFilters") :][:300]
+        assert "cid" in part

@@ -352,3 +352,121 @@ def mm_quarantine_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.col("error").isNotNull().alias("quarantined"),
     )
+
+
+# --- binaryFile ingestion, end-to-end ----------------------------------------
+# Drives sources.read_binary_files (the object-store on-ramp) under the
+# driver's oracle gate: a deterministic fixture TREE of real media files
+# (text/.txt, PPM/.ppm, WAV/.wav — the same doc_id-derived payloads as
+# documents_as_mixed_multimodal, written executor-side once per corpus)
+# is listed with a pathGlobFilter, decoded through the codec registry,
+# and featurized; the oracle recomputes every feature arithmetically
+# from doc_id, so a green row proves listing -> glob pruning -> binary
+# read -> modality typing -> codec decode -> feature extraction
+# end-to-end, value-exact. A decoy non-matching file in the tree proves
+# the glob prunes at listing time (it never reaches the plan).
+
+_MM_FS_FORMAT = "v1"
+_INGEST_MOD = 13  # ingest the doc_id % 13 == 0 slice (~8% of the corpus)
+
+
+def _mm_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus content-fingerprint) the media-file
+    fixture tree under the system temp root. Files are written by the
+    EXECUTORS via mapInPandas — the same write topology as any
+    distributed sink (each task writes the files of its partition; in
+    local mode that is the local tempdir, on a cluster it would be a
+    shared mount / object store). The driver only checks/writes the
+    _READY marker."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    paths = [p]
+    if os.path.isdir(p):
+        paths = [
+            os.path.join(base, f)
+            for base, _d, files in os.walk(p)
+            for f in files
+        ]
+    h = hashlib.md5(sf_dir.encode())
+    for f in sorted(paths):
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    root = os.path.join(
+        tempfile.gettempdir(), f"pgcdc_spark_mmfs_{_MM_FS_FORMAT}",
+        h.hexdigest()[:16],
+    )
+    ready = os.path.join(root, "_READY")
+    if os.path.exists(ready):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    from ..multimodal import documents_as_mixed_multimodal
+
+    (docs,) = load(spark, sf_dir, "documents")
+    mm = documents_as_mixed_multimodal(
+        docs.filter(F.col("doc_id") % _INGEST_MOD == 0)
+    )
+    ext = {"text": "txt", "image": "ppm", "audio": "wav"}
+
+    def write(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            for doc_id, mod, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                name = f"doc_{int(doc_id)}.{ext[mod]}"
+                with open(os.path.join(root, name), "wb") as f:
+                    f.write(bytes(payload))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    mm.mapInPandas(write, "n long").count()
+    # decoy: a file the doc_* glob must prune at LISTING time
+    with open(os.path.join(root, "decoy.skip"), "wb") as f:
+        f.write(b"not media")
+    with open(ready, "w") as f:
+        f.write("ok")
+    return root
+
+
+_INGEST_ORACLE = f"""
+SELECT * FROM ({_FEATURES_ORACLE}) WHERE doc_id % {_INGEST_MOD} = 0
+"""
+
+
+@query("mm_binary_ingest", oracle=_INGEST_ORACLE,
+       tags=("llm", "multimodal", "binary-file", "pandas-udf"))
+def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile ingestion end-to-end: glob-pruned listing of a real
+    media-file tree -> (path, content) rows -> doc_id from the filename,
+    modality from the extension -> registry codec decode -> Arrow
+    feature extraction. Same per-value oracle arithmetic as
+    mm_extract_features, restricted to the ingested slice — the hash
+    match covers the bytes that actually round-tripped through the
+    filesystem, not a synthesized in-plan payload."""
+    from ..multimodal import FEATURE_DIM
+    from ..sources import read_binary_files
+
+    fixture = _mm_fixture_dir(spark, sf_dir)
+    files = read_binary_files(spark, fixture, glob="doc_*")
+    mm = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long").alias("doc_id"),
+        "modality",
+        "payload",
+    )
+    feats = extract_features(mm, fake=False)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(FEATURE_DIM)],
+    )

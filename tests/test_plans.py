@@ -110,6 +110,14 @@ def test_no_collect_in_query_surface(spark):
                  "emb_ann_index_incremental",
                  "emb_ann_index_compacted",
                  "emb_ann_index_stats",  # same cold-cache build + cellmap read
+                 "emb_ann_index_filtered_probe",  # same cold-cache build
+                 # binaryFile ingestion: on a cold cache the builder runs
+                 # the DECLARED one-time fixture materialization (executor-
+                 # side file writes, queries/multimodal._mm_fixture_dir) —
+                 # the test-env stand-in for the object store the real
+                 # on-ramp lists; the query itself then plans lazily over
+                 # the files. No data rows ever reach the driver.
+                 "mm_binary_ingest",
                  # IVM batch twins: applying the 3-batch CDC fixture through
                  # the stream maintainer IS the declared maintenance work
                  # (state-transition writes to a temp store); the returned

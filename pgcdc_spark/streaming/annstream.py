@@ -40,6 +40,41 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def apply_ann_batch(
+    spark: SparkSession,
+    idx,  # operators.annindex.AnnIndex
+    ups: DataFrame,
+    dels: DataFrame,
+    label: str,
+    compact_after: int = 16,
+) -> None:
+    """One micro-batch of ANN index maintenance: bootstrap build on the
+    first batch with rows (quantizer trained once — FAISS contract),
+    then label-gated append (upserts + id-routed tombstones) and
+    auto-compaction once the cellmap spans more than ``compact_after``
+    version layers. Exposed so the composed ingest pipeline
+    (streaming/ingest.py) shares the exact maintenance code path with
+    ``start_ann_index_stream``."""
+    if idx.current_version() is None:
+        # bootstrap: train the quantizer on the first batch
+        # (delete-only first batches have nothing to index)
+        if ups.head(1):
+            idx.build(ups, label=label)
+        return
+    if label in idx.meta().get("applied", []):
+        return  # replayed micro-batch
+    have_ups = bool(ups.head(1))
+    have_dels = bool(dels.head(1))
+    if have_ups or have_dels:
+        idx.append(
+            ups if have_ups else None,
+            deletes=dels if have_dels else None,
+            label=label,
+        )
+    if len(set(idx.meta()["cellmap"].values())) > compact_after:
+        idx.compact(spark, label=f"fold-{label}")
+
+
 def start_ann_index_stream(
     spark: SparkSession,
     source_dir: str,
@@ -74,7 +109,6 @@ def start_ann_index_stream(
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        label = str(batch_id)
         rows = apply_pipeline(parse_envelope(batch_df, "value", row_schema))
         # one image per key: the index holds state, not a changelog
         folded = latest_state(
@@ -88,24 +122,10 @@ def start_ann_index_stream(
             # key is needed, so a partial/absent before-image (REPLICA
             # IDENTITY DEFAULT) cannot mis-aim a delete
             dels = folded.filter(F.col("op") == "D").select("vec_id")
-            if idx.current_version() is None:
-                # bootstrap: train the quantizer on the first batch
-                # (delete-only first batches have nothing to index)
-                if ups.head(1):
-                    idx.build(ups, label=label)
-                return
-            if label in idx.meta().get("applied", []):
-                return  # replayed micro-batch
-            have_ups = bool(ups.head(1))
-            have_dels = bool(dels.head(1))
-            if have_ups or have_dels:
-                idx.append(
-                    ups if have_ups else None,
-                    deletes=dels if have_dels else None,
-                    label=label,
-                )
-            if len(set(idx.meta()["cellmap"].values())) > compact_after:
-                idx.compact(spark, label=f"fold-{label}")
+            apply_ann_batch(
+                spark, idx, ups, dels, str(batch_id),
+                compact_after=compact_after,
+            )
         finally:
             folded.unpersist()
 

@@ -163,91 +163,8 @@ def start_dedup_stream(
     (previous batch, or same batch with smaller doc_id)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.persist()
-        pinned = [batch]
-        try:
-            if not batch.head(1):
-                return
-            bands_new = minhash_bands(batch).persist()
-            sets_new = shingle_sets(batch).persist()
-            pinned += [bands_new, sets_new]
-            bands_old = _read_prior(spark, f"{state_dir}/bands", BANDS_SCHEMA, batch_id)
-            sets_old = _read_prior(spark, f"{state_dir}/sets", SETS_SCHEMA, batch_id)
-
-            # cross-boundary candidates: batch x standing corpus, bucket join
-            cross = (
-                bands_new.alias("n")
-                .join(
-                    bands_old.alias("o"),
-                    (F.col("n.band") == F.col("o.band"))
-                    & (F.col("n.sig") == F.col("o.sig")),
-                )
-                .select(
-                    F.col("n.doc_id").alias("new_id"),
-                    F.col("o.doc_id").alias("old_id"),
-                )
-            )
-            # in-batch candidates: same-bucket pairs, earlier doc_id wins
-            within = (
-                bands_new.alias("a")
-                .join(
-                    bands_new.alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.sig") == F.col("b.sig"))
-                    & (F.col("a.doc_id") > F.col("b.doc_id")),
-                )
-                .select(
-                    F.col("a.doc_id").alias("new_id"),
-                    F.col("b.doc_id").alias("old_id"),
-                )
-            )
-            cands = cross.union(within).distinct()
-
-            all_sets = sets_old.unionByName(sets_new)
-            sa = sets_new.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sha"))
-            sb = all_sets.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("shb"))
-            best = (
-                cands.join(sa, "new_id")
-                .join(sb, "old_id")
-                .select("new_id", "old_id", _jaccard(F.col("sha"), F.col("shb")).alias("j"))
-                .groupBy("new_id")
-                .agg(F.max(F.struct("j", (-F.col("old_id")).alias("no"), "old_id")).alias("m"))
-                .select("new_id", F.col("m.j").alias("j"), F.col("m.old_id").alias("old_id"))
-            )
-            dup = F.col("j") >= threshold
-            verdicts = (
-                batch.select("doc_id")
-                .join(best, F.col("doc_id") == F.col("new_id"), "left")
-                .select(
-                    "doc_id",
-                    F.coalesce(dup, F.lit(False)).alias("is_dup"),
-                    F.when(dup, F.col("old_id")).alias("match_doc_id"),
-                    F.when(dup, F.col("j")).alias("match_jaccard"),
-                )
-            )
-            # deterministic per-batch partitions; replay overwrites in place
-            verdicts.write.mode("overwrite").parquet(
-                f"{state_dir}/verdicts/batch={batch_id}"
-            )
-            bands_new.write.mode("overwrite").parquet(
-                f"{state_dir}/bands/batch={batch_id}"
-            )
-            sets_new.write.mode("overwrite").parquet(
-                f"{state_dir}/sets/batch={batch_id}"
-            )
-            n_parts = sum(
-                1 for d in get_fs(state_dir).listdir(f"{state_dir}/bands")
-                if d.startswith("batch=")
-            )
-            if n_parts > compact_after:
-                # fold everything older than THIS batch (the only id the
-                # engine can still replay) into batch=0
-                _compact_state_table(spark, f"{state_dir}/bands", batch_id)
-                _compact_state_table(spark, f"{state_dir}/sets", batch_id)
-        finally:
-            for df in pinned:
-                df.unpersist()
+        merge_dedup_batch(batch_df, batch_id, state_dir,
+                          threshold=threshold, compact_after=compact_after)
 
     return (
         docs_stream.writeStream.foreachBatch(merge)
@@ -255,6 +172,105 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    threshold: float = 0.5,
+    compact_after: int = 16,
+) -> None:
+    """One micro-batch of the incremental dedup maintenance — the
+    foreachBatch body of ``start_dedup_stream``, exposed so a composed
+    ingest pipeline (streaming/ingest.py: ONE CDC source, dedup + ANN
+    maintainers sharing its batch ids / checkpoint) can drive the same
+    state fold without a second readStream over the source."""
+    spark = batch_df.sparkSession
+    batch = batch_df.persist()
+    pinned = [batch]
+    try:
+        if not batch.head(1):
+            return
+        bands_new = minhash_bands(batch).persist()
+        sets_new = shingle_sets(batch).persist()
+        pinned += [bands_new, sets_new]
+        bands_old = _read_prior(spark, f"{state_dir}/bands", BANDS_SCHEMA, batch_id)
+        sets_old = _read_prior(spark, f"{state_dir}/sets", SETS_SCHEMA, batch_id)
+
+        # cross-boundary candidates: batch x standing corpus, bucket join
+        cross = (
+            bands_new.alias("n")
+            .join(
+                bands_old.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.sig") == F.col("o.sig")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"),
+            )
+        )
+        # in-batch candidates: same-bucket pairs, earlier doc_id wins
+        within = (
+            bands_new.alias("a")
+            .join(
+                bands_new.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("new_id"),
+                F.col("b.doc_id").alias("old_id"),
+            )
+        )
+        cands = cross.union(within).distinct()
+
+        all_sets = sets_old.unionByName(sets_new)
+        sa = sets_new.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sha"))
+        sb = all_sets.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("shb"))
+        best = (
+            cands.join(sa, "new_id")
+            .join(sb, "old_id")
+            .select("new_id", "old_id", _jaccard(F.col("sha"), F.col("shb")).alias("j"))
+            .groupBy("new_id")
+            .agg(F.max(F.struct("j", (-F.col("old_id")).alias("no"), "old_id")).alias("m"))
+            .select("new_id", F.col("m.j").alias("j"), F.col("m.old_id").alias("old_id"))
+        )
+        dup = F.col("j") >= threshold
+        verdicts = (
+            batch.select("doc_id")
+            .join(best, F.col("doc_id") == F.col("new_id"), "left")
+            .select(
+                "doc_id",
+                F.coalesce(dup, F.lit(False)).alias("is_dup"),
+                F.when(dup, F.col("old_id")).alias("match_doc_id"),
+                F.when(dup, F.col("j")).alias("match_jaccard"),
+            )
+        )
+        # deterministic per-batch partitions; replay overwrites in place
+        verdicts.write.mode("overwrite").parquet(
+            f"{state_dir}/verdicts/batch={batch_id}"
+        )
+        bands_new.write.mode("overwrite").parquet(
+            f"{state_dir}/bands/batch={batch_id}"
+        )
+        sets_new.write.mode("overwrite").parquet(
+            f"{state_dir}/sets/batch={batch_id}"
+        )
+        n_parts = sum(
+            1 for d in get_fs(state_dir).listdir(f"{state_dir}/bands")
+            if d.startswith("batch=")
+        )
+        if n_parts > compact_after:
+            # fold everything older than THIS batch (the only id the
+            # engine can still replay) into batch=0
+            _compact_state_table(spark, f"{state_dir}/bands", batch_id)
+            _compact_state_table(spark, f"{state_dir}/sets", batch_id)
+    finally:
+        for df in pinned:
+            df.unpersist()
 
 
 def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:

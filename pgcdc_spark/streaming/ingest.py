@@ -1,0 +1,112 @@
+"""Composed training-data ingest: ONE CDC stream, TWO maintainers.
+
+The realistic ingest topology for a training corpus under logical
+replication (reference pipeline R1->R8, ``src/main.ts:54-90``): each
+change envelope carries a document row (doc_id, text, embedding), and a
+single micro-batch feed keeps BOTH serving artifacts current —
+
+- the incremental near-dup state (streaming/dedup.py): every newly
+  INSERTED document is checked against the standing corpus LSH state and
+  receives its keep/drop verdict at ingest time. Dedup verdicts are
+  first-seen decisions: an UPDATE to a document's text does not re-open
+  its verdict (re-adjudicating history would retroactively flip earlier
+  keep decisions mid-training-run), and a DELETE leaves the verdict log
+  intact (it is an audit history, not a view) — the lifecycle of the
+  *vector* is the ANN index's job;
+- the persisted ANN index (streaming/annstream.py maintenance path):
+  inserts/updates are assigned + PQ-encoded against the frozen
+  quantizer, deletes tombstone by idmap lookup — the index tracks the
+  full I/U/D lifecycle.
+
+One ``readStream`` + one checkpoint drive both folds inside one
+foreachBatch, so the two artifacts advance in lockstep on the SAME batch
+ids: a crash replays one micro-batch into both maintainers, each of
+which is idempotent under replay (dedup: per-batch partition overwrite;
+ANN: applied-label gate). That shared-checkpoint discipline is the point
+of composing them here rather than running two independent streams over
+the source — there is no window where one artifact has applied a batch
+the other has not *and* the checkpoint has moved past it.
+
+Batch-equivalence and restart/replay are pinned in
+tests/test_ingest_stream.py: after an insert/update/delete changelog
+with a mid-stream restart, the ANN index answers probes bit-identical to
+a full rebuild over the final corpus, and the verdict log equals the
+solo dedup stream's over the same insert batches.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def start_training_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    dedup_state_dir: str,
+    index_root: str,
+    row_schema: StructType,
+    max_files_per_trigger: int = 10,
+    threshold: float = 0.5,
+    dedup_compact_after: int = 16,
+    ann_compact_after: int = 16,
+) -> StreamingQuery:
+    """Drive the dedup state at ``dedup_state_dir`` AND the AnnIndex at
+    ``index_root`` from one file-stream of CDC envelopes whose row images
+    hold (doc_id: long, text: string, embedding: array<double>)."""
+    from ..cdc.envelope import parse_envelope
+    from ..cdc.transform import apply_pipeline
+    from ..cdc.upsert import latest_state
+    from ..operators.annindex import AnnIndex
+    from .annstream import apply_ann_batch
+    from .dedup import merge_dedup_batch
+
+    idx = AnnIndex(index_root)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        rows = apply_pipeline(parse_envelope(batch_df, "value", row_schema))
+        folded = latest_state(
+            rows, keys=["doc_id"], order_by=["lsn"], keep_deletes=True
+        ).persist()
+        try:
+            if not folded.head(1):
+                return
+            # dedup: first-seen inserts only (see module doc) — the
+            # maintainer's own empty-batch guard makes insert-free
+            # batches no-ops without burning a state partition
+            merge_dedup_batch(
+                folded.filter(F.col("op") == "I").select("doc_id", "text"),
+                batch_id,
+                dedup_state_dir,
+                threshold=threshold,
+                compact_after=dedup_compact_after,
+            )
+            # ANN: the full I/U/D lifecycle, doc_id as the vector id
+            ups = folded.filter(F.col("op") != "D").select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            )
+            dels = folded.filter(F.col("op") == "D").select(
+                F.col("doc_id").alias("vec_id")
+            )
+            apply_ann_batch(
+                spark, idx, ups, dels, str(batch_id),
+                compact_after=ann_compact_after,
+            )
+        finally:
+            folded.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,177 @@
+"""Composed ingest: ONE CDC stream drives the dedup state AND the ANN
+index (streaming/ingest.py), with a mid-stream restart.
+
+Truth model: after an insert/update/delete changelog,
+
+- the maintained ANN index must answer probes BIT-IDENTICAL to a full
+  rebuild over the final corpus state (donors stay in the bootstrap
+  batch, so the frozen quantizer is the full-corpus quantizer);
+- the dedup verdict log must equal the SOLO dedup stream's log over the
+  same insert batches (verdicts are first-seen decisions; updates and
+  deletes do not re-open them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ROW_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("embedding", ArrayType(DoubleType())),
+])
+
+_DELTA = lambda d: d % 100 == 2 and d % 53 != 1 and d % 127 != 1  # noqa: E731
+_UPDATE_IDS = (20, 33)
+_DELETE_IDS = (45, 71)
+
+
+def _env(lsn: int, tag: str, doc_id: int, text: str, emb: list[float]) -> str:
+    img = {"doc_id": doc_id, "text": text, "embedding": emb}
+    e = {"lsn": f"0/{lsn:06X}", "tag": tag, "table": "documents"}
+    e["old" if tag == "delete" else "new"] = img
+    return json.dumps(e)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke):
+    from pgcdc_spark.catalog import load
+
+    (docs,) = load(spark, sf_smoke, "documents")
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    rows = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id", "text",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .collect()
+    )
+    return {
+        int(r["doc_id"]): (r["text"], [float(x) for x in r["e"]])
+        for r in rows
+    }
+
+
+def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
+    from pgcdc_spark.operators.annindex import AnnIndex
+    from pgcdc_spark.streaming.dedup import read_verdicts, start_dedup_stream
+    from pgcdc_spark.streaming.ingest import start_training_ingest_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    dstate = str(tmp_path / "dedup")
+    root = str(tmp_path / "annidx")
+    os.makedirs(src)
+
+    base_ids = [d for d in sorted(corpus) if not _DELTA(d)]
+    delta_ids = [d for d in sorted(corpus) if _DELTA(d)]
+    assert delta_ids
+    for d in (*_UPDATE_IDS, *_DELETE_IDS):
+        assert d in base_ids and d >= 8 and d % 53 != 1 and d % 127 != 1
+
+    lsn = iter(range(1, 10_000))
+
+    def _write(name, lines, mtime):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            f.write("\n".join(lines))
+        os.utime(p, (mtime, mtime))
+
+    def run():
+        q = start_training_ingest_stream(
+            spark, src, ckpt, dstate, root, ROW_SCHEMA,
+            max_files_per_trigger=1, ann_compact_after=1,
+        )
+        q.awaitTermination(300)
+
+    # phase 1: bootstrap inserts only, then STOP (mid-stream restart point)
+    _write("c0.jsonl",
+           [_env(next(lsn), "insert", d, *corpus[d]) for d in base_ids],
+           1_700_000_000)
+    run()
+    idx = AnnIndex(root)
+    v_boot = idx.current_version()
+    assert v_boot is not None
+
+    # phase 2 (after restart on the same checkpoint): delta inserts, then
+    # updates (text AND embedding change) + tombstones
+    _write("c1.jsonl",
+           [_env(next(lsn), "insert", d, *corpus[d]) for d in delta_ids],
+           1_700_000_001)
+    _write("c2.jsonl",
+           [_env(next(lsn), "update", d,
+                 corpus[d][0] + " amended", [x + 1.0 for x in corpus[d][1]])
+            for d in _UPDATE_IDS]
+           + [_env(next(lsn), "delete", d, *corpus[d]) for d in _DELETE_IDS],
+           1_700_000_002)
+    run()
+
+    # --- ANN half: maintained index == full rebuild over final state ---
+    final = {d: e for d, (t, e) in corpus.items()}
+    for d in _UPDATE_IDS:
+        final[d] = [x + 1.0 for x in final[d]]
+    for d in _DELETE_IDS:
+        del final[d]
+    full = AnnIndex(str(tmp_path / "full"))
+    full.build(
+        spark.createDataFrame(
+            sorted(final.items()), "vec_id long, embedding array<double>"
+        ),
+        label="full",
+    )
+    queries = spark.createDataFrame(
+        [(d, corpus[d][1]) for d in sorted(corpus) if d < 8],
+        "qid long, e array<double>",
+    )
+    got = sorted(map(tuple, idx.probe(spark, queries, nprobe=2, k=10).collect()))
+    want = sorted(map(tuple, full.probe(spark, queries, nprobe=2, k=10).collect()))
+    assert got == want
+
+    # --- dedup half: verdict log == solo dedup stream over the same
+    # insert batches (c0 -> batch 0, c1 -> batch 1; c2 has no inserts) ---
+    solo_src = str(tmp_path / "solo_src")
+    for i, ids in enumerate((base_ids, delta_ids)):
+        (spark.createDataFrame(
+            [(d, corpus[d][0]) for d in ids], "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{solo_src}/part_{i}"))
+    solo_state = str(tmp_path / "solo_state")
+    docs_stream = (
+        spark.readStream
+        .schema(StructType([StructField("doc_id", LongType()),
+                            StructField("text", StringType())]))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{solo_src}/part_*")
+    )
+    start_dedup_stream(
+        docs_stream, solo_state, str(tmp_path / "solo_ckpt")
+    ).awaitTermination(300)
+
+    def verdicts(state):
+        return sorted(
+            (r["doc_id"], r["is_dup"], r["match_doc_id"], r["batch"])
+            for r in read_verdicts(spark, state).collect()
+        )
+
+    composed, solo = verdicts(dstate), verdicts(solo_state)
+    assert composed == solo
+    assert {b for (_, _, _, b) in composed} == {0, 1}  # c2 wrote no verdicts
+
+    # --- replay: rerun with no new files — both artifacts untouched ---
+    v_before = idx.current_version()
+    before = verdicts(dstate)
+    run()
+    assert idx.current_version() == v_before
+    assert verdicts(dstate) == before

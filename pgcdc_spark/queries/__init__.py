@@ -74,6 +74,7 @@ _PRIORITY = (
     # round-8 new surface
     "emb_ann_index_filtered_probe",
     "mm_binary_ingest",
+    "docs_mixture_weights",
     # round-7, composition-verifying first
     "training_mix_pipeline",
     "emb_ann_index_incremental",

@@ -1032,3 +1032,78 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p").cast("long").alias("first_pos"),
         )
     )
+
+
+# --- temperature-scaled source mixture weights -------------------------------
+# The training-mix planning number every multi-source pretraining run
+# computes (cf. multilingual/多-corpus sampling: p_i ∝ mass_i^alpha with
+# alpha < 1 to up-weight small sources): per source, its token mass, its
+# alpha=0.5 sampling weight, and the implied repeat factor ("epochs") at
+# a fixed token budget. alpha = 0.5 is chosen deliberately: sqrt is
+# IEEE-exact on both engines (POWER/EXP/LN differ in the last ulp), and
+# the cross-source normalizer goes through an exact DECIMAL sum so the
+# ratio is order-free; the division chain's double->decimal->double
+# round-trips can still differ in the final ulp across engines, so the
+# emitted ratios apply the standard round-to-9 discipline.
+#
+# Scale shape: one groupBy(source) with map-side partial aggregation
+# collapses the corpus to |sources| rows BEFORE the shuffle; the
+# normalizer is a scalar over those rows (broadcast back via a windowless
+# cross join on a 1-row aggregate). No second corpus scan.
+
+_MIX_BUDGET = 1_000_000  # planning token budget
+
+
+_MIXTURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,15)) AS sw
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE), 9) AS mix_weight,
+       round(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE)
+         * {_MIX_BUDGET}.0 / CAST(n_tokens AS DOUBLE), 9) AS epochs_at_budget
+FROM w
+"""
+
+
+@query("docs_mixture_weights", oracle=_MIXTURE_ORACLE,
+       tags=("llm", "text", "sampling", "mixture"))
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source alpha=0.5 mixture weights over token mass, plus the
+    repeat factor each source would see at a fixed token budget — the
+    sampling table a training-data pipeline feeds its data loader."""
+    (docs,) = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "sw",
+            F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,15)"),
+        )
+    )
+    total = per_src.agg(F.sum("sw").alias("tot"))
+    # decimal SUM keeps the normalizer order-free and exact; the DIVISION
+    # happens in doubles on both engines (decimal/decimal division scale
+    # rules differ between Spark and DuckDB in the last ulp)
+    mixw = F.col("sw").cast("double") / F.col("tot").cast("double")
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(mixw, 9).alias("mix_weight"),
+        # round-to-9: the multiply/divide chain can differ in the last
+        # ulp across engines (SURVEY gotcha discipline)
+        F.round(
+            mixw * F.lit(float(_MIX_BUDGET)) / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("epochs_at_budget"),
+    )

@@ -75,6 +75,8 @@ _PRIORITY = (
     "emb_ann_index_filtered_probe",
     "mm_binary_ingest",
     "docs_mixture_weights",
+    "docs_train_val_test_split",
+    "emb_ann_index_idmap_stats",
     # round-7, composition-verifying first
     "training_mix_pipeline",
     "emb_ann_index_incremental",

@@ -1246,3 +1246,19 @@ def emb_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+@query("emb_ann_index_idmap_stats", oracle=_ANN_STATS_ORACLE,
+       tags=("llm", "similarity", "ivf", "index", "diagnostics"))
+def emb_ann_index_idmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invlist lengths recomputed FROM THE IDMAP (the bucketed vec_id ->
+    cid lookup that routes upserts/deletes, new in r8): same oracle as
+    emb_ann_index_stats, so a green row is a completeness proof of the
+    SECOND table maintenance keeps — every corpus vector present in
+    exactly the cell the cells table holds it in. Together the two stats
+    queries pin the idmap ≡ cells membership invariant under the driver
+    gate."""
+    idx = _ann_index_for(spark, sf_dir)
+    m = idx.meta()
+    imap = idx._read_idmap(spark, m, sorted(int(b) for b in m["idmap"]))
+    return imap.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))

@@ -1107,3 +1107,62 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("epochs_at_budget"),
     )
+
+
+# --- deterministic train/val/test split --------------------------------------
+# The split every training-data pipeline freezes before anything else:
+# hash-bucketed (never rand()), so a document's assignment is stable
+# across engines, runs, re-partitions, and corpus growth (new docs land
+# in splits without moving old ones — the property date- or
+# position-based splits lack). 90/5/5 on the md5 bucket; per
+# (source, split) counts + token mass so mixture planning can be done
+# per split. Predicate evaluates in the scan stage; one groupBy shuffle
+# over |sources| * 3 groups with map-side partials.
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM b GROUP BY source, split
+"""
+
+
+@query("docs_train_val_test_split", oracle=_SPLIT_ORACLE,
+       tags=("llm", "text", "sampling", "split"))
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 md5-bucketed split with per-(source, split) doc and token
+    counts — reproducible holdout assignment, summarized for mixture
+    planning."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "source", split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

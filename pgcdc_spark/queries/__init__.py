@@ -77,6 +77,7 @@ _PRIORITY = (
     "docs_mixture_weights",
     "docs_train_val_test_split",
     "emb_ann_index_idmap_stats",
+    "ivm_topk_view_state",
     # round-7, composition-verifying first
     "training_mix_pipeline",
     "emb_ann_index_incremental",

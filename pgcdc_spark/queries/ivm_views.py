@@ -272,3 +272,42 @@ def ivm_distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             label=str(b), keys=["user_id"], order_by=["ts_us", "event_id"],
         )
     return read_distinct_view(spark, state_dir, view)
+
+
+_TOPK_VIEW_ORACLE = """
+SELECT event_type, user_id, value, rank FROM (
+  SELECT event_type, user_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value DESC, user_id) AS rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+) WHERE rank <= 3
+"""
+
+
+@query("ivm_topk_view_state", oracle=_TOPK_VIEW_ORACLE, tags=("cdc", "ivm"))
+def ivm_topk_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-3 rows per group maintained incrementally (r8) — the support-
+    set IVM case where a delete/update of a ranked row must promote the
+    next-best: the buffered support (k_out + slack) absorbs evictions,
+    and the invariant-repair refill re-derives a group from state when
+    the buffer is exhausted. Same 3-batch I/U/D fixture as the other IVM
+    twins; the oracle ranks the final upsert state directly (value
+    doubles compare exactly, user_id breaks ties), so a hash match
+    proves the incremental view == the batch recompute, rank for rank."""
+    from ..streaming.ivm import TopKView, TopKViewMaintainer
+
+    view = TopKView("t3", group_cols=["event_type"], val_col="value",
+                    key_cols=["user_id"], agg="max", k_out=3, slack=4)
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-topk-")
+    m = TopKViewMaintainer(state_dir, view, keys=["user_id"],
+                           order_by=["ts_us", "event_id"],
+                           n_buckets=_N_BUCKETS)
+    log = _events_changelog(spark, sf_dir)
+    for b in range(3):
+        m.apply_batch(log.filter(F.col("batch") == b).drop("batch"),
+                      label=str(b))
+    return m.read_view(spark)

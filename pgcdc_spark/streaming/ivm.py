@@ -704,6 +704,60 @@ class MinMaxViewMaintainer:
         )
 
 
+class TopKView(MinMaxView):
+    """TOP-K view definition: the k_out extreme rows per group by
+    ``val_col`` (``agg='max'``: largest-k, ``'min'``: smallest-k), each
+    identified by ``key_cols``. Maintained through the SAME support-set
+    construction as MIN/MAX — the classic hard IVM case: a deletion that
+    evicts a ranked row must pull the next-best row from somewhere, and
+    the support buffer (k_out + slack entries) is that somewhere, with
+    the maintainer's retraction-triggered refill re-deriving a group from
+    state only when the buffer can no longer vouch for correctness.
+    ``slack`` amortizes refills: each buffered extra absorbs one support
+    deletion before the group needs re-derivation."""
+
+    def __init__(self, name: str, group_cols: list[str], val_col: str,
+                 key_cols: list[str], agg: str = "max", k_out: int = 3,
+                 slack: int = 4) -> None:
+        if k_out < 1:
+            raise ValueError(f"k_out must be >= 1, got {k_out}")
+        super().__init__(name, group_cols, val_col, key_cols, agg=agg,
+                         k=k_out + slack)
+        self.k_out = k_out
+
+
+class TopKViewMaintainer(MinMaxViewMaintainer):
+    """Support maintenance is inherited unchanged from
+    MinMaxViewMaintainer — its invariant (the support table holds the
+    TRUE k extreme rows of the live state per group, k = k_out + slack,
+    repaired from state when retractions damage it) is exactly what makes
+    the ranked k_out-prefix of the support the correct top-k view.
+    Only the read side differs: rows with ranks, not a scalar extremum."""
+
+    def read_view(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import Window
+
+        v = self.view
+        sup = self.support.read(spark)
+        if sup is None:
+            st = self.store.read(spark)
+            if st is not None:
+                sup = st.limit(0).select(*v.group_cols, *v.key_cols, v.val_col)
+            else:
+                types = ", ".join(
+                    f"{c} string" for c in v.group_cols + v.key_cols
+                )
+                return spark.createDataFrame(
+                    [], f"{types}, {v.val_col} double, rank int"
+                )
+        w = Window.partitionBy(*v.group_cols).orderBy(*v._rank_order())
+        return (
+            sup.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= v.k_out)
+            .select(*v.group_cols, *v.key_cols, v.val_col, "rank")
+        )
+
+
 def start_join_view_stream(
     spark: SparkSession,
     source_dir: str,

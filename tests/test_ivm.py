@@ -660,3 +660,65 @@ def test_distinct_view_refcounts(spark, tmp_path):
     # group emptied entirely -> drops out of the view
     apply("3", [("09", "D", 1, "A", 7)])
     assert got() == recompute() == {("B", 1)}
+
+
+def _tk_maintainer(tmp_path, sub, k_out=2, slack=1):
+    from pgcdc_spark.streaming.ivm import TopKView, TopKViewMaintainer
+
+    view = TopKView("tk", group_cols=["grp"], val_col="val",
+                    key_cols=["id"], agg="max", k_out=k_out, slack=slack)
+    return TopKViewMaintainer(str(tmp_path / f"tk{sub}"), view,
+                              keys=["id"], n_buckets=4)
+
+
+def _tk_truth(spark, m):
+    st = m.store.read(spark)
+    if st is None:
+        return []
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("val").desc(), F.col("id"))
+    return sorted(
+        (r["grp"], r["id"], r["val"], r["rank"])
+        for r in st.filter(F.col("op") != "D")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m.view.k_out)
+        .select("grp", "id", "val", "rank").collect()
+    )
+
+
+def _tk_view(spark, m):
+    return sorted(
+        (r["grp"], r["id"], r["val"], r["rank"])
+        for r in m.read_view(spark).collect()
+    )
+
+
+def test_topk_view_promotion_and_refill(spark, tmp_path):
+    """TOP-2 (slack=1): a delete of a ranked row must promote the next
+    best — first from the support buffer, then (when the buffer is
+    exhausted in one batch) via the state refill. View == ranked
+    recompute after EVERY batch, ranks included."""
+    m = _tk_maintainer(tmp_path, "a", k_out=2, slack=1)
+    batches = [
+        # A: 5 rows; support holds top-3 (k_out+slack), view shows top-2
+        [("0/01", "I", 1, "A", 50.0), ("0/02", "I", 2, "A", 10.0),
+         ("0/03", "I", 3, "A", 20.0), ("0/04", "I", 4, "A", 30.0),
+         ("0/05", "I", 5, "A", 40.0), ("0/06", "I", 6, "B", 7.0)],
+        # delete rank-1: buffered row 4 (30.0) must enter the view
+        [("0/07", "D", 1, "A", 50.0)],
+        # EXHAUST the buffer: delete the entire remaining support in one
+        # batch (40, 30, 20) -> refill must re-derive A from state (10)
+        [("0/08", "D", 5, "A", 40.0), ("0/09", "D", 4, "A", 30.0),
+         ("0/0A", "D", 3, "A", 20.0)],
+        # update promotes B's row into a bigger value + group move to A
+        [("0/0B", "U", 6, "A", 99.0)],
+    ]
+    for i, rows in enumerate(batches):
+        m.apply_batch(spark.createDataFrame(rows, MM_SCHEMA), label=str(i))
+        assert _tk_view(spark, m) == _tk_truth(spark, m), f"batch {i}"
+    assert _tk_view(spark, m) == [("A", 2, 10.0, 2), ("A", 6, 99.0, 1)]
+
+    # replay of the last label: no-op
+    m.apply_batch(spark.createDataFrame(batches[-1], MM_SCHEMA), label="3")
+    assert _tk_view(spark, m) == [("A", 2, 10.0, 2), ("A", 6, 99.0, 1)]

@@ -78,6 +78,7 @@ _PRIORITY = (
     "docs_train_val_test_split",
     "emb_ann_index_idmap_stats",
     "ivm_topk_view_state",
+    "emb_ann_index_filtered_incremental",
     # round-7, composition-verifying first
     "training_mix_pipeline",
     "emb_ann_index_incremental",

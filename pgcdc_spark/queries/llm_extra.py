@@ -765,8 +765,12 @@ def _ann_incr_index_for(spark: SparkSession, sf_dir: str):
     # label-idempotent, so retrying a half-done bootstrap is safe
     if idx.current_version() is None:
         (emb,) = load(spark, sf_dir, "embeddings")
+        # attrs on the incremental index too: appends must carry the
+        # metadata column through encode -> touched-cell rewrite, so the
+        # filtered probe works against a version-spanning index
         idx.build(
-            emb.filter(F.expr(f"NOT ({_ANN_DELTA_PRED})")), label="base"
+            emb.filter(F.expr(f"NOT ({_ANN_DELTA_PRED})")), label="base",
+            attrs=("label",),
         )
     if "delta" not in idx.meta().get("applied", []):
         (emb,) = load(spark, sf_dir, "embeddings")
@@ -790,6 +794,35 @@ def emb_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
     )
     return idx.probe(spark, queries, nprobe=2, k=_TOP_K)
+
+
+@query(
+    "emb_ann_index_filtered_incremental",
+    oracle=_ivfpq_oracle(
+        "\n  JOIN embeddings em ON em.vec_id = a.vec_id "
+        f"AND em.label = {_ANN_FILTER_LABEL}"
+    ),
+    tags=("llm", "similarity", "ivf", "pq", "index", "filtered", "incremental"),
+)
+def emb_ann_index_filtered_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered probe against the INCREMENTALLY maintained index (r8
+    composition): the metadata attr rides build -> append's touched-cell
+    rewrite, and the predicate still pushes into the pruned, version-
+    spanning cells read. Same filtered-rebuild oracle as the full-index
+    variant — a green row proves attrs survive incremental maintenance
+    bit-for-bit."""
+    idx = _ann_incr_index_for(spark, sf_dir)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    return idx.probe(
+        spark, queries, nprobe=2, k=_TOP_K,
+        where=f"label = {_ANN_FILTER_LABEL}",
+    )
 
 
 # --- SimHash hamming-ball pairing --------------------------------------------

@@ -1,0 +1,176 @@
+"""Property-based equivalence tests for the two trickiest maintenance
+paths — the class of bug example-based fixtures miss (round-7 review
+found an upsert-cell-migration hole exactly because the golden test only
+re-appended identical embeddings):
+
+- AnnIndex: ANY random insert/upsert/delete changelog applied through
+  ``append`` must leave the index EQUAL to a fresh ``build`` over the
+  final corpus state — compared on the raw cell contents and the idmap
+  (stronger than probe equality: every code row and every lookup row).
+- TopKViewMaintainer: ANY random I/U/D changelog must keep the ranked
+  view equal to a ranked recompute of the live state after EVERY batch —
+  including buffer exhaustion, promotions, ties, and group moves.
+
+Inputs are small (each example runs real Spark jobs) but generated to
+hit the hazard shapes: repeated upserts of one key, delete-then-reinsert,
+updates that migrate cells, value ties broken by key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,  # each example is several Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# --- AnnIndex: random changelog == rebuild -----------------------------------
+
+_DIMS = 64
+_N_BASE = 40  # ids 0.._N_BASE-1 bootstrap the index; id 1 is both donors
+
+
+def _emb(vec_id: int, ver: int) -> list[float]:
+    """Deterministic pseudo-random embedding; different ``ver`` values
+    move the vector substantially (cell migrations are the point)."""
+    return [
+        ((vec_id * 1009 + ver * 9176 + d * 131) % 997) / 200.0 - 2.5
+        for d in range(_DIMS)
+    ]
+
+
+# an op: (vec_id >= 2 so the id-1 quantizer donors never change,
+#         kind, version counter for upsert embeddings)
+_ann_op = st.tuples(
+    st.integers(min_value=2, max_value=_N_BASE + 7),  # some ids are NEW
+    st.sampled_from(["upsert", "delete"]),
+    st.integers(min_value=1, max_value=3),
+)
+
+
+@given(batches=st.lists(
+    st.lists(_ann_op, min_size=1, max_size=6), min_size=1, max_size=2,
+))
+@settings(**_SETTINGS)
+def test_ann_append_equals_rebuild_for_any_changelog(spark, tmp_path_factory, batches):
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    tmp = tmp_path_factory.mktemp("annprop")
+    state = {v: _emb(v, 0) for v in range(_N_BASE)}
+
+    idx = AnnIndex(str(tmp / "incr"))
+    idx.build(
+        spark.createDataFrame(
+            sorted(state.items()), "vec_id long, embedding array<double>"
+        ),
+        label="base",
+    )
+
+    for i, ops in enumerate(batches):
+        # micro-batch fold: last op per key wins (latest_state semantics)
+        final_op: dict[int, tuple] = {}
+        for vec_id, kind, ver in ops:
+            final_op[vec_id] = (kind, ver)
+        ups = [
+            (v, _emb(v, ver))
+            for v, (kind, ver) in sorted(final_op.items()) if kind == "upsert"
+        ]
+        dels = [
+            (v,) for v, (kind, _ver) in sorted(final_op.items())
+            if kind == "delete"
+        ]
+        idx.append(
+            spark.createDataFrame(ups, "vec_id long, embedding array<double>")
+            if ups else None,
+            deletes=spark.createDataFrame(dels, "vec_id long") if dels else None,
+            label=f"b{i}",
+        )
+        for v, e in ups:
+            state[v] = e
+        for (v,) in dels:
+            state.pop(v, None)
+
+    rebuilt = AnnIndex(str(tmp / "truth"))
+    rebuilt.build(
+        spark.createDataFrame(
+            sorted(state.items()), "vec_id long, embedding array<double>"
+        ),
+        label="truth",
+    )
+
+    def cells_of(ix):
+        m = ix.meta()
+        df = ix._read_cells(spark, m, sorted(int(c) for c in m["cellmap"]))
+        if df is None:
+            return []
+        return sorted(map(tuple, df.select("cid", "vec_id", "s", "pqcid").collect()))
+
+    def idmap_of(ix):
+        m = ix.meta()
+        df = ix._read_idmap(spark, m, sorted(int(b) for b in m["idmap"]))
+        if df is None:
+            return []
+        return sorted(map(tuple, df.select("vec_id", "cid").collect()))
+
+    assert cells_of(idx) == cells_of(rebuilt)  # every code row identical
+    assert idmap_of(idx) == idmap_of(rebuilt)  # lookup table identical
+    # idmap membership == cells membership (the r8 invariant)
+    assert {t[0] for t in idmap_of(idx)} == {t[1] for t in cells_of(idx)}
+
+
+# --- TopK view: random changelog == ranked recompute -------------------------
+
+_tk_op = st.tuples(
+    st.integers(min_value=0, max_value=5),          # id
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(["A", "B"]),                    # grp (moves happen)
+    st.integers(min_value=0, max_value=6),          # val * 0.5 (ties!)
+)
+
+
+@given(batches=st.lists(
+    st.lists(_tk_op, min_size=1, max_size=5), min_size=1, max_size=3,
+))
+@settings(**_SETTINGS)
+def test_topk_view_equals_recompute_for_any_changelog(
+    spark, tmp_path_factory, batches
+):
+    from pyspark.sql import Window
+
+    from pgcdc_spark.streaming.ivm import TopKView, TopKViewMaintainer
+
+    tmp = tmp_path_factory.mktemp("tkprop")
+    view = TopKView("tk", group_cols=["grp"], val_col="val",
+                    key_cols=["id"], agg="max", k_out=2, slack=1)
+    m = TopKViewMaintainer(str(tmp / "tk"), view, keys=["id"], n_buckets=4)
+
+    lsn = 0
+    for i, ops in enumerate(batches):
+        rows = []
+        for vid, op, grp, v2 in ops:
+            lsn += 1
+            rows.append((f"0/{lsn:06X}", op, vid, grp, v2 * 0.5))
+        m.apply_batch(
+            spark.createDataFrame(
+                rows, "lsn string, op string, id long, grp string, val double"
+            ),
+            label=str(i),
+        )
+        st_df = m.store.read(spark)
+        w = Window.partitionBy("grp").orderBy(F.col("val").desc(), F.col("id"))
+        want = sorted(
+            (r["grp"], r["id"], r["val"], r["rank"])
+            for r in st_df.filter(F.col("op") != "D")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= view.k_out)
+            .select("grp", "id", "val", "rank").collect()
+        )
+        got = sorted(
+            (r["grp"], r["id"], r["val"], r["rank"])
+            for r in m.read_view(spark).collect()
+        )
+        assert got == want, f"batch {i}: {got} != {want}"

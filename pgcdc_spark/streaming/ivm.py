@@ -169,6 +169,29 @@ def start_upsert_stream_with_view(
     )
 
 
+def start_support_view_stream(
+    changes: DataFrame,
+    checkpoint_dir: str,
+    maintainer,  # MinMaxViewMaintainer | TopKViewMaintainer
+) -> StreamingQuery:
+    """Continuous maintenance for the support-set maintainers (MIN/MAX
+    and TOP-K views, r8): each micro-batch of parsed change rows goes
+    through ``maintainer.apply_batch`` under the stream's batch id as the
+    idempotence label — the same crash/replay discipline as the agg and
+    join view streams (support-store label gate + state-store manifest),
+    so a replayed micro-batch converges instead of double-applying."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        maintainer.apply_batch(batch_df, label=str(batch_id))
+
+    return (
+        changes.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _no_deltas(root: str) -> bool:
     """True when the view has no delta partitions yet (nothing merged) —
     readers return an empty relation instead of a read error."""

@@ -722,3 +722,53 @@ def test_topk_view_promotion_and_refill(spark, tmp_path):
     # replay of the last label: no-op
     m.apply_batch(spark.createDataFrame(batches[-1], MM_SCHEMA), label="3")
     assert _tk_view(spark, m) == [("A", 2, 10.0, 2), ("A", 6, 99.0, 1)]
+
+
+def test_topk_view_stream_with_restart_and_replay(spark, tmp_path):
+    """start_support_view_stream drives the TOP-K maintainer from a file
+    stream of change rows: view == ranked recompute after draining, a
+    restart on the same checkpoint picks up late files, and a no-new-
+    files rerun changes nothing."""
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    m = _tk_maintainer(tmp_path, "s", k_out=2, slack=1)
+
+    chunks = [
+        [("0/01", "I", 1, "A", 5.0), ("0/02", "I", 2, "A", 9.0),
+         ("0/03", "I", 3, "A", 7.0), ("0/04", "I", 4, "B", 1.0)],
+        [("0/05", "D", 2, "A", 9.0)],          # evict rank-1, promote 3
+    ]
+
+    def write_chunk(i, rows):
+        (spark.createDataFrame(rows, MM_SCHEMA)
+         .coalesce(1).write.parquet(f"{src}/part_{i}"))
+
+    def run():
+        from pgcdc_spark.streaming.ivm import start_support_view_stream
+
+        stream = (
+            spark.readStream.schema(
+                spark.createDataFrame([], MM_SCHEMA).schema
+            ).option("maxFilesPerTrigger", 1).parquet(f"{src}/part_*")
+        )
+        start_support_view_stream(stream, ckpt, m).awaitTermination(240)
+
+    write_chunk(0, chunks[0])
+    run()
+    assert _tk_view(spark, m) == _tk_truth(spark, m)
+    assert _tk_view(spark, m) == [
+        ("A", 2, 9.0, 1), ("A", 3, 7.0, 2), ("B", 4, 1.0, 1)]
+
+    # restart on the same checkpoint with a late file
+    write_chunk(1, chunks[1])
+    run()
+    assert _tk_view(spark, m) == _tk_truth(spark, m) == [
+        ("A", 1, 5.0, 2), ("A", 3, 7.0, 1), ("B", 4, 1.0, 1)]
+
+    # no new files: nothing changes
+    before = _tk_view(spark, m)
+    run()
+    assert _tk_view(spark, m) == before

@@ -425,13 +425,17 @@ def test_runtime_bloom_filter_join_pruning(spark):
             spark.conf.set(k, v)
 
 
-def test_ann_filtered_probe_pushes_predicate_into_cell_scan(spark):
-    """emb_ann_index_filtered_probe: the metadata predicate must land
-    INSIDE the pruned cells parquet scan (PushedFilters on `label`), not
-    as a filter/join after the candidate union — at 100 TB that is the
+@pytest.mark.parametrize("name", [
+    "emb_ann_index_filtered_probe",
+    "emb_ann_index_filtered_incremental",  # version-spanning cells read
+])
+def test_ann_filtered_probe_pushes_predicate_into_cell_scan(spark, name):
+    """Filtered probes: the metadata predicate must land INSIDE the
+    pruned cells parquet scan (PushedFilters on `label`), not as a
+    filter/join after the candidate union — at 100 TB that is the
     difference between skipping row groups inside the nprobe cells and
     shipping every candidate to a post-hoc join."""
-    plan = _plan(spark, "emb_ann_index_filtered_probe")
+    plan = _plan(spark, name)
     # the cells scan is the one reading PQ codes + the denormalized attr
     cell_scans = [
         seg for seg in plan.split("FileScan")[1:]

@@ -110,7 +110,9 @@ def test_no_collect_in_query_surface(spark):
                  "emb_ann_index_incremental",
                  "emb_ann_index_compacted",
                  "emb_ann_index_stats",  # same cold-cache build + cellmap read
+                 "emb_ann_index_idmap_stats",  # same cold-cache build
                  "emb_ann_index_filtered_probe",  # same cold-cache build
+                 "emb_ann_index_filtered_incremental",  # same, incr chain
                  # binaryFile ingestion: on a cold cache the builder runs
                  # the DECLARED one-time fixture materialization (executor-
                  # side file writes, queries/multimodal._mm_fixture_dir) —
@@ -124,7 +126,8 @@ def test_no_collect_in_query_surface(spark):
                  # DataFrame then reads that state lazily. Maintenance jobs
                  # during build are the operator's contract, not a leak.
                  "ivm_agg_view_state", "ivm_minmax_view_state",
-                 "ivm_join_view_state", "ivm_distinct_view_state"}
+                 "ivm_join_view_state", "ivm_distinct_view_state",
+                 "ivm_topk_view_state"}
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

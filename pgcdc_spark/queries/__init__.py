@@ -79,6 +79,7 @@ _PRIORITY = (
     "emb_ann_index_idmap_stats",
     "ivm_topk_view_state",
     "emb_ann_index_filtered_incremental",
+    "emb_lsh_ann_topk",  # rows-only -> full oracle in r8: re-hash-check
     # round-7, composition-verifying first
     "training_mix_pipeline",
     "emb_ann_index_incremental",

@@ -4,9 +4,10 @@
   oracle-checked bit-for-bit (sequential double dot products both sides).
 - `emb_lsh_ann_topk`: the scale path — deterministic random-hyperplane LSH
   buckets first, then top-k within bucket. At 100 TB the bucket join
-  replaces the full cross product; rows-only driver check (the SQL
-  formulation of the plane construction is impractical), but the operator
-  is validated against brute force in tests/test_llm.py.
+  replaces the full cross product. Full-oracle since r8: the plane
+  matrix is a VALUES table in the SQL, so the driver hash-checks the
+  bucketing arithmetic itself; recall-vs-brute-force is additionally
+  pinned in tests/test_llm.py.
 
 No UDFs: dot products are Catalyst higher-order functions (functions/
 vectors.py); the cross join broadcasts the (small) query set so the big
@@ -135,7 +136,55 @@ def _buckets_expr(dims: int) -> F.Column:
     )
 
 
-@query("emb_lsh_ann_topk", oracle=None, tags=("llm", "similarity", "lsh"))
+def _lsh_oracle() -> str:
+    """Full SQL mirror of the LSH plan (r8 — previously rows-only): the
+    32 deterministic +-1 hyperplanes become a VALUES table (with each
+    plane's bit value precomputed as an integer), bucket ids are the
+    same sign/bit-pack arithmetic over list_dot_product (the identical
+    sequential fold as the engine's zip_with aggregate), and candidates
+    join per (table, bucket) before exact-cosine ranking — so the driver
+    hash-checks the bucketing itself, not just the top-k arithmetic."""
+    rows = ", ".join(
+        "({t}, {bv}, [{w}]::DOUBLE[])".format(
+            t=t, bv=1 << p,
+            w=", ".join(
+                f"{float(_plane_sign(t, p, d))}" for d in range(_DIMS)
+            ),
+        )
+        for t in range(_N_TABLES)
+        for p in range(_K_PLANES)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+planes(t, bv, w) AS (VALUES {rows}),
+sig AS (
+  SELECT c.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_dot_product(c.e, pl.w) >= 0
+                       THEN pl.bv ELSE 0 END) AS INT) AS bucket
+  FROM c, planes pl GROUP BY c.vec_id, pl.t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, s2.vec_id
+  FROM sig q JOIN sig s2 ON q.t = s2.t AND q.bucket = s2.bucket
+  WHERE q.vec_id < {_N_QUERIES} AND s2.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cd.qid, cd.vec_id,
+    list_dot_product(cq.e, cv.e)
+      / (sqrt(list_dot_product(cq.e, cq.e)) * sqrt(list_dot_product(cv.e, cv.e)))
+      AS cosine
+  FROM cand cd JOIN c cq ON cq.vec_id = cd.qid JOIN c cv ON cv.vec_id = cd.vec_id
+)
+SELECT qid, vec_id AS neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("emb_lsh_ann_topk", oracle=_lsh_oracle(), tags=("llm", "similarity", "lsh"))
 def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     base = (

@@ -615,3 +615,59 @@ def test_ann_index_compact_and_version_probe(spark, sf_smoke, tmp_path):
 
     # replaying the compaction label is a no-op
     assert idx.compact(spark, label="cmp1") == v_cmp
+
+
+def test_ann_index_attrs_survive_append_and_compact(spark, sf_smoke, tmp_path):
+    """Metadata attrs (filtered-probe columns) must ride through append's
+    touched-cell rewrite AND compact's fold unchanged — and an append
+    whose batch lacks the attr columns must refuse loudly rather than
+    write schema-divergent cells."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    pred = "(vec_id % 100 = 2) AND (vec_id % 53 <> 1) AND (vec_id % 127 <> 1)"
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    idx = AnnIndex(str(tmp_path / "attrs"))
+    idx.build(emb.filter(F.expr(f"NOT ({pred})")), label="base",
+              attrs=("label",))
+
+    # attr-less batch refused
+    with _pytest.raises(ValueError, match="lacks"):
+        idx.append(
+            emb.filter(F.expr(pred)).select("vec_id", "embedding"),
+            label="bad",
+        )
+
+    idx.append(emb.filter(F.expr(pred)), label="delta")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    before = sorted(map(tuple, idx.probe(
+        spark, queries, nprobe=2, k=10, where="label = 3"
+    ).collect()))
+    assert before  # the filter actually selects something
+
+    idx.compact(spark, label="fold")
+    after = sorted(map(tuple, idx.probe(
+        spark, queries, nprobe=2, k=10, where="label = 3"
+    ).collect()))
+    assert after == before  # fold moved the attr column bit-for-bit
+
+    # filtered == unfiltered restricted to passing neighbors, on the same
+    # candidate cells (pre-filter semantics sanity)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    unfiltered = idx.probe(spark, queries, nprobe=2, k=10**6).collect()
+    expect = {}
+    for r in sorted(unfiltered, key=lambda r: (r["qid"], r["approx_dist2"], r["neighbor_id"])):
+        if labels[r["neighbor_id"]] == 3:
+            expect.setdefault(r["qid"], [])
+            if len(expect[r["qid"]]) < 10:
+                expect[r["qid"]].append((r["neighbor_id"], r["approx_dist2"]))
+    got = {}
+    for (qid, nid, d2, rk) in sorted(after, key=lambda t: (t[0], t[3])):
+        got.setdefault(qid, []).append((nid, d2))
+    assert got == {q: v for q, v in expect.items() if v}

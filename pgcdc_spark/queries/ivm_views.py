@@ -311,3 +311,83 @@ def ivm_topk_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.apply_batch(log.filter(F.col("batch") == b).drop("batch"),
                       label=str(b))
     return m.read_view(spark)
+
+
+# Term-DF fixture: documents as a 3-batch changelog — batches 0/1 insert
+# (doc_id % 2), batch 2 updates (doc_id % 5 = 0 appends a new token) and
+# deletes (doc_id % 7 = 3) keys from the earlier batches, so term deltas
+# genuinely retract old vocabularies.
+_TERM_DF_ORACLE = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' zqxnovel' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+),
+t AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
+  FROM final
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term
+  UNION ALL
+  SELECT ' N' AS term, CAST(COUNT(*) AS BIGINT) FROM final
+)
+SELECT term, df FROM df
+"""
+
+
+@query("ivm_term_df_state", oracle=_TERM_DF_ORACLE, tags=("cdc", "ivm", "text"))
+def ivm_term_df_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency view (term -> live-doc count, plus the ' N'
+    pseudo-term carrying N itself — the BM25/TF-IDF corpus statistics)
+    maintained incrementally from a 3-batch documents changelog (r8):
+    updates retract the old text's token set and add the new one, so the
+    delta log carries only CHANGED terms; deletes retract exactly the
+    doc's vocabulary. The oracle recomputes df from the final state —
+    a hash match proves the signed token deltas net to the batch answer
+    over a real vocabulary."""
+    from ..streaming.ivm import (
+        TermDFView,
+        apply_agg_view_batch,
+        read_term_df_view,
+    )
+    from ..streaming.statestore import BucketedStateStore
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    ev = (
+        base.select(
+            "doc_id", "text", (2 * F.col("doc_id")).alias("lsn"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") % 2).cast("int").alias("batch"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                F.concat("text", F.lit(" zqxnovel")).alias("text"),
+                (2 * F.col("doc_id") + 1).alias("lsn"),
+                F.lit("U").alias("op"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 3).select(
+                "doc_id", "text",
+                (2 * F.col("doc_id") + 2).alias("lsn"),
+                F.lit("D").alias("op"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+    )
+    view = TermDFView("df")
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-termdf-")
+    store = BucketedStateStore(os.path.join(state_dir, "state"),
+                               n_buckets=_N_BUCKETS)
+    delta_root = os.path.join(state_dir, f"view_{view.name}")
+    for b in range(3):
+        apply_agg_view_batch(
+            store, view, delta_root,
+            ev.filter(F.col("batch") == b).drop("batch"),
+            label=str(b), keys=["doc_id"], order_by=["lsn"],
+        )
+    return read_term_df_view(spark, state_dir, view)

@@ -142,6 +142,74 @@ def apply_agg_view_batch(
     )
 
 
+class TermDFView:
+    """Document-frequency view over a text column: term -> number of
+    LIVE documents containing it (set semantics — a term counts once per
+    doc). This is the corpus-statistics half of an incrementally
+    maintained BM25/TF-IDF index: df (and N = live doc count) kept
+    current from the CDC feed without rescanning the corpus.
+
+    Delta-foldable like SUM/COUNT: ``_agg`` explodes each live doc's
+    DISTINCT token set, so a transition retracts the old text's token
+    set and adds the new one — an update that edits one word writes
+    O(changed terms) delta rows (the +1/-1 of unchanged terms cancels in
+    ``delta``'s != 0 filter), a delete retracts exactly the doc's
+    vocabulary. Same replay-exactly-once delta-log discipline as
+    AggView via apply_agg_view_batch."""
+
+    def __init__(self, name: str, text_col: str = "text",
+                 doc_count_term: str = " N") -> None:
+        # doc_count_term: a reserved pseudo-term (contains a space, so
+        # a space-split of real text can never produce it) carrying the
+        # live-document count N —
+        # BM25's other global statistic, maintained in the same log.
+        self.name = name
+        self.text_col = text_col
+        self.doc_count_term = doc_count_term
+
+    def _agg(self, df: DataFrame, sign: int) -> DataFrame:
+        live = df.filter(F.col("op") != "D")
+        toks = live.select(
+            F.explode(
+                F.array_union(
+                    F.array_distinct(F.split(F.col(self.text_col), " ")),
+                    F.array(F.lit(self.doc_count_term)),
+                )
+            ).alias("term")
+        )
+        return toks.groupBy("term").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("df_delta")
+        )
+
+    def delta(self, current: DataFrame | None, new_state: DataFrame) -> DataFrame:
+        add = self._agg(new_state, +1)
+        if current is None:
+            return add
+        sub = self._agg(current, -1)
+        return (
+            add.unionByName(sub)
+            .groupBy("term")
+            .agg(F.sum("df_delta").alias("df_delta"))
+            .filter(F.col("df_delta") != 0)
+        )
+
+
+def read_term_df_view(
+    spark: SparkSession, state_dir: str, view: TermDFView
+) -> DataFrame:
+    """(term, df) for every term with a live document — the delta-log
+    fold, one small aggregate at read time."""
+    root = os.path.join(state_dir, f"view_{view.name}")
+    if _no_deltas(root):
+        return spark.createDataFrame([], "term string, df long")
+    df = spark.read.parquet(root)
+    return (
+        df.groupBy("term")
+        .agg(F.sum("df_delta").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+
+
 def start_upsert_stream_with_view(
     changes: DataFrame,
     state_dir: str,

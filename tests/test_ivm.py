@@ -772,3 +772,41 @@ def test_topk_view_stream_with_restart_and_replay(spark, tmp_path):
     before = _tk_view(spark, m)
     run()
     assert _tk_view(spark, m) == before
+
+
+def test_term_df_view_delta_carries_only_changed_terms(spark, tmp_path):
+    """The incremental-BM25 property: an update that edits ONE word must
+    write delta rows for only the changed terms (unchanged terms' +1/-1
+    cancel, including the ' N' doc-count pseudo-term), and a delete must
+    retract exactly the doc's vocabulary."""
+    import os
+
+    from pgcdc_spark.streaming.ivm import (
+        TermDFView, apply_agg_view_batch, read_term_df_view)
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    view = TermDFView("df")
+    store = BucketedStateStore(str(tmp_path / "state"), n_buckets=4)
+    root = str(tmp_path / "view_df")
+    schema = "lsn string, op string, doc_id long, text string"
+
+    def apply(rows, label):
+        apply_agg_view_batch(store, view, root,
+                             spark.createDataFrame(rows, schema),
+                             label=label, keys=["doc_id"])
+
+    apply([("0/01", "U", 1, "the quick brown fox"),
+           ("0/02", "U", 2, "the lazy dog")], "0")
+    # edit one word of doc 1
+    apply([("0/03", "U", 1, "the quick brown wolf")], "1")
+    d1 = {r["term"]: r["df_delta"]
+          for r in spark.read.parquet(os.path.join(root, "delta_batch=1")).collect()}
+    assert d1 == {"fox": -1, "wolf": 1}
+    # delete doc 2: exactly its vocabulary retracts (plus N)
+    apply([("0/04", "D", 2, "the lazy dog")], "2")
+    d2 = {r["term"]: r["df_delta"]
+          for r in spark.read.parquet(os.path.join(root, "delta_batch=2")).collect()}
+    assert d2 == {"the": -1, "lazy": -1, "dog": -1, " N": -1}
+
+    got = {(r["term"], r["df"]) for r in read_term_df_view(spark, str(tmp_path), view).collect()}
+    assert got == {("the", 1), ("quick", 1), ("brown", 1), ("wolf", 1), (" N", 1)}

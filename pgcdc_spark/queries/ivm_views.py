@@ -391,3 +391,151 @@ def ivm_term_df_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             label=str(b), keys=["doc_id"], order_by=["lsn"],
         )
     return read_term_df_view(spark, state_dir, view)
+
+
+# BM25 served from the MAINTAINED views — the end state of the text-index
+# story: postings (tf + doc lengths) kept current by PostingsView over
+# the same 3-batch documents changelog, scored with the exact formula of
+# the batch docs_bm25_topk. The oracle recomputes BM25 from the final
+# state, so a hash match proves the incrementally maintained inverted
+# index answers retrieval queries identically to a fresh index build.
+def _bm25_incr_oracle() -> str:
+    from .llm_text import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOP
+
+    return f"""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' zqxnovel' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+),
+tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM final
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM final
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE t IN {_BM25_TERMS} GROUP BY doc_id, t
+),
+df AS (
+  SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+  WHERE t IN {_BM25_TERMS} GROUP BY t
+),
+scored AS (
+  SELECT f.doc_id,
+    ROUND(SUM(
+      CAST(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        * f.tf * ({_BM25_K1} + 1.0)
+        / (f.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+      AS DECIMAL(28,9))
+    )::DOUBLE, 9) AS bm25
+  FROM tf f
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  JOIN df d USING (t)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM scored
+) WHERE rank <= {_BM25_TOP}
+"""
+
+
+@query("ivm_bm25_topk_state", oracle=_bm25_incr_oracle(),
+       tags=("cdc", "ivm", "text", "retrieval"))
+def ivm_bm25_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k answered FROM the incrementally maintained postings
+    (r8): PostingsView keeps (term, doc_id, tf) and per-doc lengths
+    current across the 3-batch I/U/D changelog; the query derives N,
+    avgdl, df, and the scores from the view alone — no corpus rescan.
+    The oracle rebuilds the index from the final state: a hash match is
+    the retrieval-level incremental-equals-rebuild proof for the text
+    index, the twin of emb_ann_index_incremental's for vectors."""
+    from pyspark.sql import Window
+
+    from ..streaming.ivm import (
+        PostingsView,
+        apply_agg_view_batch,
+        read_postings_view,
+    )
+    from ..streaming.statestore import BucketedStateStore
+    from .llm_text import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOP
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    ev = (
+        base.select(
+            "doc_id", "text", (2 * F.col("doc_id")).alias("lsn"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") % 2).cast("int").alias("batch"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                F.concat("text", F.lit(" zqxnovel")).alias("text"),
+                (2 * F.col("doc_id") + 1).alias("lsn"),
+                F.lit("U").alias("op"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 3).select(
+                "doc_id", "text",
+                (2 * F.col("doc_id") + 2).alias("lsn"),
+                F.lit("D").alias("op"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+    )
+    view = PostingsView("post")
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-bm25-")
+    store = BucketedStateStore(os.path.join(state_dir, "state"),
+                               n_buckets=_N_BUCKETS)
+    delta_root = os.path.join(state_dir, f"view_{view.name}")
+    for b in range(3):
+        apply_agg_view_batch(
+            store, view, delta_root,
+            ev.filter(F.col("batch") == b).drop("batch"),
+            label=str(b), keys=["doc_id"], order_by=["lsn"],
+        )
+
+    post = read_postings_view(spark, state_dir, view)
+    dl = post.filter(F.col("term") == view.dl_term).select(
+        "doc_id", F.col("tf").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = post.filter(F.col("term").isin(list(_BM25_TERMS))).select(
+        F.col("term").alias("t"), "doc_id", F.col("tf").cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf * F.col("tf") * (_BM25_K1 + 1.0)
+        / (F.col("tf") + _BM25_K1
+           * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df_), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(28,9)")).cast("double"), 9
+            ).alias("bm25")
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP)
+        .select("doc_id", "bm25", "rank")
+    )

@@ -194,6 +194,68 @@ class TermDFView:
         )
 
 
+class PostingsView:
+    """Incrementally maintained inverted-index postings: (term, doc_id,
+    tf) for every LIVE document, plus one reserved ``(' DL', doc_id,
+    n_tokens)`` row per doc carrying its length — together with
+    TermDFView this is everything BM25/TF-IDF needs, all kept current
+    from the CDC feed (the text-side twin of the CDC-maintained ANN
+    index). Deltas are SIGNED tf contributions: an update nets
+    old-tf(-1) + new-tf(+1) per (term, doc), so unchanged terms cancel
+    and the log carries O(changed terms); net tf <= 0 at read time means
+    the posting is gone."""
+
+    def __init__(self, name: str, text_col: str = "text",
+                 dl_term: str = " DL") -> None:
+        self.name = name
+        self.text_col = text_col
+        self.dl_term = dl_term  # contains a space: unreachable from a split
+
+    def _agg(self, df: DataFrame, sign: int) -> DataFrame:
+        live = df.filter(F.col("op") != "D")
+        toks = live.select(
+            "doc_id",
+            F.explode(F.split(F.col(self.text_col), " ")).alias("term"),
+        )
+        tf = toks.groupBy("term", "doc_id").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("tf_delta")
+        )
+        dl = live.select(
+            F.lit(self.dl_term).alias("term"),
+            "doc_id",
+            (F.lit(sign) * F.size(F.split(F.col(self.text_col), " ")))
+            .alias("tf_delta"),
+        )
+        return tf.unionByName(dl)
+
+    def delta(self, current: DataFrame | None, new_state: DataFrame) -> DataFrame:
+        add = self._agg(new_state, +1)
+        if current is None:
+            return add
+        sub = self._agg(current, -1)
+        return (
+            add.unionByName(sub)
+            .groupBy("term", "doc_id")
+            .agg(F.sum("tf_delta").alias("tf_delta"))
+            .filter(F.col("tf_delta") != 0)
+        )
+
+
+def read_postings_view(
+    spark: SparkSession, state_dir: str, view: PostingsView
+) -> DataFrame:
+    """(term, doc_id, tf) live postings — the signed delta-log fold."""
+    root = os.path.join(state_dir, f"view_{view.name}")
+    if _no_deltas(root):
+        return spark.createDataFrame([], "term string, doc_id long, tf long")
+    df = spark.read.parquet(root)
+    return (
+        df.groupBy("term", "doc_id")
+        .agg(F.sum("tf_delta").cast("long").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+
+
 def read_term_df_view(
     spark: SparkSession, state_dir: str, view: TermDFView
 ) -> DataFrame:

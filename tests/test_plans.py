@@ -127,7 +127,8 @@ def test_no_collect_in_query_surface(spark):
                  # during build are the operator's contract, not a leak.
                  "ivm_agg_view_state", "ivm_minmax_view_state",
                  "ivm_join_view_state", "ivm_distinct_view_state",
-                 "ivm_topk_view_state"}
+                 "ivm_topk_view_state", "ivm_term_df_state",
+                 "ivm_bm25_topk_state"}
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

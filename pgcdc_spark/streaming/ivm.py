@@ -483,6 +483,38 @@ def compact_distinct_view(
     _compact_delta_log(spark, os.path.join(state_dir, f"view_{view.name}"), fold)
 
 
+def compact_term_df_view(
+    spark: SparkSession, state_dir: str, view: TermDFView
+) -> None:
+    """Fold the term-DF log into one base partition — without it a
+    long-running DF view accumulates one partition per batch; the fold
+    also drops fully-cancelled terms (net 0) from the base."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("term")
+            .agg(F.sum("df_delta").alias("df_delta"))
+            .filter(F.col("df_delta") != 0)
+        )
+
+    _compact_delta_log(spark, os.path.join(state_dir, f"view_{view.name}"), fold)
+
+
+def compact_postings_view(
+    spark: SparkSession, state_dir: str, view: PostingsView
+) -> None:
+    """Fold the postings log (same rationale; net-0 postings dropped)."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("term", "doc_id")
+            .agg(F.sum("tf_delta").alias("tf_delta"))
+            .filter(F.col("tf_delta") != 0)
+        )
+
+    _compact_delta_log(spark, os.path.join(state_dir, f"view_{view.name}"), fold)
+
+
 # --- crash-atomic delta-log compaction ---------------------------------------
 # The fold is the view's ONLY source of truth; the hidden-scratch +
 # fsync'd COMMIT + single-winner CLAIM protocol lives in

@@ -810,3 +810,48 @@ def test_term_df_view_delta_carries_only_changed_terms(spark, tmp_path):
 
     got = {(r["term"], r["df"]) for r in read_term_df_view(spark, str(tmp_path), view).collect()}
     assert got == {("the", 1), ("quick", 1), ("brown", 1), ("wolf", 1), (" N", 1)}
+
+
+def test_term_df_and_postings_compaction_preserve_views(spark, tmp_path):
+    """Folding the term-DF / postings delta logs into one base partition
+    must leave both views identical and drop fully-cancelled rows."""
+    import os
+
+    from pgcdc_spark.streaming.ivm import (
+        PostingsView, TermDFView, apply_agg_view_batch,
+        compact_postings_view, compact_term_df_view,
+        read_postings_view, read_term_df_view)
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    schema = "lsn string, op string, doc_id long, text string"
+    dfv, pv = TermDFView("df"), PostingsView("post")
+    sd, sp = str(tmp_path / "d"), str(tmp_path / "p")
+    std = BucketedStateStore(os.path.join(sd, "state"), n_buckets=4)
+    stp = BucketedStateStore(os.path.join(sp, "state"), n_buckets=4)
+
+    batches = [
+        [("0/01", "U", 1, "a b b c"), ("0/02", "U", 2, "b c d")],
+        [("0/03", "U", 1, "a b e")],       # update: c leaves doc 1, e enters
+        [("0/04", "D", 2, "b c d")],       # delete doc 2
+    ]
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, schema)
+        apply_agg_view_batch(std, dfv, os.path.join(sd, "view_df"), b,
+                             label=str(i), keys=["doc_id"])
+        apply_agg_view_batch(stp, pv, os.path.join(sp, "view_post"), b,
+                             label=str(i), keys=["doc_id"])
+
+    df_before = sorted(map(tuple, read_term_df_view(spark, sd, dfv).collect()))
+    po_before = sorted(map(tuple, read_postings_view(spark, sp, pv).collect()))
+    compact_term_df_view(spark, sd, dfv)
+    compact_postings_view(spark, sp, pv)
+    assert sorted(map(tuple, read_term_df_view(spark, sd, dfv).collect())) == df_before
+    assert sorted(map(tuple, read_postings_view(spark, sp, pv).collect())) == po_before
+    # one folded partition each; cancelled rows gone from the base
+    for root, col in ((os.path.join(sd, "view_df"), "df_delta"),
+                      (os.path.join(sp, "view_post"), "tf_delta")):
+        parts = [d for d in os.listdir(root) if d.startswith("delta_batch=")]
+        assert len(parts) == 1, parts
+        base = spark.read.parquet(os.path.join(root, parts[0]))
+        assert base.filter(F.col(col) == 0).count() == 0
+    assert df_before == [(" N", 1), ("a", 1), ("b", 1), ("e", 1)]

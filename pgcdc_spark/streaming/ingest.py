@@ -1,4 +1,4 @@
-"""Composed training-data ingest: ONE CDC stream, TWO maintainers.
+"""Composed training-data ingest: ONE CDC stream, THREE maintainers.
 
 The realistic ingest topology for a training corpus under logical
 replication (reference pipeline R1->R8, ``src/main.ts:54-90``): each
@@ -53,18 +53,36 @@ def start_training_ingest_stream(
     threshold: float = 0.5,
     dedup_compact_after: int = 16,
     ann_compact_after: int = 16,
+    text_index_dir: str | None = None,
 ) -> StreamingQuery:
     """Drive the dedup state at ``dedup_state_dir`` AND the AnnIndex at
     ``index_root`` from one file-stream of CDC envelopes whose row images
-    hold (doc_id: long, text: string, embedding: array<double>)."""
+    hold (doc_id: long, text: string, embedding: array<double>).
+
+    ``text_index_dir`` (optional) additionally maintains the inverted
+    text index there — a PostingsView (term/tf postings + doc lengths,
+    the BM25 statistics) fed the SAME batches under the same batch-id
+    label: three serving artifacts (near-dup state, ANN index, text
+    index), one CDC feed, one checkpoint. The postings maintainer tracks
+    the full I/U/D lifecycle like the ANN index (an update re-derives
+    the doc's token deltas from the state transition's before-image)."""
+    import os
+
     from ..cdc.envelope import parse_envelope
     from ..cdc.transform import apply_pipeline
     from ..cdc.upsert import latest_state
     from ..operators.annindex import AnnIndex
     from .annstream import apply_ann_batch
     from .dedup import merge_dedup_batch
+    from .ivm import PostingsView, apply_agg_view_batch
+    from .statestore import BucketedStateStore
 
     idx = AnnIndex(index_root)
+    postings_view = PostingsView("post") if text_index_dir else None
+    postings_store = (
+        BucketedStateStore(os.path.join(text_index_dir, "state"), n_buckets=16)
+        if text_index_dir else None
+    )
 
     raw = (
         spark.readStream.format("text")
@@ -101,6 +119,15 @@ def start_training_ingest_stream(
                 spark, idx, ups, dels, str(batch_id),
                 compact_after=ann_compact_after,
             )
+            if postings_view is not None:
+                # text index: same batch, own state store + delta log,
+                # replay-gated by ITS store's applied label
+                apply_agg_view_batch(
+                    postings_store, postings_view,
+                    os.path.join(text_index_dir, f"view_{postings_view.name}"),
+                    folded.select("lsn", "op", "doc_id", "text"),
+                    label=str(batch_id), keys=["doc_id"], order_by=["lsn"],
+                )
         finally:
             folded.unpersist()
 

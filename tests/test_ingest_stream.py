@@ -1,5 +1,6 @@
-"""Composed ingest: ONE CDC stream drives the dedup state AND the ANN
-index (streaming/ingest.py), with a mid-stream restart.
+"""Composed ingest: ONE CDC stream drives the dedup state, the ANN
+index, AND the inverted text index (streaming/ingest.py), with a
+mid-stream restart.
 
 Truth model: after an insert/update/delete changelog,
 
@@ -8,7 +9,10 @@ Truth model: after an insert/update/delete changelog,
   batch, so the frozen quantizer is the full-corpus quantizer);
 - the dedup verdict log must equal the SOLO dedup stream's log over the
   same insert batches (verdicts are first-seen decisions; updates and
-  deletes do not re-open them).
+  deletes do not re-open them);
+- the postings view (term/tf + doc lengths) must equal a recompute over
+  the final text state — updates swap a doc's token multiset, deletes
+  retract it.
 """
 
 from __future__ import annotations
@@ -69,11 +73,13 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
     from pgcdc_spark.operators.annindex import AnnIndex
     from pgcdc_spark.streaming.dedup import read_verdicts, start_dedup_stream
     from pgcdc_spark.streaming.ingest import start_training_ingest_stream
+    from pgcdc_spark.streaming.ivm import PostingsView, read_postings_view
 
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     dstate = str(tmp_path / "dedup")
     root = str(tmp_path / "annidx")
+    tindex = str(tmp_path / "textidx")
     os.makedirs(src)
 
     base_ids = [d for d in sorted(corpus) if not _DELTA(d)]
@@ -94,6 +100,7 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
         q = start_training_ingest_stream(
             spark, src, ckpt, dstate, root, ROW_SCHEMA,
             max_files_per_trigger=1, ann_compact_after=1,
+            text_index_dir=tindex,
         )
         q.awaitTermination(300)
 
@@ -169,9 +176,32 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
     assert composed == solo
     assert {b for (_, _, _, b) in composed} == {0, 1}  # c2 wrote no verdicts
 
+    # --- text-index half: maintained postings == recompute over the
+    # final text state (updates changed texts, deletes removed docs) ---
+    final_text = {d: t for d, (t, _e) in corpus.items()}
+    for d in _UPDATE_IDS:
+        final_text[d] = final_text[d] + " amended"
+    for d in _DELETE_IDS:
+        del final_text[d]
+    want_post = {}
+    for d, t in final_text.items():
+        toks = t.split(" ")
+        for tok in set(toks):
+            want_post[(tok, d)] = toks.count(tok)
+        want_post[(" DL", d)] = len(toks)
+    got_post = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in read_postings_view(spark, tindex, PostingsView("post")).collect()
+    }
+    assert got_post == want_post
+
     # --- replay: rerun with no new files — both artifacts untouched ---
     v_before = idx.current_version()
     before = verdicts(dstate)
     run()
     assert idx.current_version() == v_before
     assert verdicts(dstate) == before
+    assert {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in read_postings_view(spark, tindex, PostingsView("post")).collect()
+    } == want_post

@@ -10,6 +10,11 @@ re-appended identical embeddings):
 - TopKViewMaintainer: ANY random I/U/D changelog must keep the ranked
   view equal to a ranked recompute of the live state after EVERY batch —
   including buffer exhaustion, promotions, ties, and group moves.
+- JoinViewMaintainer: ANY random two-sided changelog must keep the
+  signed-delta join view equal to a recompute after every batch —
+  join-key moves, delete-then-reinsert, multiplicity > 1.
+- TermDFView/PostingsView: ANY random document changelog must leave the
+  text-index views equal to a recompute over the live corpus.
 
 Inputs are small (each example runs real Spark jobs) but generated to
 hit the hazard shapes: repeated upserts of one key, delete-then-reinsert,
@@ -174,3 +179,130 @@ def test_topk_view_equals_recompute_for_any_changelog(
             for r in m.read_view(spark).collect()
         )
         assert got == want, f"batch {i}: {got} != {want}"
+
+
+# --- Join view: random two-sided changelogs == recompute ---------------------
+
+_L_SCHEMA = "lsn string, op string, id long, j long, a_val string"
+_R_SCHEMA = "lsn string, op string, rid long, j long, b_val string"
+
+# ops: (key 0..3, op, join-key 0..2, value tag 0..2) — small domains force
+# key collisions, join-key moves, delete-then-reinsert, and multiplicity>1
+_jv_l_op = st.tuples(st.integers(0, 3), st.sampled_from(["I", "U", "D"]),
+                     st.integers(0, 2), st.integers(0, 2))
+_jv_r_op = st.tuples(st.integers(10, 13), st.sampled_from(["I", "U", "D"]),
+                     st.integers(0, 2), st.integers(0, 2))
+
+
+@given(batches=st.lists(
+    st.tuples(st.lists(_jv_l_op, max_size=4), st.lists(_jv_r_op, max_size=4)),
+    min_size=1, max_size=3,
+))
+@settings(**_SETTINGS)
+def test_join_view_equals_recompute_for_any_changelog(
+    spark, tmp_path_factory, batches
+):
+    from pgcdc_spark.streaming.ivm import JoinView, JoinViewMaintainer
+
+    tmp = tmp_path_factory.mktemp("jvprop")
+    view = JoinView("v", on=["j"], left_cols=["id", "j", "a_val"],
+                    right_cols=["j", "b_val"])
+    m = JoinViewMaintainer(str(tmp / "jv"), view,
+                           left_keys=["id"], right_keys=["rid"], n_buckets=4)
+
+    lsn = 0
+    for i, (lops, rops) in enumerate(batches):
+        def rows(ops, tag):
+            nonlocal lsn
+            out = []
+            for key, op, j, v in ops:
+                lsn += 1
+                out.append((f"0/{lsn:06X}", op, key, j, f"{tag}{v}"))
+            return out
+        lrows, rrows = rows(lops, "a"), rows(rops, "b")
+        m.apply_batch(
+            spark.createDataFrame(lrows, _L_SCHEMA) if lrows else None,
+            spark.createDataFrame(rrows, _R_SCHEMA) if rrows else None,
+            label=str(i),
+        )
+        l_st, r_st = m.left_store.read(spark), m.right_store.read(spark)
+        want = {}
+        if l_st is not None and r_st is not None:
+            joined = (
+                l_st.filter(F.col("op") != "D").select("id", "j", "a_val")
+                .join(r_st.filter(F.col("op") != "D").select("j", "b_val"),
+                      on="j")
+            )
+            want = {
+                (r["id"], r["j"], r["a_val"], r["b_val"]): r["n"]
+                for r in joined.groupBy("id", "j", "a_val", "b_val")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+            }
+        got = {
+            (r["id"], r["j"], r["a_val"], r["b_val"]): r["multiplicity"]
+            for r in m.read_view(spark).collect()
+        }
+        assert got == want, f"batch {i}"
+
+
+# --- Text views: random doc changelogs == recompute --------------------------
+
+_doc_op = st.tuples(
+    st.integers(0, 4),                     # doc_id
+    st.sampled_from(["I", "U", "D"]),
+    st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=5),
+)
+
+
+@given(batches=st.lists(
+    st.lists(_doc_op, min_size=1, max_size=4), min_size=1, max_size=3,
+))
+@settings(**_SETTINGS)
+def test_text_views_equal_recompute_for_any_changelog(
+    spark, tmp_path_factory, batches
+):
+    import os
+
+    from pgcdc_spark.streaming.ivm import (
+        PostingsView, TermDFView, apply_agg_view_batch,
+        read_postings_view, read_term_df_view)
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    tmp = tmp_path_factory.mktemp("txtprop")
+    dfv, pv = TermDFView("df"), PostingsView("post")
+    sd, sp = str(tmp / "d"), str(tmp / "p")
+    std = BucketedStateStore(os.path.join(sd, "state"), n_buckets=4)
+    stp = BucketedStateStore(os.path.join(sp, "state"), n_buckets=4)
+    schema = "lsn string, op string, doc_id long, text string"
+
+    lsn = 0
+    for i, ops in enumerate(batches):
+        rows = []
+        for doc_id, op, toks in ops:
+            lsn += 1
+            rows.append((f"0/{lsn:06X}", op, doc_id, " ".join(toks)))
+        b = spark.createDataFrame(rows, schema)
+        apply_agg_view_batch(std, dfv, os.path.join(sd, "view_df"), b,
+                             label=str(i), keys=["doc_id"])
+        apply_agg_view_batch(stp, pv, os.path.join(sp, "view_post"), b,
+                             label=str(i), keys=["doc_id"])
+
+    # truth from the (shared-content) state table
+    st_df = std.read(spark)
+    live = {r["doc_id"]: r["text"]
+            for r in st_df.filter(F.col("op") != "D").collect()}
+    want_df, want_post = {}, {}
+    for d, t in live.items():
+        toks = t.split(" ")
+        for tok in set(toks):
+            want_df[tok] = want_df.get(tok, 0) + 1
+            want_post[(tok, d)] = toks.count(tok)
+        want_post[(" DL", d)] = len(toks)
+    if live:
+        want_df[" N"] = len(live)
+    got_df = {r["term"]: r["df"]
+              for r in read_term_df_view(spark, sd, dfv).collect()}
+    got_post = {(r["term"], r["doc_id"]): r["tf"]
+                for r in read_postings_view(spark, sp, pv).collect()}
+    assert got_df == want_df
+    assert got_post == want_post

@@ -82,6 +82,7 @@ _PRIORITY = (
     "emb_lsh_ann_topk",  # rows-only -> full oracle in r8: re-hash-check
     "ivm_term_df_state",
     "ivm_bm25_topk_state",
+    "hybrid_rrf_retrieval",
     # round-7, composition-verifying first
     "training_mix_pipeline",
     "emb_ann_index_incremental",

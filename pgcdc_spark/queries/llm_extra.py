@@ -1295,3 +1295,86 @@ def emb_ann_index_idmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = idx.meta()
     imap = idx._read_idmap(spark, m, sorted(int(b) for b in m["idmap"]))
     return imap.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# --- hybrid retrieval: reciprocal rank fusion --------------------------------
+# Production retrieval fuses a lexical ranking (BM25) with a vector
+# ranking (ANN) — reciprocal rank fusion (Cormack et al., SIGIR'09):
+# score(d) = sum over systems of 1/(K + rank_s(d)), K=60. Determinism:
+# both input rankings are already driver-hash-checked bit-for-bit, ranks
+# are integers, and the fused score is ONE addition of two IEEE
+# divisions built in the same order on both engines — no decimal staging
+# or rounding needed. The fusion itself is a union + two left joins on
+# (qid, doc_id): broadcast-sized (queries x k plus the lexical top-k),
+# O(1) shuffles regardless of corpus size — fusion cost scales with the
+# CANDIDATE LISTS, never the corpus.
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from .llm_text import _BM25_ORACLE
+
+    return f"""
+WITH ann AS (SELECT * FROM ({_ivfpq_oracle()})),
+lex AS (SELECT * FROM ({_BM25_ORACLE})),
+cand AS (
+  SELECT qid, neighbor_id AS doc_id FROM ann
+  UNION
+  SELECT q.qid, l.doc_id
+  FROM (SELECT DISTINCT qid FROM ann) q CROSS JOIN lex l
+),
+scored AS (
+  SELECT c.qid, c.doc_id,
+         COALESCE(1.0 / ({_RRF_K} + a.rank), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + l.rank), 0.0) AS rrf
+  FROM cand c
+  LEFT JOIN ann a ON a.qid = c.qid AND a.neighbor_id = c.doc_id
+  LEFT JOIN lex l ON l.doc_id = c.doc_id
+)
+SELECT qid, doc_id, rrf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+         AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("hybrid_rrf_retrieval", oracle=_rrf_oracle(),
+       tags=("llm", "retrieval", "hybrid", "composition"))
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r8): fuse the IVF-PQ vector ranking with the
+    BM25 lexical ranking by reciprocal rank fusion, per query. Composes
+    two independently hash-checked registry queries into one lazy plan;
+    the oracle embeds both of their SQL mirrors as CTEs plus the fusion
+    arithmetic, so the driver verifies the composition end-to-end."""
+    from .llm_text import docs_bm25_topk
+
+    ann = emb_ivf_pq_topk(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("a_rank"),
+    )
+    lex = docs_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("l_rank")
+    )
+    qids = ann.select("qid").distinct()
+    cand = ann.select("qid", "doc_id").union(
+        qids.crossJoin(F.broadcast(lex.select("doc_id")))
+    ).distinct()
+    scored = (
+        cand.join(ann, ["qid", "doc_id"], "left")
+        .join(F.broadcast(lex), "doc_id", "left")
+        .select(
+            "qid", "doc_id",
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("a_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("l_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", "doc_id", "rrf", "rank")
+    )

@@ -78,6 +78,10 @@ EXTRA = [
     "emb_semantic_dedup",
     "emb_kmeans_lloyd",
     "graph_pagerank",
+    # r8: filtered serving probe (predicate inside the pruned cell scan)
+    # and the BM25 ∪ ANN reciprocal-rank-fusion composition
+    "emb_ann_index_filtered_probe",
+    "hybrid_rrf_retrieval",
 ]
 
 
@@ -105,8 +109,9 @@ FAMILIES = {
     "ann": [
         "emb_cosine_topk", "emb_ivf_ann_topk", "emb_ivf_pq_topk",
         "emb_ann_index_probe", "emb_ann_index_incremental",
-        "emb_kmeans_lloyd",
+        "emb_ann_index_filtered_probe", "emb_kmeans_lloyd",
     ],
+    "retrieval": ["hybrid_rrf_retrieval"],
     "text": [
         "docs_quality_score", "docs_unigram_logprob", "docs_pack_sequences",
         "training_mix_pipeline",

@@ -341,6 +341,13 @@ class AnnIndex:
             os.path.join(self.root, m["codebook"], "codebook")
         )
 
+        # The fold below runs several actions over shared lineage (the
+        # touched-bucket collect, the touched-cell collects, the cells
+        # write, the idmap write) — asg / changed / old_map are pinned so
+        # the batch's assignment + PQ-encode jobs and the idmap bucket
+        # read execute once, not once per action (round-8 review; the
+        # same pinned-batch discipline as streaming/dedup.py).
+        pinned: list[DataFrame] = []
         changed_ids = []  # DataFrames of vec_id to drop from old partitions
         asg = None
         delta_cells = None
@@ -350,7 +357,12 @@ class AnnIndex:
                 F.col("embedding").cast("array<double>").alias("e"),
                 norm_fold_expr("embedding", cast=True).alias("n"),
             )
-            asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
+            asg = (
+                nearest_cells(base, cent, "vec_id", 1)
+                .select("vec_id", "cid")
+                .persist()
+            )
+            pinned.append(asg)
             # encode against the STORED codebook (frozen), not donors drawn
             # from the batch — identical d2 folds and argmin tie-break as
             # pq_codes, so append == rebuild bit-for-bit
@@ -378,101 +390,109 @@ class AnnIndex:
             changed_ids.append(asg.select("vec_id"))
         if deletes is not None:
             changed_ids.append(deletes.select("vec_id"))
-        changed = reduce(DataFrame.unionByName, changed_ids).distinct()
+        changed = reduce(DataFrame.unionByName, changed_ids).distinct().persist()
+        pinned.append(changed)
 
         # WHERE do the batch's ids currently live? One pruned read of the
         # idmap buckets the batch hashes into (O(batch-touched buckets),
         # bounded by _IDMAP_BUCKETS) — upserted ids whose new embedding
         # assigns to a DIFFERENT cell still surface their OLD cell here,
         # and delete targets are resolved without any embedding.
-        bucket_of = F.pmod(F.col("vec_id"), F.lit(_IDMAP_BUCKETS))
-        tb = sorted(  # O(min(batch, _IDMAP_BUCKETS)) driver metadata
-            r[0]
-            for r in changed.select(bucket_of.alias("b")).distinct().collect()
-        )
-        old_map = self._read_idmap(
-            spark, m, [b for b in tb if str(b) in m["idmap"]]
-        )
-        old_loc = (
-            old_map.join(changed, "vec_id", "semi")
-            if old_map is not None
-            else None
-        )
-
-        # O(n_cells) driver metadata: which cell partitions does this
-        # batch touch (the statestore touched-buckets list) — new
-        # assignments plus every changed id's CURRENT home
-        touched: set[int] = set()
-        if asg is not None:
-            touched |= {r[0] for r in asg.select("cid").distinct().collect()}
-        if old_loc is not None:
-            touched |= {
-                r[0] for r in old_loc.select("cid").distinct().collect()
-            }
-
-        # old rows of touched partitions only — resolved through the
-        # cellmap, read per owning version so partition-column recovery
-        # (basePath) stays exact; cells the batch creates from scratch
-        # have no old rows to read
-        old_touched = self._read_cells(
-            spark, m, [c for c in sorted(touched) if str(c) in m["cellmap"]]
-        )
-        parts = []
-        if old_touched is not None:
-            parts.append(old_touched.join(changed, "vec_id", "left_anti"))
-        if delta_cells is not None:
-            parts.append(delta_cells)
-        if not parts:  # delete-only batch aimed at ids the index lacks
-            # schema is never observed (zero partition dirs -> never read
-            # back through the cellmap); the write just materializes vdir
-            parts = [spark.createDataFrame(
-                [], "cid long, vec_id long, s int, pqcid long"
-                + "".join(f", {a} string" for a in attrs)
-            )]
-        merged = reduce(DataFrame.unionByName, parts).select(
-            "cid", "vec_id", "s", "pqcid", *attrs
-        )
-
-        version = f"v-{label}-{uuid.uuid4().hex[:8]}"
-        vdir = os.path.join(self.root, version)
-        merged.write.partitionBy("cid").parquet(os.path.join(vdir, "cells"))
-        # idmap fold for the same buckets: surviving old rows minus the
-        # changed ids, plus the batch's new assignments
-        imap_parts = []
-        if old_map is not None:
-            imap_parts.append(old_map.join(changed, "vec_id", "left_anti"))
-        if asg is not None:
-            imap_parts.append(
-                asg.withColumn("b", bucket_of).select("b", "vec_id", "cid")
+        try:
+            bucket_of = F.pmod(F.col("vec_id"), F.lit(_IDMAP_BUCKETS))
+            tb = sorted(  # O(min(batch, _IDMAP_BUCKETS)) driver metadata
+                r[0]
+                for r in changed.select(bucket_of.alias("b")).distinct().collect()
             )
-        if imap_parts:
-            reduce(DataFrame.unionByName, imap_parts).select(
-                "b", "vec_id", "cid"
-            ).write.partitionBy("b").parquet(os.path.join(vdir, "idmap"))
-        cellmap = dict(m["cellmap"])
-        for c in touched:
-            cellmap.pop(str(c), None)  # a fully-tombstoned cell vanishes
-        for c in self._cell_dirs(version):
-            cellmap[c] = version
-        idmap = dict(m["idmap"])
-        for b in tb:
-            idmap.pop(str(b), None)  # an emptied bucket vanishes
-        for b in self._idmap_dirs(version):
-            idmap[b] = version
-        meta = {
-            "base": m["version"],
-            "centroids": m["centroids"],
-            "codebook": m["codebook"],
-            "cellmap": cellmap,
-            "idmap": idmap,
-            "attrs": list(attrs),
-            "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
-        }
-        self.fs.write_text_atomic(
-            os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
-        )
-        self._publish(version)
-        return version
+            old_map = self._read_idmap(
+                spark, m, [b for b in tb if str(b) in m["idmap"]]
+            )
+            if old_map is not None:
+                old_map = old_map.persist()
+                pinned.append(old_map)
+            old_loc = (
+                old_map.join(changed, "vec_id", "semi")
+                if old_map is not None
+                else None
+            )
+
+            # O(n_cells) driver metadata: which cell partitions does this
+            # batch touch (the statestore touched-buckets list) — new
+            # assignments plus every changed id's CURRENT home
+            touched: set[int] = set()
+            if asg is not None:
+                touched |= {r[0] for r in asg.select("cid").distinct().collect()}
+            if old_loc is not None:
+                touched |= {
+                    r[0] for r in old_loc.select("cid").distinct().collect()
+                }
+
+            # old rows of touched partitions only — resolved through the
+            # cellmap, read per owning version so partition-column recovery
+            # (basePath) stays exact; cells the batch creates from scratch
+            # have no old rows to read
+            old_touched = self._read_cells(
+                spark, m, [c for c in sorted(touched) if str(c) in m["cellmap"]]
+            )
+            parts = []
+            if old_touched is not None:
+                parts.append(old_touched.join(changed, "vec_id", "left_anti"))
+            if delta_cells is not None:
+                parts.append(delta_cells)
+            if not parts:  # delete-only batch aimed at ids the index lacks
+                # schema is never observed (zero partition dirs -> never read
+                # back through the cellmap); the write just materializes vdir
+                parts = [spark.createDataFrame(
+                    [], "cid long, vec_id long, s int, pqcid long"
+                    + "".join(f", {a} string" for a in attrs)
+                )]
+            merged = reduce(DataFrame.unionByName, parts).select(
+                "cid", "vec_id", "s", "pqcid", *attrs
+            )
+
+            version = f"v-{label}-{uuid.uuid4().hex[:8]}"
+            vdir = os.path.join(self.root, version)
+            merged.write.partitionBy("cid").parquet(os.path.join(vdir, "cells"))
+            # idmap fold for the same buckets: surviving old rows minus the
+            # changed ids, plus the batch's new assignments
+            imap_parts = []
+            if old_map is not None:
+                imap_parts.append(old_map.join(changed, "vec_id", "left_anti"))
+            if asg is not None:
+                imap_parts.append(
+                    asg.withColumn("b", bucket_of).select("b", "vec_id", "cid")
+                )
+            if imap_parts:
+                reduce(DataFrame.unionByName, imap_parts).select(
+                    "b", "vec_id", "cid"
+                ).write.partitionBy("b").parquet(os.path.join(vdir, "idmap"))
+            cellmap = dict(m["cellmap"])
+            for c in touched:
+                cellmap.pop(str(c), None)  # a fully-tombstoned cell vanishes
+            for c in self._cell_dirs(version):
+                cellmap[c] = version
+            idmap = dict(m["idmap"])
+            for b in tb:
+                idmap.pop(str(b), None)  # an emptied bucket vanishes
+            for b in self._idmap_dirs(version):
+                idmap[b] = version
+            meta = {
+                "base": m["version"],
+                "centroids": m["centroids"],
+                "codebook": m["codebook"],
+                "cellmap": cellmap,
+                "idmap": idmap,
+                "attrs": list(attrs),
+                "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
+            }
+            self.fs.write_text_atomic(
+                os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
+            )
+            self._publish(version)
+            return version
+        finally:
+            for df in pinned:
+                df.unpersist()
 
     # -- compaction -----------------------------------------------------------
 
@@ -486,6 +506,13 @@ class AnnIndex:
         cycle, superseded delta versions leave the GC closure and are
         dropped."""
         m = self.meta()
+        if "idmap" not in m:
+            # same contract as append(): a v2-layout index cannot be
+            # incrementally maintained; fail with the actionable message,
+            # not a KeyError from _read_idmap (round-8 review)
+            raise ValueError(
+                "index version predates the idmap layout; rebuild required"
+            )
         if label in m.get("applied", []):
             return m["version"]
         cids = sorted(int(c) for c in m["cellmap"])
@@ -498,7 +525,7 @@ class AnnIndex:
                 "cid"
             ).parquet(os.path.join(vdir, "cells"))
         live_map = self._read_idmap(
-            spark, m, sorted(int(b) for b in m.get("idmap", {}))
+            spark, m, sorted(int(b) for b in m["idmap"])
         )
         if live_map is not None:
             live_map.select("b", "vec_id", "cid").write.partitionBy(

@@ -313,15 +313,52 @@ def ivm_topk_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.read_view(spark)
 
 
-# Term-DF fixture: documents as a 3-batch changelog — batches 0/1 insert
-# (doc_id % 2), batch 2 updates (doc_id % 5 = 0 appends a new token) and
-# deletes (doc_id % 7 = 3) keys from the earlier batches, so term deltas
-# genuinely retract old vocabularies.
-_TERM_DF_ORACLE = """
-WITH final AS (
+# Documents as a 3-batch changelog — batches 0/1 insert (doc_id % 2),
+# batch 2 updates (doc_id % 5 = 0 appends a new token) and deletes
+# (doc_id % 7 = 3) keys from the earlier batches, so term deltas
+# genuinely retract old vocabularies.  Shared by the term-DF and
+# incremental-BM25 queries; _DOCS_FINAL_CTE is the oracle-side twin (the
+# post-changelog corpus state) — change them TOGETHER.
+_DOCS_FINAL_CTE = """
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0 THEN text || ' zqxnovel' ELSE text END AS text
   FROM documents WHERE doc_id % 7 <> 3
+"""
+
+
+def _docs_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, lsn, op, batch) rows of the shared fixture above."""
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    return (
+        base.select(
+            "doc_id", "text", (2 * F.col("doc_id")).alias("lsn"),
+            F.lit("U").alias("op"),
+            (F.col("doc_id") % 2).cast("int").alias("batch"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                F.concat("text", F.lit(" zqxnovel")).alias("text"),
+                (2 * F.col("doc_id") + 1).alias("lsn"),
+                F.lit("U").alias("op"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 3).select(
+                "doc_id", "text",
+                (2 * F.col("doc_id") + 2).alias("lsn"),
+                F.lit("D").alias("op"),
+                F.lit(2).cast("int").alias("batch"),
+            )
+        )
+    )
+
+
+_TERM_DF_ORACLE = f"""
+WITH final AS (
+{_DOCS_FINAL_CTE}
 ),
 t AS (
   SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
@@ -353,32 +390,7 @@ def ivm_term_df_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..streaming.statestore import BucketedStateStore
 
-    (docs,) = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text")
-    ev = (
-        base.select(
-            "doc_id", "text", (2 * F.col("doc_id")).alias("lsn"),
-            F.lit("U").alias("op"),
-            (F.col("doc_id") % 2).cast("int").alias("batch"),
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 5 == 0).select(
-                "doc_id",
-                F.concat("text", F.lit(" zqxnovel")).alias("text"),
-                (2 * F.col("doc_id") + 1).alias("lsn"),
-                F.lit("U").alias("op"),
-                F.lit(2).cast("int").alias("batch"),
-            )
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 7 == 3).select(
-                "doc_id", "text",
-                (2 * F.col("doc_id") + 2).alias("lsn"),
-                F.lit("D").alias("op"),
-                F.lit(2).cast("int").alias("batch"),
-            )
-        )
-    )
+    ev = _docs_changelog(spark, sf_dir)
     view = TermDFView("df")
     state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-termdf-")
     store = BucketedStateStore(os.path.join(state_dir, "state"),
@@ -404,9 +416,7 @@ def _bm25_incr_oracle() -> str:
 
     return f"""
 WITH final AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0 THEN text || ' zqxnovel' ELSE text END AS text
-  FROM documents WHERE doc_id % 7 <> 3
+{_DOCS_FINAL_CTE}
 ),
 tok AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM final
@@ -465,32 +475,7 @@ def ivm_bm25_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.statestore import BucketedStateStore
     from .llm_text import _BM25_B, _BM25_K1, _BM25_TERMS, _BM25_TOP
 
-    (docs,) = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text")
-    ev = (
-        base.select(
-            "doc_id", "text", (2 * F.col("doc_id")).alias("lsn"),
-            F.lit("U").alias("op"),
-            (F.col("doc_id") % 2).cast("int").alias("batch"),
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 5 == 0).select(
-                "doc_id",
-                F.concat("text", F.lit(" zqxnovel")).alias("text"),
-                (2 * F.col("doc_id") + 1).alias("lsn"),
-                F.lit("U").alias("op"),
-                F.lit(2).cast("int").alias("batch"),
-            )
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 7 == 3).select(
-                "doc_id", "text",
-                (2 * F.col("doc_id") + 2).alias("lsn"),
-                F.lit("D").alias("op"),
-                F.lit(2).cast("int").alias("batch"),
-            )
-        )
-    )
+    ev = _docs_changelog(spark, sf_dir)
     view = PostingsView("post")
     state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-bm25-")
     store = BucketedStateStore(os.path.join(state_dir, "state"),

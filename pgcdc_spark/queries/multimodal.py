@@ -402,8 +402,18 @@ def _mm_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     ready = os.path.join(root, "_READY")
     if os.path.exists(ready):
         return root
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    # Publish-by-rename: build the whole tree in a builder-unique scratch
+    # dir and atomically rename it into place, so _READY can only ever be
+    # observed inside a COMPLETE tree.  The old check-then-rmtree-then-
+    # write-in-place was racy under concurrent drivers (parallel pytest
+    # workers, sweep+bench): one builder's rmtree could shred another's
+    # half-written files and the marker then cached the corrupt tree
+    # forever (round-8 review).  With rename, exactly one builder wins;
+    # losers discard their scratch and serve the winner's tree.
+    import uuid as _uuid
+
+    build = f"{root}.tmp-{_uuid.uuid4().hex[:8]}"
+    os.makedirs(build, exist_ok=True)
 
     from ..multimodal import documents_as_mixed_multimodal
 
@@ -422,17 +432,27 @@ def _mm_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                 pdf["doc_id"], pdf["modality"], pdf["payload"]
             ):
                 name = f"doc_{int(doc_id)}.{ext[mod]}"
-                with open(os.path.join(root, name), "wb") as f:
+                with open(os.path.join(build, name), "wb") as f:
                     f.write(bytes(payload))
                 n += 1
         yield pd.DataFrame({"n": [n]})
 
     mm.mapInPandas(write, "n long").count()
     # decoy: a file the doc_* glob must prune at LISTING time
-    with open(os.path.join(root, "decoy.skip"), "wb") as f:
+    with open(os.path.join(build, "decoy.skip"), "wb") as f:
         f.write(b"not media")
-    with open(ready, "w") as f:
+    with open(os.path.join(build, "_READY"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(build, root)
+    except OSError:
+        if os.path.exists(ready):  # another builder won with a full tree
+            shutil.rmtree(build, ignore_errors=True)
+            return root
+        # a half-built root from the PRE-rename layout (no marker):
+        # replace it and retry once; a second failure is a real error
+        shutil.rmtree(root, ignore_errors=True)
+        os.rename(build, root)
     return root
 
 

@@ -7,7 +7,9 @@ single micro-batch feed keeps BOTH serving artifacts current —
 
 - the incremental near-dup state (streaming/dedup.py): every newly
   INSERTED document is checked against the standing corpus LSH state and
-  receives its keep/drop verdict at ingest time. Dedup verdicts are
+  receives its keep/drop verdict at ingest time (insert detection is
+  pre-fold: a doc inserted and updated within one micro-batch is still
+  adjudicated, on its folded final text). Dedup verdicts are
   first-seen decisions: an UPDATE to a document's text does not re-open
   its verdict (re-adjudicating history would retroactively flip earlier
   keep decisions mid-training-run), and a DELETE leaves the verdict log
@@ -91,18 +93,31 @@ def start_training_ingest_stream(
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        rows = apply_pipeline(parse_envelope(batch_df, "value", row_schema))
+        rows = apply_pipeline(
+            parse_envelope(batch_df, "value", row_schema)
+        ).persist()
         folded = latest_state(
             rows, keys=["doc_id"], order_by=["lsn"], keep_deletes=True
         ).persist()
         try:
             if not folded.head(1):
                 return
-            # dedup: first-seen inserts only (see module doc) — the
+            # dedup: first-seen docs only (see module doc).  "First seen"
+            # is detected on the PRE-fold rows — a doc inserted and then
+            # updated within the SAME micro-batch folds to op='U', so
+            # filtering the folded frame on op=='I' would permanently
+            # skip its verdict (round-8 review finding).  Instead: any
+            # doc with an 'I' envelope in this batch is new to the
+            # corpus; adjudicate its FOLDED final text (insert-then-
+            # delete in one batch folds to 'D' and is correctly skipped
+            # — the doc never existed at any batch boundary).  The
             # maintainer's own empty-batch guard makes insert-free
-            # batches no-ops without burning a state partition
+            # batches no-ops without burning a state partition.
+            inserted = rows.filter(F.col("op") == "I").select("doc_id").distinct()
             merge_dedup_batch(
-                folded.filter(F.col("op") == "I").select("doc_id", "text"),
+                folded.filter(F.col("op") != "D")
+                .join(inserted, "doc_id", "left_semi")
+                .select("doc_id", "text"),
                 batch_id,
                 dedup_state_dir,
                 threshold=threshold,
@@ -130,6 +145,7 @@ def start_training_ingest_stream(
                 )
         finally:
             folded.unpersist()
+            rows.unpersist()
 
     return (
         raw.writeStream.foreachBatch(merge)

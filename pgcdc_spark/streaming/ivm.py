@@ -774,6 +774,13 @@ class MinMaxViewMaintainer:
             .drop("__rk")
         )
 
+    def _support_floor(self) -> int:
+        """Minimum per-group support size below which a retraction-damaged
+        group must be re-derived from state.  1 for the scalar MIN/MAX
+        view: a non-empty survivor set still contains the true extremum
+        (outside rows are beyond the trust bound)."""
+        return 1
+
     def apply_batch(self, batch: DataFrame, label: str) -> None:
         view = self.view
         spark = batch.sparkSession
@@ -840,12 +847,25 @@ class MinMaxViewMaintainer:
                 ns_val.filter(F.col("__bound").isNull() | beyond)
                 .select(*view.group_cols).distinct()
             )
-            emptied = damaged.join(
-                new_support.select(*view.group_cols).distinct(),
-                on=view.group_cols, how="left_anti",
+            # "Short" generalizes the emptied check: a damaged group whose
+            # surviving support holds fewer than _support_floor() rows can
+            # no longer answer reads from the buffer.  For the scalar
+            # MIN/MAX view the floor is 1 (any non-empty survivor set
+            # still contains the true extremum, because outside rows are
+            # beyond the bound); TopKViewMaintainer overrides the floor to
+            # k_out — a support that shrinks below k_out across batches
+            # would silently drop ranks even though it is non-empty
+            # (round-8 review finding, confirmed by repro).
+            counts = new_support.groupBy(*view.group_cols).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            short = (
+                damaged.join(counts, on=view.group_cols, how="left")
+                .filter(F.coalesce(F.col("__n"), F.lit(0)) < self._support_floor())
+                .select(*view.group_cols)
             )
             refill_groups = damaged.join(
-                unsafe.unionByName(emptied).distinct(),
+                unsafe.unionByName(short).distinct(),
                 on=view.group_cols, how="left_semi",
             ).localCheckpoint(eager=False)
             if refill_groups.count() > 0:  # one action; empty unless deletes hit a support
@@ -912,12 +932,19 @@ class TopKView(MinMaxView):
 
 
 class TopKViewMaintainer(MinMaxViewMaintainer):
-    """Support maintenance is inherited unchanged from
-    MinMaxViewMaintainer — its invariant (the support table holds the
-    TRUE k extreme rows of the live state per group, k = k_out + slack,
-    repaired from state when retractions damage it) is exactly what makes
-    the ranked k_out-prefix of the support the correct top-k view.
-    Only the read side differs: rows with ranks, not a scalar extremum."""
+    """Support maintenance is inherited from MinMaxViewMaintainer — its
+    invariant (the support table holds a true extreme prefix of the live
+    state per group, repaired from state when retractions damage it) is
+    what makes the ranked k_out-prefix of the support the correct top-k
+    view.  Two deltas vs the scalar maintainer: the read side returns
+    ranked rows, and the refill floor is k_out instead of 1 — a scalar
+    view survives any non-empty support (the extremum is still in it),
+    but a top-k view needs at least k_out buffered rows; a support that
+    shrank below k_out across successive support deletions would
+    otherwise silently serve fewer ranks than the live state holds."""
+
+    def _support_floor(self) -> int:
+        return self.view.k_out
 
     def read_view(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import Window

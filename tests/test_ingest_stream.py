@@ -205,3 +205,66 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
         (r["term"], r["doc_id"]): r["tf"]
         for r in read_postings_view(spark, tindex, PostingsView("post")).collect()
     } == want_post
+
+
+def test_same_batch_insert_update_still_gets_dedup_verdict(spark, tmp_path):
+    """Round-8 review regression: a doc INSERTED and UPDATED within one
+    micro-batch folds to op='U' — the old folded-op filter skipped its
+    dedup verdict forever.  Insert detection must be pre-fold, with the
+    verdict adjudicated on the folded FINAL text; an insert-then-delete
+    in one batch stays skipped (the doc never existed at a boundary)."""
+    from pgcdc_spark.operators.annindex import AnnIndex
+    from pgcdc_spark.streaming.dedup import read_verdicts
+    from pgcdc_spark.streaming.ingest import start_training_ingest_stream
+    from pgcdc_spark.streaming.ivm import PostingsView, read_postings_view
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    emb = lambda d: [float(d % 5), float(d % 7), 1.0]  # noqa: E731
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven twelve"
+    base = {d: (f"base document number {d} " + " ".join(
+        f"w{(d * 7 + i) % 31}" for i in range(12)), emb(d))
+        for d in range(1, 9)}  # vec_id 1 donates centroids AND codebook
+
+    lines = [_env(i + 1, "insert", d, *base[d]) for i, d in enumerate(base)]
+    # doc 11: I then U in the SAME batch -> folded op 'U', final text t2
+    lines.append(_env(100, "insert", 11, t1, emb(11)))
+    lines.append(_env(101, "update", 11, t2, emb(11)))
+    # doc 12: I then D in the SAME batch -> folded op 'D', never existed
+    lines.append(_env(102, "insert", 12, "ephemeral doc " + t1, emb(12)))
+    lines.append(_env(103, "delete", 12, "ephemeral doc " + t1, emb(12)))
+    with open(os.path.join(src, "c0.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+    os.utime(os.path.join(src, "c0.jsonl"), (1_700_000_000,) * 2)
+    # batch 1: doc 13 duplicates doc 11's FINAL text (dup iff the state
+    # holds t2); doc 14 duplicates the PRE-update text t1 (novel iff the
+    # state does NOT hold t1)
+    with open(os.path.join(src, "c1.jsonl"), "w") as f:
+        f.write("\n".join([_env(200, "insert", 13, t2, emb(13)),
+                           _env(201, "insert", 14, t1, emb(14))]))
+    os.utime(os.path.join(src, "c1.jsonl"), (1_700_000_001,) * 2)
+
+    start_training_ingest_stream(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "dedup"),
+        str(tmp_path / "annidx"), ROW_SCHEMA, max_files_per_trigger=1,
+        text_index_dir=str(tmp_path / "textidx"),
+    ).awaitTermination(300)
+
+    v = {r["doc_id"]: (r["is_dup"], r["match_doc_id"], r["batch"])
+         for r in read_verdicts(spark, str(tmp_path / "dedup")).collect()}
+    assert v[11] == (False, None, 0)          # adjudicated despite the fold
+    assert 12 not in v                        # insert-then-delete: skipped
+    assert v[13] == (True, 11, 1)             # matches the FOLDED text t2
+    assert v[14][0] is False                  # t1 never entered the state
+
+    # ANN + postings agree: doc 11 present, doc 12 absent
+    idx = AnnIndex(str(tmp_path / "annidx"))
+    ids = {r["neighbor_id"] for r in idx.probe(
+        spark,
+        spark.createDataFrame([(0, emb(11))], "qid long, e array<double>"),
+        nprobe=99, k=99).select("neighbor_id").collect()}
+    assert 11 in ids and 12 not in ids
+    post_docs = {r["doc_id"] for r in read_postings_view(
+        spark, str(tmp_path / "textidx"), PostingsView("post")).collect()}
+    assert 11 in post_docs and 12 not in post_docs

@@ -724,6 +724,33 @@ def test_topk_view_promotion_and_refill(spark, tmp_path):
     assert _tk_view(spark, m) == [("A", 2, 10.0, 2), ("A", 6, 99.0, 1)]
 
 
+def test_topk_view_refills_when_support_shrinks_below_k_out(spark, tmp_path):
+    """Round-8 review regression: successive SINGLE deletes that shrink a
+    group's support below k_out — without ever emptying it — must still
+    trigger the refill.  The inherited MIN/MAX condition (emptied or
+    beyond-bound) is insufficient for a ranked view: after batch 2 the
+    support held only {30.0} (non-empty, no adds), and the view silently
+    served one rank while the live state's true top-2 was [30, 20]."""
+    m = _tk_maintainer(tmp_path, "shrink", k_out=2, slack=1)
+    batches = [
+        [("0/01", "I", 1, "A", 50.0), ("0/02", "I", 2, "A", 40.0),
+         ("0/03", "I", 3, "A", 30.0), ("0/04", "I", 4, "A", 20.0),
+         ("0/05", "I", 5, "A", 10.0)],
+        # support {50,40,30}; delete rank-1 -> survivors {40,30}, still
+        # >= k_out: buffered promotion, no refill needed
+        [("0/06", "D", 1, "A", 50.0)],
+        # delete rank-1 again -> survivors {30}: below k_out, refill MUST
+        # re-derive from state so rank 2 (20.0) re-enters the view
+        [("0/07", "D", 2, "A", 40.0)],
+        # and once more: survivors shrink again, next-best is 10.0
+        [("0/08", "D", 3, "A", 30.0)],
+    ]
+    for i, rows in enumerate(batches):
+        m.apply_batch(spark.createDataFrame(rows, MM_SCHEMA), label=str(i))
+        assert _tk_view(spark, m) == _tk_truth(spark, m), f"batch {i}"
+    assert _tk_view(spark, m) == [("A", 4, 20.0, 1), ("A", 5, 10.0, 2)]
+
+
 def test_topk_view_stream_with_restart_and_replay(spark, tmp_path):
     """start_support_view_stream drives the TOP-K maintainer from a file
     stream of change rows: view == ranked recompute after draining, a

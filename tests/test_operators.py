@@ -671,3 +671,33 @@ def test_ann_index_attrs_survive_append_and_compact(spark, sf_smoke, tmp_path):
     for (qid, nid, d2, rk) in sorted(after, key=lambda t: (t[0], t[3])):
         got.setdefault(qid, []).append((nid, d2))
     assert got == {q: v for q, v in expect.items() if v}
+
+
+def test_ann_index_pre_idmap_layout_fails_actionably(spark, sf_smoke, tmp_path):
+    """A v2-layout index (meta without 'idmap') cannot be incrementally
+    maintained: BOTH append and compact must raise the explicit
+    rebuild-required ValueError — compact used to die with a raw
+    KeyError('idmap') from _read_idmap (round-8 review)."""
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex, _META
+
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    idx = AnnIndex(str(tmp_path / "v2"))
+    ver = idx.build(emb, label="base")
+    mpath = _os.path.join(str(tmp_path / "v2"), ver, _META)
+    m = _json.loads(open(mpath).read())
+    del m["idmap"]
+    with open(mpath, "w") as f:
+        f.write(_json.dumps(m, sort_keys=True))
+
+    batch = emb.limit(1).select("vec_id", "embedding")
+    with _pytest.raises(ValueError, match="rebuild required"):
+        idx.append(batch, label="a")
+    with _pytest.raises(ValueError, match="rebuild required"):
+        idx.compact(spark, label="c")

@@ -82,6 +82,9 @@ EXTRA = [
     # and the BM25 ∪ ANN reciprocal-rank-fusion composition
     "emb_ann_index_filtered_probe",
     "hybrid_rrf_retrieval",
+    # r8: two-stage retrieval — ADC shortlist, exact cosine re-rank of
+    # only the C survivors (the FAISS refine serving shape)
+    "emb_ann_rerank_exact",
 ]
 
 
@@ -110,6 +113,7 @@ FAMILIES = {
         "emb_cosine_topk", "emb_ivf_ann_topk", "emb_ivf_pq_topk",
         "emb_ann_index_probe", "emb_ann_index_incremental",
         "emb_ann_index_filtered_probe", "emb_kmeans_lloyd",
+        "emb_ann_rerank_exact",
     ],
     "retrieval": ["hybrid_rrf_retrieval"],
     "text": [

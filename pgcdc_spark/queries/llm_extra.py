@@ -493,10 +493,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by emb_ivf_ann_topk and emb_pq_adc_topk, so DuckDB mirrors the whole
 # composition.
 
-def _ivfpq_oracle(cand_join: str = "") -> str:
+def _ivfpq_oracle(cand_join: str = "", top_k: int = _TOP_K) -> str:
     """The IVF-PQ reference plan in DuckDB SQL; ``cand_join`` optionally
     narrows the candidate set (filtered ANN: a metadata predicate joined
-    into cand, mirroring probe(where=...)'s pre-filter semantics)."""
+    into cand, mirroring probe(where=...)'s pre-filter semantics), and
+    ``top_k`` widens the ADC cut (the re-rank query takes a C-deep
+    shortlist instead of the final k)."""
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -563,24 +565,18 @@ adc AS (
 SELECT qid, vec_id AS neighbor_id, approx_dist2, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dist2, vec_id) AS rank
   FROM adc
-) WHERE rank <= {_TOP_K}
+) WHERE rank <= {top_k}
 """
 
 
 _IVFPQ_ORACLE = _ivfpq_oracle()
 
 
-@query("emb_ivf_pq_topk", oracle=_IVFPQ_ORACLE, tags=("llm", "similarity", "ivf", "pq"))
-def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k: probe the nprobe nearest cells, score ONLY their
-    members, and score them from PQ codes via the broadcast ADC table.
-
-    Scale shape: centroids + probe list + LUT all broadcast (tiny);
-    the corpus-sized tables are the cell assignments and the codes —
-    both 8-16 bytes/vector, shuffled once on their join keys; the final
-    reduce is one aggregate shuffle on (qid, vec_id) over the
-    cell-pruned candidate set. This is the end state of the ANN family:
-    candidates pruned by IVF, memory pruned by PQ."""
+def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ ADC scoring plan, unranked: (qid, vec_id,
+    approx_dist2) over the cell-pruned candidate set. Shared by the
+    top-k query and the exact re-rank query (which takes a C-deep cut
+    of the same scores)."""
     from .llm_similarity import ivf_centroids, nearest_cells
 
     from ..functions.vectors import norm_fold_expr
@@ -606,7 +602,7 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = pq_distances(emb, "pqcid")
     codes = _pq_codes_from(dist, "pqcid")
     lut = _pq_lut(dist, "pqcid")
-    adc = (
+    return (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["qid", "s", "pqcid"])
         .groupBy("qid", "vec_id")
@@ -614,11 +610,112 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d2").cast("decimal(28,9)")).cast("double").alias("approx_dist2")
         )
     )
+
+
+@query("emb_ivf_pq_topk", oracle=_IVFPQ_ORACLE, tags=("llm", "similarity", "ivf", "pq"))
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: probe the nprobe nearest cells, score ONLY their
+    members, and score them from PQ codes via the broadcast ADC table.
+
+    Scale shape: centroids + probe list + LUT all broadcast (tiny);
+    the corpus-sized tables are the cell assignments and the codes —
+    both 8-16 bytes/vector, shuffled once on their join keys; the final
+    reduce is one aggregate shuffle on (qid, vec_id) over the
+    cell-pruned candidate set. This is the end state of the ANN family:
+    candidates pruned by IVF, memory pruned by PQ."""
+    adc = _ivfpq_adc(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
     return (
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "approx_dist2", "rank")
+    )
+
+
+# Exact re-rank (FAISS refine / two-stage retrieval): the ADC pass is
+# lossy twice over (cell pruning AND 8-bit code quantization), so
+# production serving widens the ADC cut to a C-deep shortlist and
+# re-scores JUST those C ids against the full float vectors, restoring
+# exact ordering among the survivors. C is the quality/cost dial:
+# k <= C << corpus.
+_RERANK_C = 30
+
+_RERANK_ORACLE = f"""
+WITH sl AS (
+  SELECT qid, neighbor_id FROM ({_ivfpq_oracle(top_k=_RERANK_C)})
+),
+ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+exact AS (
+  SELECT sl.qid, sl.neighbor_id,
+    list_dot_product(qv.v, nv.v)
+      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(nv.v, nv.v)))
+      AS cosine
+  FROM sl
+  JOIN ev qv ON qv.vec_id = sl.qid
+  JOIN ev nv ON nv.vec_id = sl.neighbor_id
+)
+SELECT qid, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("emb_ann_rerank_exact", oracle=_RERANK_ORACLE,
+       tags=("llm", "similarity", "ivf", "pq", "rerank"))
+def emb_ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC shortlist (top-C by approximate
+    distance), then exact cosine re-rank of ONLY those C candidates
+    against the full float vectors — the FAISS ``IndexRefine`` serving
+    shape, and the reason PQ's quantization error doesn't cap end
+    quality: ADC recalls a superset cheaply, the refine stage restores
+    exact order among survivors.
+
+    Scale shape: stage 1 is the codes-only ADC plan (8 bytes/vector
+    touched); stage 2 fetches float vectors for C×n_queries ids via an
+    equi-join on the shortlist — at 100 TB that is the point-lookup
+    into the vector store, never a corpus scan, and the exact-cosine
+    fold runs on C rows per query, not the cell population. The cosine
+    fold is the same sequential expression as emb_cosine_topk, so the
+    doubles are bit-identical to the oracle's list_dot_product."""
+    from ..functions.vectors import norm_fold_expr
+
+    adc = _ivfpq_adc(spark, sf_dir)
+    ws = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _RERANK_C)
+        .select("qid", "vec_id")
+    )
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    q = vec.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    exact = (
+        # C×n_queries ids broadcast against the corpus vector table: the
+        # fetch is a hash probe of each corpus partition, never a shuffle
+        # of the vectors (the point-lookup shape of a refine stage)
+        F.broadcast(shortlist).join(vec, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "vec_id",
+            (dot_fold_expr("qe", "e") / (F.col("qn") * F.col("n"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
 
 

@@ -85,6 +85,10 @@ EXTRA = [
     # r8: two-stage retrieval — ADC shortlist, exact cosine re-rank of
     # only the C survivors (the FAISS refine serving shape)
     "emb_ann_rerank_exact",
+    # r8: JL projection recall diagnostic and the incremental
+    # distribution-drift histogram view
+    "emb_jl_projection_recall",
+    "ivm_histogram_view_state",
 ]
 
 
@@ -113,7 +117,7 @@ FAMILIES = {
         "emb_cosine_topk", "emb_ivf_ann_topk", "emb_ivf_pq_topk",
         "emb_ann_index_probe", "emb_ann_index_incremental",
         "emb_ann_index_filtered_probe", "emb_kmeans_lloyd",
-        "emb_ann_rerank_exact",
+        "emb_ann_rerank_exact", "emb_jl_projection_recall",
     ],
     "retrieval": ["hybrid_rrf_retrieval"],
     "text": [
@@ -122,7 +126,7 @@ FAMILIES = {
     ],
     "graph": ["graph_pagerank"],
     "multimodal": ["mm_audio_resample"],
-    "streaming": ["streaming_upsert_e2e"],
+    "streaming": ["streaming_upsert_e2e", "ivm_histogram_view_state"],
 }
 
 

@@ -72,6 +72,8 @@ _MODULES = (
 # query in registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
     # round-8 new surface
+    "emb_jl_projection_recall",
+    "ivm_histogram_view_state",
     "emb_ann_rerank_exact",
     "emb_ann_index_filtered_probe",
     "mm_binary_ingest",

@@ -524,3 +524,68 @@ def ivm_bm25_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOP)
         .select("doc_id", "bm25", "rank")
     )
+
+
+# --- incremental histogram (distribution/drift view) --------------------------
+# The distribution-monitoring view a training-data pipeline keeps over a
+# CDC-fed table: per-group equi-width bucket counts, maintained
+# incrementally.  Structurally this is AggView with the bucket id folded
+# into the grouping key — bucket assignment is a row-local expression
+# (width_bucket), so an UPDATE whose value crosses a bucket boundary
+# retracts (-1) from the old bucket and adds (+1) to the new one through
+# the same state-transition delta that maintains the sums.  Cost per
+# batch: O(touched groups x buckets), log rows bounded by touched keys;
+# the read-time fold is |groups x buckets| rows regardless of state size
+# — at 100 TB the histogram stays a dashboard-sized relation maintained
+# for the price of the delta scan.
+
+_HIST_LO, _HIST_HI, _HIST_NB = 0.0, 500.0, 8
+
+_HIST_VIEW_ORACLE = f"""
+SELECT event_type,
+       CASE WHEN value < {_HIST_LO} THEN 0
+            WHEN value >= {_HIST_HI} THEN {_HIST_NB + 1}
+            ELSE CAST(FLOOR({_HIST_NB}.0 * (value - {_HIST_LO})
+                            / ({_HIST_HI} - {_HIST_LO})) AS BIGINT) + 1
+       END AS bucket,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type, bucket
+"""
+
+
+@query("ivm_histogram_view_state", oracle=_HIST_VIEW_ORACLE, tags=("cdc", "ivm"))
+def ivm_histogram_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, width_bucket) count + sum view maintained from
+    state-transition deltas across the 3-batch I/U/D fixture — the
+    incremental distribution monitor: updates that move a row across a
+    bucket boundary retract from the old bucket and add to the new one.
+    Oracle: the same width_bucket arithmetic (CASE/FLOOR mirror of the
+    SQL-standard function) over the final upsert state; a hash match
+    proves bucket-crossing retractions net to the batch histogram."""
+    from ..streaming.ivm import AggView, apply_agg_view_batch, read_agg_view
+    from ..streaming.statestore import BucketedStateStore
+
+    view = AggView("hist", group_cols=["event_type", "bucket"], sum_col="value")
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-hist-")
+    store = BucketedStateStore(os.path.join(state_dir, "state"),
+                               n_buckets=_N_BUCKETS)
+    delta_root = os.path.join(state_dir, f"view_{view.name}")
+    log = _events_changelog(spark, sf_dir).withColumn(
+        "bucket",
+        F.width_bucket(
+            "value", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_NB)
+        ),
+    )
+    for b in range(3):
+        apply_agg_view_batch(
+            store, view, delta_root,
+            log.filter(F.col("batch") == b).drop("batch"),
+            label=str(b), keys=["user_id"], order_by=["ts_us", "event_id"],
+        )
+    return read_agg_view(spark, state_dir, view)

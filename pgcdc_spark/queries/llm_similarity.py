@@ -884,3 +884,140 @@ def emb_top_singular_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("loading"),
     )
+
+
+# --- Johnson-Lindenstrauss random projection (dim reduction) ------------------
+# The cheapest scale lever on an embedding corpus: project d=64 -> k=16
+# with a deterministic +-1 matrix (Achlioptas' database-friendly JL
+# variant — signs from a counter hash, no RNG, so runs reproduce across
+# engines and sessions; the 1/sqrt(k) scale cancels in cosine).  At
+# 100 TB this is a single narrow map over the vectors — no shuffle, no
+# state — that cuts every downstream distance computation and shuffle
+# byte count 4x; the recall@k diagnostic against the exact full-space
+# top-k is the dial that says what that 4x costs in quality (JL lemma:
+# distortion ~ sqrt(ln n / k)).  Projection is the same fold shape as
+# the LSH signatures (one parsed expression, plane matrix inline), so
+# the projected coordinates are bit-identical to the oracle's
+# list_dot_product and the ranking arithmetic hash-checks exactly.
+
+_RP_DIMS = 16
+
+
+def _rp_sign(j: int, d: int) -> int:
+    """Deterministic +-1 entry of the projection matrix (counter-hash,
+    namespaced apart from the LSH plane signs)."""
+    import hashlib
+
+    h = hashlib.md5(f"rp_{j}_{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def _rp_proj_expr(dims: int) -> F.Column:
+    """``array<double>`` of the _RP_DIMS projected coordinates of ``e``:
+    one sequential fold per output dim, matrix as an inline literal
+    (parses in ms; evaluates per VECTOR, not per pair)."""
+    rows = ", ".join(
+        "array(" + ", ".join(
+            f"{float(_rp_sign(j, d))}D" for d in range(dims)
+        ) + ")"
+        for j in range(_RP_DIMS)
+    )
+    return F.expr(
+        f"""
+        transform(sequence(0, {_RP_DIMS - 1}), j ->
+          aggregate(
+            zip_with(e, element_at(array({rows}), j + 1), (x, w) -> x * w),
+            0.0D, (a, x) -> a + x))
+        """
+    )
+
+
+def _jl_oracle() -> str:
+    rows = ", ".join(
+        "({j}, [{w}]::DOUBLE[])".format(
+            j=j,
+            w=", ".join(f"{float(_rp_sign(j, d))}" for d in range(_DIMS)),
+        )
+        for j in range(_RP_DIMS)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+rp(j, w) AS (VALUES {rows}),
+proj AS (
+  SELECT vec_id, list(list_dot_product(e, w) ORDER BY j) AS p
+  FROM c, rp GROUP BY vec_id
+),
+s AS (
+  SELECT q.vec_id AS qid, v.vec_id,
+         list_dot_product(q.p, v.p)
+           / (sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(v.p, v.p)))
+           AS pcos
+  FROM proj q, proj v
+  WHERE q.vec_id < {_N_QUERIES} AND v.vec_id <> q.vec_id
+),
+pr AS (
+  SELECT qid, vec_id AS neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, vec_id) AS rank
+    FROM s
+  ) WHERE rank <= {_TOP_K}
+),
+bf AS (SELECT qid, neighbor_id FROM ({_COSINE_ORACLE}))
+SELECT b.qid,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+       CAST({_TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+FROM bf b
+LEFT JOIN pr p ON p.qid = b.qid AND p.neighbor_id = b.neighbor_id
+GROUP BY b.qid
+"""
+
+
+@query("emb_jl_projection_recall", oracle=_jl_oracle(),
+       tags=("llm", "similarity", "projection", "diagnostics"))
+def emb_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of brute-force top-k run in JL-projected 16-dim space vs
+    the exact 64-dim top-k.  The projected vectors and both rankings are
+    hash-checked end-to-end (projection folds == list_dot_product, same
+    quotient arithmetic as emb_cosine_topk, vec_id tie-break), so the
+    driver verifies the dimensionality-reduction arithmetic itself, not
+    just row counts."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    proj = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .select("vec_id", _rp_proj_expr(_DIMS).alias("p"))
+        .withColumn("pn", norm_fold_expr("p"))
+    )
+    q = proj.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("p").alias("qp"),
+        F.col("pn").alias("qpn"),
+    )
+    scored = (
+        proj.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id",
+            (dot_fold_expr("qp", "p") / (F.col("qpn") * F.col("pn")))
+            .alias("pcos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("pcos").desc(), F.col("vec_id"))
+    pr = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("hit"))
+    )
+    bf = emb_cosine_topk(spark, sf_dir).select("qid", "neighbor_id")
+    return (
+        bf.join(pr, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.lit(_TOP_K).cast("long").alias("k"),
+            (F.count("hit").cast("double") / _TOP_K).alias("recall_at_k"),
+        )
+    )

@@ -1,4 +1,4 @@
-"""Composed training-data ingest: ONE CDC stream, THREE maintainers.
+"""Composed training-data ingest: ONE CDC stream, FOUR maintainers.
 
 The realistic ingest topology for a training corpus under logical
 replication (reference pipeline R1->R8, ``src/main.ts:54-90``): each
@@ -56,6 +56,7 @@ def start_training_ingest_stream(
     dedup_compact_after: int = 16,
     ann_compact_after: int = 16,
     text_index_dir: str | None = None,
+    drift_dir: str | None = None,
 ) -> StreamingQuery:
     """Drive the dedup state at ``dedup_state_dir`` AND the AnnIndex at
     ``index_root`` from one file-stream of CDC envelopes whose row images
@@ -67,7 +68,16 @@ def start_training_ingest_stream(
     label: three serving artifacts (near-dup state, ANN index, text
     index), one CDC feed, one checkpoint. The postings maintainer tracks
     the full I/U/D lifecycle like the ANN index (an update re-derives
-    the doc's token deltas from the state transition's before-image)."""
+    the doc's token deltas from the state transition's before-image).
+
+    ``drift_dir`` (optional) additionally maintains the corpus
+    distribution monitor there — the doc-length histogram view
+    (AggView keyed by width_bucket, the r8 drift monitor): an update
+    whose new text crosses a bucket boundary retracts the old bucket
+    and adds the new one through the same state-transition fold. This
+    is the ingest-time answer to "did today's feed shift the corpus?"
+    — maintained for the price of the delta scan, never a corpus
+    rescan."""
     import os
 
     from ..cdc.envelope import parse_envelope
@@ -76,7 +86,7 @@ def start_training_ingest_stream(
     from ..operators.annindex import AnnIndex
     from .annstream import apply_ann_batch
     from .dedup import merge_dedup_batch
-    from .ivm import PostingsView, apply_agg_view_batch
+    from .ivm import AggView, PostingsView, apply_agg_view_batch
     from .statestore import BucketedStateStore
 
     idx = AnnIndex(index_root)
@@ -84,6 +94,14 @@ def start_training_ingest_stream(
     postings_store = (
         BucketedStateStore(os.path.join(text_index_dir, "state"), n_buckets=16)
         if text_index_dir else None
+    )
+    drift_view = (
+        AggView("drift", group_cols=["bucket"], sum_col="doclen")
+        if drift_dir else None
+    )
+    drift_store = (
+        BucketedStateStore(os.path.join(drift_dir, "state"), n_buckets=16)
+        if drift_dir else None
     )
 
     raw = (
@@ -141,6 +159,22 @@ def start_training_ingest_stream(
                     postings_store, postings_view,
                     os.path.join(text_index_dir, f"view_{postings_view.name}"),
                     folded.select("lsn", "op", "doc_id", "text"),
+                    label=str(batch_id), keys=["doc_id"], order_by=["lsn"],
+                )
+            if drift_view is not None:
+                # drift monitor: doc-length histogram, bucket assignment
+                # row-local so it rides the same folded frame
+                apply_agg_view_batch(
+                    drift_store, drift_view,
+                    os.path.join(drift_dir, f"view_{drift_view.name}"),
+                    folded.select(
+                        "lsn", "op", "doc_id",
+                        F.length("text").cast("double").alias("doclen"),
+                        F.width_bucket(
+                            F.length("text").cast("double"),
+                            F.lit(0.0), F.lit(2000.0), F.lit(8),
+                        ).alias("bucket"),
+                    ),
                     label=str(batch_id), keys=["doc_id"], order_by=["lsn"],
                 )
         finally:

@@ -80,6 +80,7 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
     dstate = str(tmp_path / "dedup")
     root = str(tmp_path / "annidx")
     tindex = str(tmp_path / "textidx")
+    drift = str(tmp_path / "drift")
     os.makedirs(src)
 
     base_ids = [d for d in sorted(corpus) if not _DELTA(d)]
@@ -100,7 +101,7 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
         q = start_training_ingest_stream(
             spark, src, ckpt, dstate, root, ROW_SCHEMA,
             max_files_per_trigger=1, ann_compact_after=1,
-            text_index_dir=tindex,
+            text_index_dir=tindex, drift_dir=drift,
         )
         q.awaitTermination(300)
 
@@ -195,7 +196,31 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
     }
     assert got_post == want_post
 
-    # --- replay: rerun with no new files — both artifacts untouched ---
+    # --- drift-monitor half: maintained doc-length histogram ==
+    # recompute over the final text state (the c2 updates lengthen two
+    # docs — bucket-crossing retractions run when they cross 250-char
+    # boundaries; the deletes retract entirely) ---
+    from pgcdc_spark.streaming.ivm import AggView, read_agg_view
+
+    def _bucket(n: int) -> int:  # python mirror of width_bucket(0,2000,8)
+        return 9 if n >= 2000 else int(n * 8 / 2000) + 1
+
+    want_hist: dict[int, list] = {}
+    for t in final_text.values():
+        agg = want_hist.setdefault(_bucket(len(t)), [0.0, 0])
+        agg[0] += float(len(t))
+        agg[1] += 1
+    drift_view = AggView("drift", group_cols=["bucket"], sum_col="doclen")
+
+    def hist():
+        return {
+            r["bucket"]: [r["sum_doclen"], r["n_rows"]]
+            for r in read_agg_view(spark, drift, drift_view).collect()
+        }
+
+    assert hist() == want_hist
+
+    # --- replay: rerun with no new files — all artifacts untouched ---
     v_before = idx.current_version()
     before = verdicts(dstate)
     run()
@@ -205,6 +230,7 @@ def test_one_stream_two_maintainers_with_restart(spark, tmp_path, corpus):
         (r["term"], r["doc_id"]): r["tf"]
         for r in read_postings_view(spark, tindex, PostingsView("post")).collect()
     } == want_post
+    assert hist() == want_hist
 
 
 def test_same_batch_insert_update_still_gets_dedup_verdict(spark, tmp_path):

@@ -306,3 +306,69 @@ def test_text_views_equal_recompute_for_any_changelog(
                 for r in read_postings_view(spark, sp, pv).collect()}
     assert got_df == want_df
     assert got_post == want_post
+
+
+# --- Histogram view: bucket-crossing changelogs == recompute ------------------
+# The r8 drift-monitor view is AggView with the width_bucket id in the
+# grouping key; the hazard shape is an UPDATE whose value crosses a
+# bucket boundary (retract old bucket, add new) and under/overflow rows.
+
+_h_op = st.tuples(
+    st.integers(0, 5),                  # id (collisions force U/D paths)
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(["A", "B"]),        # grp
+    st.integers(-1, 9),                 # val = raw * 100.0 -> buckets 0..9
+)
+
+
+@given(batches=st.lists(
+    st.lists(_h_op, min_size=1, max_size=5), min_size=1, max_size=3,
+))
+@settings(**_SETTINGS)
+def test_histogram_view_equals_recompute_for_any_changelog(
+    spark, tmp_path_factory, batches
+):
+    import os
+
+    from pgcdc_spark.streaming.ivm import (
+        AggView, apply_agg_view_batch, read_agg_view)
+    from pgcdc_spark.streaming.statestore import BucketedStateStore
+
+    tmp = tmp_path_factory.mktemp("histprop")
+    view = AggView("h", group_cols=["grp", "bucket"], sum_col="val")
+    sd = str(tmp / "h")
+    store = BucketedStateStore(os.path.join(sd, "state"), n_buckets=4)
+    schema = "lsn string, op string, id long, grp string, val double"
+
+    lsn = 0
+    for i, ops in enumerate(batches):
+        rows = []
+        for vid, op, grp, raw in ops:
+            lsn += 1
+            rows.append((f"0/{lsn:06X}", op, vid, grp, raw * 100.0))
+        b = spark.createDataFrame(rows, schema).withColumn(
+            "bucket",
+            F.width_bucket("val", F.lit(0.0), F.lit(500.0), F.lit(8)),
+        )
+        apply_agg_view_batch(store, view, os.path.join(sd, "view_h"), b,
+                             label=str(i), keys=["id"])
+
+    def bucket(v: float) -> int:  # python mirror of width_bucket(0,500,8)
+        if v < 0.0:
+            return 0
+        if v >= 500.0:
+            return 9
+        return int(v * 8.0 / 500.0) + 1
+
+    st_df = store.read(spark)
+    want: dict[tuple, list] = {}
+    for r in st_df.filter(F.col("op") != "D").collect():
+        key = (r["grp"], bucket(r["val"]))
+        agg = want.setdefault(key, [0.0, 0])
+        agg[0] += r["val"]
+        agg[1] += 1
+    got = {
+        (r["grp"], r["bucket"]): [r["sum_val"], r["n_rows"]]
+        for r in read_agg_view(spark, sd, view).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v[1] > 0}

@@ -72,6 +72,9 @@ _MODULES = (
 # query in registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
     # round-8 new surface
+    "events_session_window_native",
+    "graph_bfs_recursive_cte",
+    "cdc_snapshot_cutover_state",
     "emb_jl_projection_recall",
     "ivm_histogram_view_state",
     "emb_ann_rerank_exact",

@@ -444,3 +444,65 @@ def cdc_widening_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = apply_pipeline(parsed)
     state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
     return state.select("user_id", F.col("val").alias("last_val")).orderBy("user_id")
+
+
+# --- snapshot-then-stream cutover (R2 + R1 reconciliation) --------------------
+# The reference has BOTH ingestion paths — the R2 snapshot batch read
+# (src/database/postgresql/PostgresOperation.ts:69-86) and the R1 logical
+# stream (src/database/postgresql/PostgresLogicalPg.ts:30-42) — but no
+# cutover story between them: a consumer that snapshots and then
+# subscribes has no defined semantics for changes that landed during the
+# snapshot, and Debezium-style feeds deliberately REPLAY an overlap
+# window around the snapshot position (at-least-once delivery across the
+# handoff). This query proves the engine's reconciliation: seed the
+# state with the snapshot (each row carrying its own source LSN, the
+# Debezium snapshot convention; a snapshot has no tombstones — deleted
+# keys are simply absent), union the stream WITH the overlap window
+# re-delivered, and let the same LWW max_by merge resolve everything.
+# Double-delivered rows lose to (or tie with, payload-identically) the
+# snapshot image; deletes inside the overlap re-tombstone keys the
+# snapshot already dropped — both no-ops. The oracle is the full-log
+# replay: agreement proves snapshot + overlapping stream == replaying
+# the entire history, i.e. the cutover loses nothing and duplicates
+# nothing. Scale shape: the union is one lazy plan into ONE skew-
+# resistant max_by aggregate (map-side combine), same single shuffle as
+# cdc_upsert_state — the snapshot seed adds no extra stage.
+
+_SNAP_CUT = 500      # snapshot position: table state as of event_id < 500
+_SNAP_OVERLAP = 300  # stream replays from 300: [300, 500) delivered twice
+
+_SNAPSHOT_CUTOVER_ORACLE = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("cdc_snapshot_cutover_state", oracle=_SNAPSHOT_CUTOVER_ORACLE,
+       tags=("cdc", "snapshot", "upsert"))
+def cdc_snapshot_cutover_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    changes = events.select(
+        "event_id", "user_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    snapshot = latest_state(
+        changes.filter(F.col("event_id") < _SNAP_CUT),
+        keys=["user_id"], order_by=["event_id"],
+    )
+    stream = changes.filter(F.col("event_id") >= _SNAP_OVERLAP)
+    state = latest_state(
+        snapshot.unionByName(stream),
+        keys=["user_id"], order_by=["event_id"],
+    )
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -157,3 +157,75 @@ def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --- native session windows (batch twin of the streaming session agg) --------
+# window_sessionize (queries/windows.py) builds sessions MANUALLY with
+# the gaps-and-islands window idiom; this is the same walk through
+# Spark's NATIVE session_window operator — the batch twin of the
+# streaming session aggregation in streaming/windows.py, so the driver
+# hash-checks the operator the stream actually uses. Boundary semantics
+# differ between the two constructions and are pinned here: native
+# session windows are [t, t+gap) intervals MERGED ON OVERLAP, so two
+# events exactly gap apart do NOT merge (delta >= gap splits), whereas
+# the manual idiom's `delta > gap` splits — the oracle mirrors the
+# native rule with `>=`. window.end is last-event + gap by definition.
+# Scale shape: session assignment is a per-key sort inside one shuffle
+# on user_id (Spark plans UpdatingSessionsExec + merging agg) — same
+# single-shuffle class as the manual window, with the merge done by the
+# operator instead of two window passes.
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_NATIVE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) >= {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {_SESSION_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@query("events_session_window_native", oracle=_SESSION_NATIVE_ORACLE,
+       tags=("events", "window", "session"))
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("t"),
+        "value",
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("t", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -150,7 +150,11 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- iterative graph traversal (no recursive CTE in Spark) -------------------
+# --- iterative graph traversal (frontier operator) ---------------------------
+# (Historically "the missing recursive CTE"; Spark 4 landed WITH
+# RECURSIVE — see graph_bfs_recursive_cte below for the declarative
+# twin of this same walk. The operator remains the unbounded-depth
+# scale path: per-level dedup + lineage truncation.)
 # A deterministic functional graph over the contiguous customer keys
 # (node k -> (7k+1) mod N and (13k+3) mod N) gives both engines the same
 # edge set from pure arithmetic; the oracle walks it with a recursive CTE
@@ -373,3 +377,51 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+# --- native recursive CTE (Spark 4 WITH RECURSIVE) ----------------------------
+# graph_bfs_hops exists because recursive CTEs were historically the one
+# relational construct Spark lacked (the module comment above says so);
+# Spark 4 landed WITH RECURSIVE, so the engine now also runs the SAME
+# walk DECLARATIVELY — and the DuckDB oracle is literally the same
+# recursive SQL, making this the strongest possible parity check (one
+# query text, two engines). UNION ALL recursion is used on the Spark
+# side (its rCTE step semantics); revisits within the hop bound are
+# folded by the final MIN(hops), which is equivalent to the oracle's
+# UNION-dedup for this aggregate. Scale shape: each recursion level
+# executes as one equi-join of the previous level against the edge
+# table — identical cost to the unrolled-join plans (PageRank, k-means);
+# the depth bound caps the blow-up. For UNBOUNDED depth or cyclic
+# frontiers the iterative operator (operators/graph.py) with per-level
+# dedup and lineage truncation remains the scale path — this query is
+# the declarative twin, not its replacement.
+
+@query("graph_bfs_recursive_cte", oracle=_BFS_ORACLE,
+       tags=("graph", "recursive", "sql"))
+def graph_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS expressed as a native WITH RECURSIVE query — the
+    same functional graph, seeds, and hop bound as graph_bfs_hops, with
+    the recursion executed by Spark's own recursive-CTE machinery
+    instead of the frontier operator. The oracle text IS the engine
+    text (modulo the view name), so the driver hash-checks Spark's
+    recursive execution against DuckDB's directly."""
+    (customer,) = load(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("__rcte_customer")
+    return spark.sql(f"""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src,
+         (c_custkey * 7 + 1) % (SELECT COUNT(*) FROM __rcte_customer) AS dst
+  FROM __rcte_customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 13 + 3) % (SELECT COUNT(*) FROM __rcte_customer)
+  FROM __rcte_customer
+),
+bfs(node, hops) AS (
+  SELECT c_custkey AS node, 0 AS hops FROM __rcte_customer WHERE c_custkey % 500 = 0
+  UNION ALL
+  SELECT e.dst, b.hops + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hops < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM bfs GROUP BY node
+""")

@@ -454,3 +454,26 @@ def test_ann_filtered_probe_pushes_predicate_into_cell_scan(spark, name):
         # and the scan stays cell-pruned: cid is a partition filter
         part = seg[seg.index("PartitionFilters") :][:300]
         assert "cid" in part
+
+
+def test_session_window_single_shuffle_with_partial_agg(spark):
+    """Native session_window must plan as partial agg -> ONE hash
+    exchange on the session key -> sort -> MergingSessions -> final agg:
+    the session merge happens inside the one shuffle the group-by needs
+    anyway. A second exchange (or a missing partial agg) would mean the
+    operator re-shuffles per-event rows — the thing that kills it at
+    100 TB."""
+    plan = _plan(spark, "events_session_window_native")
+    assert "MergingSessions" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    below = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in below, "no map-side partial agg below the shuffle"
+
+
+def test_recursive_cte_no_cartesian(spark):
+    """The WITH RECURSIVE BFS must execute each recursion level as an
+    equi-join of the previous level against the edge table — never a
+    nested-loop/cartesian fallback."""
+    plan = _plan(spark, "graph_bfs_recursive_cte")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -89,6 +89,9 @@ EXTRA = [
     # distribution-drift histogram view
     "emb_jl_projection_recall",
     "ivm_histogram_view_state",
+    # r8: Spark-4 native operators — recursive CTE BFS and session_window
+    "graph_bfs_recursive_cte",
+    "events_session_window_native",
 ]
 
 
@@ -104,7 +107,7 @@ FAMILIES = {
         "window_topk_per_group", "window_running_frames",
         "events_hourly_rollup", "q18_large_orders", "agg_bitmap_distinct",
         "events_linear_interp", "events_funnel_conversion",
-        "join_asof_tolerance",
+        "join_asof_tolerance", "events_session_window_native",
     ],
     "cdc": [
         "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",
@@ -124,7 +127,7 @@ FAMILIES = {
         "docs_quality_score", "docs_unigram_logprob", "docs_pack_sequences",
         "training_mix_pipeline",
     ],
-    "graph": ["graph_pagerank"],
+    "graph": ["graph_pagerank", "graph_bfs_recursive_cte"],
     "multimodal": ["mm_audio_resample"],
     "streaming": ["streaming_upsert_e2e", "ivm_histogram_view_state"],
 }

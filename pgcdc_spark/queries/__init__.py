@@ -72,6 +72,8 @@ _MODULES = (
 # query in registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
     # round-8 new surface
+    "scalar_collation_groupby",
+    "cdc_time_travel_state",
     "events_session_window_native",
     "graph_bfs_recursive_cte",
     "cdc_snapshot_cutover_state",

@@ -506,3 +506,53 @@ def cdc_snapshot_cutover_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# --- time travel (VERSION AS OF over the bucketed state store) ---------------
+# The state store retains its publish history (bounded manifests, no
+# data copied), so any committed batch boundary can be read back — the
+# table-format "VERSION AS OF" verb, previously suite-visible only
+# (tests/test_streaming.py). This query drives it through the driver
+# oracle: apply the standard 3-batch I/U/D changelog, then read the
+# state AS OF batch 1 — i.e. an EARLIER version than the latest commit,
+# proving the historical manifest still reconstructs exactly (batch 2's
+# updates/deletes are absent, batch 0/1 tombstones still respected).
+# Oracle: LWW replay restricted to the first two batches' rows. Scale
+# shape: as-of reads serve straight from retained bucket manifests —
+# O(1) metadata to pick the version, then the same pruned bucket scan
+# as a current-state read; nothing is reconstructed or copied.
+
+_TT_ORACLE = """
+SELECT user_id,
+       event_id AS last_event_id,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 3 IN (0, 1)
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("cdc_time_travel_state", oracle=_TT_ORACLE,
+       tags=("cdc", "state", "time-travel"))
+def cdc_time_travel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.statestore import BucketedStateStore
+    from .ivm_views import _events_changelog
+
+    log = _events_changelog(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="pgcdc-timetravel-")
+    store = BucketedStateStore(os.path.join(state_dir, "state"), n_buckets=8)
+    for b in range(3):
+        store.merge(
+            log.filter(F.col("batch") == b).drop("batch"),
+            keys=["user_id"], order_by=["ts_us", "event_id"], label=str(b),
+        )
+    asof = store.read_asof(spark, "1")  # batch 2 is committed but unseen
+    return asof.filter(F.col("op") != "D").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

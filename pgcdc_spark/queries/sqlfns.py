@@ -416,3 +416,58 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("total_weight"),
         )
     )
+
+
+# --- collation-aware comparison semantics (Spark 4 COLLATE) -------------------
+# Spark 4's collation engine makes case policy a TYPE property instead
+# of a per-expression lower() wrap: grouping, equality, and joins under
+# `COLLATE UTF8_LCASE` compare case-insensitively inside codegen'd
+# comparators (no normalized shadow column materialized, and at 100 TB
+# no second string copy shuffled). The fixture case-mangles
+# c_mktsegment three ways by key, groups by the COLLATED value, and
+# counts collated-equality hits against a default-collation literal
+# (implicit coercion adopts the stronger collation). Output emits
+# lower(group) because the engine may surface ANY case representative
+# per group — the collation defines equivalence classes, not canonical
+# forms — and the oracle mirrors the classes with lower() (for
+# case-insensitive ASCII collations the classes coincide; richer ICU
+# collations like UNICODE_AI have no DuckDB mirror and stay out of the
+# gate).
+
+_COLLATION_ORACLE = """
+WITH m AS (
+  SELECT CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN lower(seg) = 'building' THEN 1 END) AS n_eq_building
+FROM m
+GROUP BY lower(seg)
+"""
+
+
+@query("scalar_collation_groupby", oracle=_COLLATION_ORACLE,
+       tags=("scalar", "collation", "sql"))
+def scalar_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    m = customer.select(seg.alias("seg"))
+    return (
+        m.groupBy(F.expr("seg COLLATE UTF8_LCASE").alias("segc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(
+                    F.expr("seg COLLATE UTF8_LCASE") == F.lit("building"), 1
+                )
+            ).alias("n_eq_building"),
+        )
+        .select(F.lower("segc").alias("segment"), "n_rows", "n_eq_building")
+    )

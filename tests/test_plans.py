@@ -128,7 +128,11 @@ def test_no_collect_in_query_surface(spark):
                  "ivm_agg_view_state", "ivm_minmax_view_state",
                  "ivm_join_view_state", "ivm_distinct_view_state",
                  "ivm_topk_view_state", "ivm_term_df_state",
-                 "ivm_bm25_topk_state", "ivm_histogram_view_state"}
+                 "ivm_bm25_topk_state", "ivm_histogram_view_state",
+                 # same class: the 3-batch merge into the temp store IS
+                 # the declared maintenance work; read_asof then reads a
+                 # retained manifest lazily
+                 "cdc_time_travel_state"}
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

@@ -537,13 +537,12 @@ FROM (
        tags=("cdc", "state", "time-travel"))
 def cdc_time_travel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.statestore import BucketedStateStore
-    from .ivm_views import _events_changelog
+    from .ivm_views import _events_changelog, _scratch_dir
 
     log = _events_changelog(spark, sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-timetravel-")
+    state_dir = _scratch_dir("pgcdc-timetravel-")
     store = BucketedStateStore(os.path.join(state_dir, "state"), n_buckets=8)
     for b in range(3):
         store.merge(

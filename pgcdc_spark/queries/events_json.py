@@ -206,11 +206,9 @@ GROUP BY user_id, sid
        tags=("events", "window", "session"))
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
-    ev = events.select(
-        "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("t"),
-        "value",
-    )
+    # ts_utc is the catalog's canonical µs timestamp (catalog.py attaches
+    # it with the vintage handling) — reuse it, don't re-derive.
+    ev = events.select("user_id", F.col("ts_utc").alias("t"), "value")
     return (
         ev.groupBy(
             "user_id", F.session_window("t", "30 minutes").alias("w")

@@ -17,14 +17,17 @@ Fixture discipline (same as cdc_state.py): everything derives
 arithmetically from table columns so the oracle can mirror it; batch
 assignment is part of the fixture (later batches carry updates/deletes
 against keys inserted by earlier ones, so retraction paths genuinely
-run). State lives in a fresh mkdtemp per invocation (the returned
-DataFrame reads it lazily, so it is NOT cleaned up here; the OS temp
-reaper owns it — bounded, driver-run-sized state).
+run). State lives in a fresh scratch dir per invocation (the returned
+DataFrame reads it lazily, so it cannot be deleted here); _scratch_dir
+registers an atexit rmtree so bench/sweep sessions that invoke these
+twins repeatedly do not accumulate unbounded /tmp state (r8 review).
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -34,6 +37,14 @@ from ..catalog import load
 from . import query
 
 _N_BUCKETS = 8  # small fixtures: fewer buckets = fewer tiny files/jobs
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: the state must outlive this function
+    (the returned DataFrame reads it lazily) but not the process."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +87,7 @@ def ivm_agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.statestore import BucketedStateStore
 
     view = AggView("by_type", group_cols=["event_type"], sum_col="value")
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-agg-")
+    state_dir = _scratch_dir("pgcdc-ivm-agg-")
     store = BucketedStateStore(os.path.join(state_dir, "state"),
                                n_buckets=_N_BUCKETS)
     delta_root = os.path.join(state_dir, f"view_{view.name}")
@@ -112,7 +123,7 @@ def ivm_minmax_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = MinMaxView("mn", group_cols=["event_type"], val_col="value",
                       key_cols=["user_id"], agg="min", k=4)
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-minmax-")
+    state_dir = _scratch_dir("pgcdc-ivm-minmax-")
     m = MinMaxViewMaintainer(state_dir, view, keys=["user_id"],
                              order_by=["ts_us", "event_id"],
                              n_buckets=_N_BUCKETS)
@@ -217,7 +228,7 @@ def ivm_join_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = JoinView("ord_cust", on=["j"], left_cols=["id", "j", "a_val"],
                     right_cols=["j", "b_val"])
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-join-")
+    state_dir = _scratch_dir("pgcdc-ivm-join-")
     m = JoinViewMaintainer(state_dir, view, left_keys=["id"],
                            right_keys=["rid"], n_buckets=_N_BUCKETS)
     for b in range(3):
@@ -258,7 +269,7 @@ def ivm_distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = DistinctView("cohorts", group_cols=["event_type"],
                         distinct_col="cohort")
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-distinct-")
+    state_dir = _scratch_dir("pgcdc-ivm-distinct-")
     store = BucketedStateStore(os.path.join(state_dir, "state"),
                                n_buckets=_N_BUCKETS)
     delta_root = os.path.join(state_dir, f"view_{view.name}")
@@ -302,7 +313,7 @@ def ivm_topk_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = TopKView("t3", group_cols=["event_type"], val_col="value",
                     key_cols=["user_id"], agg="max", k_out=3, slack=4)
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-topk-")
+    state_dir = _scratch_dir("pgcdc-ivm-topk-")
     m = TopKViewMaintainer(state_dir, view, keys=["user_id"],
                            order_by=["ts_us", "event_id"],
                            n_buckets=_N_BUCKETS)
@@ -392,7 +403,7 @@ def ivm_term_df_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _docs_changelog(spark, sf_dir)
     view = TermDFView("df")
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-termdf-")
+    state_dir = _scratch_dir("pgcdc-ivm-termdf-")
     store = BucketedStateStore(os.path.join(state_dir, "state"),
                                n_buckets=_N_BUCKETS)
     delta_root = os.path.join(state_dir, f"view_{view.name}")
@@ -477,7 +488,7 @@ def ivm_bm25_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _docs_changelog(spark, sf_dir)
     view = PostingsView("post")
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-bm25-")
+    state_dir = _scratch_dir("pgcdc-ivm-bm25-")
     store = BucketedStateStore(os.path.join(state_dir, "state"),
                                n_buckets=_N_BUCKETS)
     delta_root = os.path.join(state_dir, f"view_{view.name}")
@@ -572,7 +583,7 @@ def ivm_histogram_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.statestore import BucketedStateStore
 
     view = AggView("hist", group_cols=["event_type", "bucket"], sum_col="value")
-    state_dir = tempfile.mkdtemp(prefix="pgcdc-ivm-hist-")
+    state_dir = _scratch_dir("pgcdc-ivm-hist-")
     store = BucketedStateStore(os.path.join(state_dir, "state"),
                                n_buckets=_N_BUCKETS)
     delta_root = os.path.join(state_dir, f"view_{view.name}")

@@ -96,13 +96,20 @@ _N_TABLES = 8
 _K_PLANES = 4  # 2^4 = 16 buckets per table
 
 
-def _plane_sign(table: int, plane: int, dim: int) -> int:
+def _counter_sign(key: str) -> int:
     """Deterministic pseudo-random +-1 from a counter hash (no RNG: runs
-    must be reproducible across engines and sessions)."""
+    must be reproducible across engines and sessions). Shared by the LSH
+    plane matrix and the JL projection matrix — both stringify the same
+    signs into the Spark expression AND the DuckDB VALUES table, so the
+    convention must have exactly one home."""
     import hashlib
 
-    h = hashlib.md5(f"{table}_{plane}_{dim}".encode()).hexdigest()
+    h = hashlib.md5(key.encode()).hexdigest()
     return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def _plane_sign(table: int, plane: int, dim: int) -> int:
+    return _counter_sign(f"{table}_{plane}_{dim}")
 
 
 def _buckets_expr(dims: int) -> F.Column:
@@ -904,12 +911,9 @@ _RP_DIMS = 16
 
 
 def _rp_sign(j: int, d: int) -> int:
-    """Deterministic +-1 entry of the projection matrix (counter-hash,
-    namespaced apart from the LSH plane signs)."""
-    import hashlib
-
-    h = hashlib.md5(f"rp_{j}_{d}".encode()).hexdigest()
-    return 1 if int(h[0], 16) % 2 == 0 else -1
+    """Deterministic +-1 entry of the projection matrix (shared
+    counter-hash, namespaced apart from the LSH plane signs)."""
+    return _counter_sign(f"rp_{j}_{d}")
 
 
 def _rp_proj_expr(dims: int) -> F.Column:

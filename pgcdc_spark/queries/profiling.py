@@ -402,9 +402,12 @@ def graph_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS expressed as a native WITH RECURSIVE query — the
     same functional graph, seeds, and hop bound as graph_bfs_hops, with
     the recursion executed by Spark's own recursive-CTE machinery
-    instead of the frontier operator. The oracle text IS the engine
-    text (modulo the view name), so the driver hash-checks Spark's
-    recursive execution against DuckDB's directly."""
+    instead of the frontier operator. The oracle runs the same walk
+    with UNION (per-level dedup) where the engine recurses with UNION
+    ALL — equivalent under the final MIN(hops) fold, NOT textually
+    interchangeable (pasting UNION ALL into an unbounded-depth oracle
+    would blow up; see the block comment above). The driver still
+    hash-checks Spark's recursive execution against DuckDB's."""
     (customer,) = load(spark, sf_dir, "customer")
     customer.createOrReplaceTempView("__rcte_customer")
     return spark.sql(f"""

@@ -372,3 +372,53 @@ def test_histogram_view_equals_recompute_for_any_changelog(
         for r in read_agg_view(spark, sd, view).collect()
     }
     assert got == {k: v for k, v in want.items() if v[1] > 0}
+
+
+# --- Snapshot cutover: any changelog, any cut/overlap == full replay ----------
+# cdc_snapshot_cutover_state pins ONE cut/overlap position through the
+# driver oracle; this generalizes the invariant: for ANY changelog and
+# ANY (overlap <= cut) split, snapshot-at-cut + stream-from-overlap
+# merged by the LWW upsert equals replaying the full log. The hazard
+# shapes hypothesis hunts: delete-then-reinsert straddling the cut, a
+# key's latest change inside the twice-delivered overlap window, keys
+# whose entire history predates the overlap.
+
+_co_op = st.tuples(
+    st.integers(0, 5),                  # key
+    st.sampled_from(["U", "D"]),
+    st.integers(0, 3),                  # value tag
+)
+
+
+@given(
+    ops=st.lists(_co_op, min_size=1, max_size=12),
+    cut_frac=st.integers(0, 4),
+    overlap_frac=st.integers(0, 4),
+)
+@settings(**_SETTINGS)
+def test_snapshot_cutover_equals_full_replay(spark, ops, cut_frac, overlap_frac):
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    rows = [
+        (lsn, key, op, f"v{key}_{tag}_{lsn}")
+        for lsn, (key, op, tag) in enumerate(ops)
+    ]
+    cut = len(rows) * cut_frac // 4
+    overlap = min(len(rows) * overlap_frac // 4, cut)
+    log = spark.createDataFrame(rows, "lsn long, id long, op string, val string")
+
+    snapshot = latest_state(
+        log.filter(F.col("lsn") < cut), keys=["id"], order_by=["lsn"]
+    )
+    stream = log.filter(F.col("lsn") >= overlap)
+    got = sorted(
+        (r["id"], r["lsn"], r["val"])
+        for r in latest_state(
+            snapshot.unionByName(stream), keys=["id"], order_by=["lsn"]
+        ).collect()
+    )
+    want = sorted(
+        (r["id"], r["lsn"], r["val"])
+        for r in latest_state(log, keys=["id"], order_by=["lsn"]).collect()
+    )
+    assert got == want, f"cut={cut} overlap={overlap}: {got} != {want}"

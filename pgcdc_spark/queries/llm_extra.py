@@ -1475,3 +1475,42 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", "doc_id", "rrf", "rank")
     )
+
+
+# --- index time travel: probe the retained PRE-APPEND version -----------------
+# The serving-side twin of the state store's read_asof: annindex's GC
+# deliberately retains the previous tip's closure, so a probe pinned to
+# the base version keeps answering from the PRE-append corpus even
+# after the delta commit — the version-pinning story of a staged index
+# rollout (serve v_base while v_delta bakes, flip atomically, keep
+# v_base as the rollback target). The base version id is resolved from
+# the CURRENT tip's manifest (meta()['centroids'] names the quantizer's
+# owning version, which is the base build — no directory scraping).
+# Oracle: the IVF-PQ plan with candidates restricted to base rows via
+# the same cand_join hook the filtered probes use — probing an old
+# version IS a candidate-set restriction, the quantizer being frozen
+# makes every surviving code bit-identical. A green row proves the
+# retained version leaks no delta row and lost no base row.
+
+_ASOF_CAND_JOIN = (
+    "\n  JOIN embeddings em ON em.vec_id = a.vec_id "
+    f"AND NOT ((em.vec_id % 5 = 2) AND (em.vec_id % 53 <> 1) "
+    f"AND (em.vec_id % {_PQ_CB_MOD} <> 1))"
+)
+
+
+@query("emb_ann_index_asof_probe", oracle=_ivfpq_oracle(_ASOF_CAND_JOIN),
+       tags=("llm", "similarity", "ivf", "pq", "index", "time-travel"))
+def emb_ann_index_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe pinned to the retained BASE version of the incrementally
+    maintained index, after the delta append committed a newer tip —
+    VERSION AS OF for the serving index. Queries are current (full
+    corpus); only the INDEXED corpus is the pre-append one."""
+    idx = _ann_incr_index_for(spark, sf_dir)
+    base_version = idx.meta()["centroids"]  # quantizer owner == base build
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    return idx.probe(spark, queries, nprobe=2, k=_TOP_K, version=base_version)

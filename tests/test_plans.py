@@ -113,6 +113,7 @@ def test_no_collect_in_query_surface(spark):
                  "emb_ann_index_idmap_stats",  # same cold-cache build
                  "emb_ann_index_filtered_probe",  # same cold-cache build
                  "emb_ann_index_filtered_incremental",  # same, incr chain
+                 "emb_ann_index_asof_probe",  # same cold-cache build
                  # binaryFile ingestion: on a cold cache the builder runs
                  # the DECLARED one-time fixture materialization (executor-
                  # side file writes, queries/multimodal._mm_fixture_dir) —

@@ -15,6 +15,7 @@ window query.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' annotations here
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -555,3 +556,80 @@ def cdc_time_travel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+# --- pgoutput BINARY wire format, decoded in-engine ---------------------------
+# The reference consumes pgoutput through the pg-logical-replication npm
+# package and never sees the bytes; cdc/pgoutput.py implements the
+# documented binary message layout itself, so the engine can ingest raw
+# XLogData payloads with no decode sidecar. This query drives the full
+# binary path under the driver gate: events re-encoded as byte-exact
+# R/I/U/D messages (plus begin/commit control frames and one corrupt
+# message, exercising the filter and dead-letter paths), relation
+# metadata discovered in the bounded first pass, rows decoded via
+# Arrow mapInPandas into the SAME envelope frame the JSON adapters
+# emit, then the unchanged filter -> extract -> upsert pipeline. Float
+# round-trip: Python repr() text is shortest-round-trip, so the decoded
+# doubles are bit-identical to the originals and the oracle compares
+# exact values. The byte layout itself is pinned by hand-written
+# literal bytes in tests/test_cdc.py (encoder and decoder cannot drift
+# together).
+
+_PGOUT_ORACLE = """
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_pgoutput_state", oracle=_PGOUT_ORACLE,
+       tags=("cdc", "pgoutput", "binary"))
+def cdc_pgoutput_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import decode_pgoutput, encode_relation
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+
+    @pandas_udf("binary")
+    def enc(event_id: pd.Series, user_id: pd.Series, value: pd.Series,
+            etype: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_delete, encode_insert, encode_update)
+
+        out = []
+        for eid, uid, val, et in zip(event_id, user_id, value, etype):
+            vals = [int(uid), repr(float(val))]
+            if et == "error":
+                out.append(encode_delete(1, vals))
+            elif int(eid) % 3 == 0:
+                out.append(encode_insert(1, vals))
+            else:
+                out.append(encode_update(1, vals))
+        return pd.Series(out)
+
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(1, "public", "events",
+                                       ["user_id", "value"])))],
+        "lsn long, payload binary",
+    )
+    msgs = rel.unionByName(
+        events.select(
+            (F.col("event_id") + 1).alias("lsn"),
+            enc("event_id", "user_id", "value", "event_type").alias("payload"),
+        )
+    )
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    changes = apply_pipeline(decode_pgoutput(msgs, row_schema))
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")

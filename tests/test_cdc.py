@@ -469,3 +469,89 @@ def test_scd2_intervals_and_type1_consistency(spark, sf_smoke):
             current[uid] = (currents[0]["version_event_id"], currents[0]["value"])
     # Type-2 current == Type-1 state, key for key
     assert current == state
+
+
+# --- pgoutput binary layout: HAND-WRITTEN golden bytes ------------------------
+# The driver query round-trips through cdc/pgoutput.py's own encoder, so
+# these literals pin the documented wire layout (PostgreSQL "Logical
+# Replication Message Formats", protocol v1) INDEPENDENTLY: if encoder
+# and decoder ever drift together, the literals catch it.
+
+_REL_GOLDEN = (
+    b"R" + b"\x00\x00\x00\x01"          # relid 1
+    + b"public\x00" + b"t\x00"          # namespace, relname (C-strings)
+    + b"d"                              # replident default
+    + b"\x00\x02"                       # 2 columns
+    + b"\x01" + b"id\x00" + b"\x00\x00\x00\x19" + b"\xff\xff\xff\xff"
+    + b"\x01" + b"v\x00" + b"\x00\x00\x00\x19" + b"\xff\xff\xff\xff"
+)
+_INS_GOLDEN = (
+    b"I" + b"\x00\x00\x00\x01" + b"N"
+    + b"\x00\x02"                       # 2 columns
+    + b"t" + b"\x00\x00\x00\x01" + b"7"  # text '7'
+    + b"n"                              # NULL second column
+)
+_DEL_GOLDEN = (
+    b"D" + b"\x00\x00\x00\x01" + b"O"
+    + b"\x00\x02"
+    + b"t" + b"\x00\x00\x00\x01" + b"7"
+    + b"t" + b"\x00\x00\x00\x03" + b"1.5"
+)
+
+
+def test_pgoutput_golden_bytes_encode_and_decode():
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_relation_message,
+        encode_delete,
+        encode_insert,
+        encode_relation,
+    )
+
+    assert encode_relation(1, "public", "t", ["id", "v"]) == _REL_GOLDEN
+    assert encode_insert(1, ["7", None]) == _INS_GOLDEN
+    assert encode_delete(1, ["7", "1.5"]) == _DEL_GOLDEN
+    assert decode_relation_message(_REL_GOLDEN) == (1, ["id", "v"])
+
+
+def test_pgoutput_decode_golden_rows(spark):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    from pgcdc_spark.cdc.pgoutput import decode_pgoutput
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", DoubleType())])
+    df = spark.createDataFrame(
+        [(0, bytearray(_REL_GOLDEN)), (1, bytearray(_INS_GOLDEN)),
+         (2, bytearray(_DEL_GOLDEN)), (3, bytearray(b"\x00trunc"))],
+        "lsn long, payload binary",
+    )
+    rows = {r["lsn"]: r for r in decode_pgoutput(df, schema).collect()}
+    assert rows["0/0000000000000000"]["tag"] == "relation"
+    ins = rows["0/0000000000000001"]
+    assert ins["tag"] == "insert" and ins["new"]["id"] == 7
+    assert ins["new"]["v"] is None                 # wire NULL -> NULL
+    dl = rows["0/0000000000000002"]
+    assert dl["tag"] == "delete" and dl["old"]["v"] == 1.5
+    assert rows["0/0000000000000003"]["tag"] == "_corrupt"  # dead-letter
+
+
+def test_pgoutput_unknown_relation_and_bad_value_checked(spark):
+    """A row for an undiscovered relid decodes to a NULL image (dropped
+    by the standard pipeline's image filter, like the reference's
+    unparseable rows — but loudly classifiable); a non-numeric text in a
+    numeric column becomes NULL, never a crash or a corrupt row."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.cdc.pgoutput import decode_pgoutput, encode_insert
+
+    schema = StructType([StructField("id", LongType())])
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_insert(99, ["7"]))),       # unknown relid
+         (2, bytearray(encode_insert(1, ["xyz"])))],     # bad numeric
+        "lsn long, payload binary",
+    )
+    rows = {r["lsn"]: r for r in
+            decode_pgoutput(df, schema, relations={1: ["id"]}).collect()}
+    assert rows["0/0000000000000001"]["new"] is None
+    assert rows["0/0000000000000002"]["new"]["id"] is None

@@ -133,7 +133,11 @@ def test_no_collect_in_query_surface(spark):
                  # same class: the 3-batch merge into the temp store IS
                  # the declared maintenance work; read_asof then reads a
                  # retained manifest lazily
-                 "cdc_time_travel_state"}
+                 "cdc_time_travel_state",
+                 # relation discovery: one bounded collect of the 'R'
+                 # metadata messages (O(#tables), decoded driver-side) —
+                 # the WAL-decode twin of evolution's schema discovery
+                 "cdc_pgoutput_state"}
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

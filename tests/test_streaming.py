@@ -778,3 +778,53 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     # ran after the watermark passed 06:10); click 4's window cannot have
     # expired by stream end, so append mode MUST withhold it
     assert (4, None) not in got, got
+
+
+def test_pgoutput_binary_stream_to_upsert_state(spark, tmp_path):
+    """R1 end-to-end on the BINARY wire format: a file stream of raw
+    pgoutput payloads decoded IN-FLIGHT (decode_pgoutput is a plain
+    DataFrame transform, so it composes with readStream unchanged; the
+    relation registry is passed statically — discovery's bounded collect
+    belongs to the bootstrap phase, not the stream), then the standard
+    filter -> extract -> bucketed-upsert sink. Final state must equal
+    the batch decode of the same messages, including a cross-file
+    update and a delete."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_delete, encode_insert, encode_update)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.streaming.pipeline import read_state, start_upsert_stream
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType)
+
+    src = str(tmp_path / "src")
+    rels = {1: ["id", "v"]}
+    row_schema = StructType([StructField("id", LongType()),
+                             StructField("v", LongType())])
+    f0 = [(1, encode_insert(1, [10, 100])),
+          (2, encode_insert(1, [11, 110])),
+          (3, encode_insert(1, [12, 120]))]
+    f1 = [(4, encode_update(1, [11, 999])),          # update across files
+          (5, encode_delete(1, [12, 120])),          # delete across files
+          (6, b"\x00garbled")]                       # dead-letter survives
+    bin_schema = StructType([StructField("lsn", LongType()),
+                             StructField("payload", BinaryType())])
+    for i, rows in enumerate((f0, f1)):
+        (spark.createDataFrame([(l, bytearray(p)) for l, p in rows], bin_schema)
+         .coalesce(1).write.parquet(f"{src}/f{i}"))
+
+    stream = (
+        spark.readStream.schema(bin_schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*")
+    )
+    changes = apply_pipeline(decode_pgoutput(stream, row_schema, relations=rels))
+    q = start_upsert_stream(
+        changes, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        keys=["id"], n_buckets=4,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_state(spark, str(tmp_path / "state")).collect()
+    )
+    assert got == [(10, 100), (11, 999)]

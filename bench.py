@@ -92,6 +92,10 @@ EXTRA = [
     # r8: Spark-4 native operators — recursive CTE BFS and session_window
     "graph_bfs_recursive_cte",
     "events_session_window_native",
+    # r8: wire-format decode throughput — Arrow-batched binary pgoutput
+    # vs whole-stage-codegen wal2json JSON (the deliberate pairing)
+    "cdc_pgoutput_state",
+    "cdc_wal2json_state",
 ]
 
 
@@ -111,6 +115,7 @@ FAMILIES = {
     ],
     "cdc": [
         "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",
+        "cdc_pgoutput_state", "cdc_wal2json_state",
     ],
     "dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",

@@ -633,3 +633,88 @@ def cdc_pgoutput_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", F.col("value").alias("last_value")
     ).orderBy("user_id")
+
+
+# --- wal2json adapter, driven through the oracle gate -------------------------
+# The OTHER decoding plugin (the reference's config selects plugins by
+# name, src/config/config.ts:21-24): transaction envelopes with ordered
+# change arrays and parallel columnnames/columnvalues text arrays —
+# cdc/wal2json.py normalizes them with pure JVM built-ins (posexplode
+# ordinal folded into the LSN for intra-transaction order, per-field
+# try_cast for checked text->type). Fixture: events paired into
+# 2-change transactions (txn = event_id div 2, changes ordered by
+# event_id inside the array), deletes as key-only oldkeys (REPLICA
+# IDENTITY DEFAULT). The oracle is the plain LWW replay by event_id —
+# which equals (txn, ordinal) order by construction, so a green row
+# proves the transaction fold preserves the exact change order.
+
+_WAL2JSON_ORACLE = """
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_wal2json_state", oracle=_WAL2JSON_ORACLE,
+       tags=("cdc", "wal2json"))
+def cdc_wal2json_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.transform import apply_pipeline
+    from ..cdc.wal2json import parse_wal2json
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    change = F.struct(
+        F.when(is_del, "delete")
+        .when(F.col("event_id") % 2 == 0, "insert")
+        .otherwise("update")
+        .alias("kind"),
+        F.lit("public").alias("schema"),
+        F.lit("events").alias("table"),
+        F.when(~is_del, F.array(F.lit("user_id"), F.lit("value")))
+        .alias("columnnames"),
+        F.when(
+            ~is_del,
+            F.array(
+                F.col("user_id").cast("string"), F.col("value").cast("string")
+            ),
+        ).alias("columnvalues"),
+        F.when(
+            is_del,
+            F.struct(
+                F.array(F.lit("user_id")).alias("keynames"),
+                F.array(F.col("user_id").cast("string")).alias("keyvalues"),
+            ),
+        ).alias("oldkeys"),
+    )
+    docs = (
+        events.select(
+            (F.col("event_id") / 2).cast("long").alias("txn"),
+            F.struct(F.col("event_id").alias("o"), change.alias("c")).alias("oc"),
+        )
+        .groupBy("txn")
+        .agg(
+            F.to_json(
+                F.struct(
+                    F.col("txn").cast("string").alias("lsn"),
+                    F.transform(
+                        F.array_sort(F.collect_list("oc")), lambda x: x["c"]
+                    ).alias("change"),
+                )
+            ).alias("value")
+        )
+        .select("value")
+    )
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    changes = apply_pipeline(parse_wal2json(docs, row_schema))
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")

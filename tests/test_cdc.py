@@ -555,3 +555,44 @@ def test_pgoutput_unknown_relation_and_bad_value_checked(spark):
             decode_pgoutput(df, schema, relations={1: ["id"]}).collect()}
     assert rows["0/0000000000000001"]["new"] is None
     assert rows["0/0000000000000002"]["new"]["id"] is None
+
+
+def test_wal2json_edges_checked(spark):
+    """wal2json adapter edges pinned outside the oracle fixture: unknown
+    kinds (truncate/message) become control rows the pipeline drops,
+    intra-transaction ordinal folds into a sortable lsn, a malformed
+    numeric becomes a NULL field (try_cast), and delete old-keys carry
+    key-only images."""
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.wal2json import parse_wal2json
+
+    docs = [
+        json.dumps({"lsn": "7", "change": [
+            {"kind": "insert", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columnvalues": ["1", "1.5"]},
+            {"kind": "truncate", "schema": "s", "table": "t"},
+            {"kind": "update", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columnvalues": ["1", "oops"]},
+            {"kind": "delete", "schema": "s", "table": "t",
+             "oldkeys": {"keynames": ["id"], "keyvalues": ["2"]}},
+        ]}),
+    ]
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", DoubleType())])
+    raw = spark.createDataFrame([(d,) for d in docs], "value string")
+    parsed = parse_wal2json(raw, schema)
+    tags = [r["tag"] for r in parsed.orderBy("lsn").collect()]
+    assert tags == ["insert", "_control", "update", "delete"]
+
+    rows = apply_pipeline(parsed).orderBy("lsn").collect()
+    assert [r["op"] for r in rows] == ["I", "U", "D"]  # control dropped
+    assert rows[0]["v"] == 1.5
+    assert rows[1]["v"] is None          # try_cast: bad text -> NULL field
+    assert rows[2]["id"] == 2 and rows[2]["v"] is None  # key-only delete
+    lsns = [r["lsn"] for r in rows]
+    assert lsns == sorted(lsns)          # ordinal-folded lsn sorts

@@ -428,3 +428,73 @@ bfs(node, hops) AS (
 )
 SELECT node, CAST(MIN(hops) AS INT) AS hops FROM bfs GROUP BY node
 """)
+
+
+# --- join-key skew profile (the pre-flight for salting decisions) -------------
+# operators/salted.py fixes skewed joins; THIS is the diagnostic that
+# tells you a key needs it: per candidate join key, the row count, key
+# cardinality, heaviest-key count, mean count, their ratio (the salting
+# trigger), and the heaviest key itself. Scale shape: one partial-agg
+# shuffle per profiled column (|keys| rows after map-side combine),
+# then a single-row global fold and a broadcast of the 1-row max for
+# the deterministic argmax (min key among ties) — the whole profile is
+# two tiny aggregates over each count relation, never a sort. The
+# ratio arithmetic is the same IEEE double chain on both engines
+# (max/(sum/count)), so it hash-checks exactly.
+
+_SKEW_ORACLE = """
+WITH c1 AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+m1 AS (SELECT MAX(c) AS m FROM c1),
+p1 AS (
+  SELECT 'orders.o_custkey' AS key_col,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_cnt,
+         CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_cnt,
+         CAST(MAX(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_ratio,
+         CAST(MIN(CASE WHEN c = (SELECT m FROM m1) THEN k END) AS BIGINT) AS top_key
+  FROM c1
+),
+c2 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey),
+m2 AS (SELECT MAX(c) AS m FROM c2),
+p2 AS (
+  SELECT 'lineitem.l_suppkey' AS key_col,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_cnt,
+         CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_cnt,
+         CAST(MAX(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_ratio,
+         CAST(MIN(CASE WHEN c = (SELECT m FROM m2) THEN k END) AS BIGINT) AS top_key
+  FROM c2
+)
+SELECT * FROM p1 UNION ALL SELECT * FROM p2
+"""
+
+
+def _key_skew_profile(df, label: str, col: str):
+    counts = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    mx = counts.agg(F.max("c").alias("m"))
+    avg = F.sum("c").cast("double") / F.count(F.lit(1))
+    return (
+        counts.crossJoin(F.broadcast(mx))
+        .agg(
+            F.lit(label).alias("key_col"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").cast("long").alias("max_cnt"),
+            avg.alias("avg_cnt"),
+            (F.max("c").cast("double") / avg).alias("skew_ratio"),
+            F.min(F.when(F.col("c") == F.col("m"), F.col("k")))
+            .cast("long")
+            .alias("top_key"),
+        )
+    )
+
+
+@query("profile_join_key_skew", oracle=_SKEW_ORACLE,
+       tags=("profiling", "skew", "diagnostics"))
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders, lineitem) = load(spark, sf_dir, "orders", "lineitem")
+    return _key_skew_profile(orders, "orders.o_custkey", "o_custkey").unionByName(
+        _key_skew_profile(lineitem, "lineitem.l_suppkey", "l_suppkey")
+    )

@@ -18,6 +18,9 @@ decode sidecar:
   'U' Update    Int32 relid, ['K'|'O', TupleData]?, 'N', TupleData
   'D' Delete    Int32 relid, 'K'|'O', TupleData
   TupleData     Int16 ncols, ncols x ('n' | 'u' | 't' Int32 len, bytes)
+                ('n' = SQL NULL; 'u' = unchanged TOAST — the value was
+                 NOT re-sent and must be carried forward, see
+                 track_unchanged + upsert.toast_state)
 
 Execution model (the two WAL-decode phases, made Spark-shaped):
 
@@ -66,6 +69,39 @@ from pyspark.sql.types import (
 # --- encode (fixture/demo side) ----------------------------------------------
 
 
+class _UnchangedToast:
+    """Singleton marking a TOASTed column the wire did NOT re-send
+    (pgoutput TupleData kind 'u'). Distinct from None (SQL NULL, kind
+    'n') — the whole point of TOAST handling is that these two must
+    never be conflated: 'u' means "keep the stored value", 'n' means
+    "the value IS null".
+
+    Checks use ``isinstance``, never ``is``: closures shipped to Spark
+    workers are cloudpickled, and an unpickled copy of the sentinel is
+    a DIFFERENT object from the one the worker's own module import
+    holds — an identity check would silently miss every marker.
+    ``__new__``/``__reduce__`` additionally collapse copies back to the
+    module singleton so ``is`` still works where it happens to be used.
+    """
+
+    __slots__ = ()
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __reduce__(self):
+        return (_UnchangedToast, ())
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return "UNCHANGED_TOAST"
+
+
+UNCHANGED_TOAST = _UnchangedToast()
+
+
 def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
 
@@ -75,6 +111,8 @@ def _tuple_data(values: list[object]) -> bytes:
     for v in values:
         if v is None:
             out.append(b"n")
+        elif isinstance(v, _UnchangedToast):
+            out.append(b"u")
         else:
             t = str(v).encode()
             out.append(b"t" + struct.pack(">i", len(t)) + t)
@@ -121,15 +159,18 @@ def encode_commit(lsn: int, end_lsn: int, commit_ts: int) -> bytes:
 # --- decode ------------------------------------------------------------------
 
 
-def _read_tuple(buf: bytes, pos: int) -> tuple[list[str | None], int]:
+def _read_tuple(buf: bytes, pos: int) -> tuple[list[object], int]:
+    # values are str (kind 't'), None (kind 'n'), or UNCHANGED_TOAST ('u')
     (ncols,) = struct.unpack_from(">h", buf, pos)
     pos += 2
     vals: list[str | None] = []
     for _ in range(ncols):
         kind = buf[pos:pos + 1]
         pos += 1
-        if kind in (b"n", b"u"):
+        if kind == b"n":
             vals.append(None)
+        elif kind == b"u":
+            vals.append(UNCHANGED_TOAST)
         elif kind == b"t":
             (ln,) = struct.unpack_from(">i", buf, pos)
             pos += 4
@@ -206,36 +247,69 @@ def decode_pgoutput(
     relations: dict[int, list[str]] | None = None,
     lsn_col: str = "lsn",
     payload_col: str = "payload",
+    track_unchanged: bool = False,
 ) -> DataFrame:
     """Phase 2: decode every message into the standard envelope frame
     (lsn string, tag, new, old) + control/_corrupt rows. ``relations``
     maps relid -> wire column order (from ``discover_relations``);
     columns absent from ``row_schema`` are dropped, schema columns
-    absent from the wire read NULL (additive-evolution friendly)."""
+    absent from the wire read NULL (additive-evolution friendly).
+
+    ``track_unchanged=True`` adds an ``unchanged array<string>`` column
+    naming the new-image schema columns the wire marked as
+    unchanged-TOAST (TupleData kind 'u' — Postgres does NOT re-send a
+    TOASTed value an UPDATE didn't touch). Their ``new.<col>`` reads
+    NULL (the wire carries no value), so a consumer that upserts the
+    raw image would overwrite stored values with NULL — the classic
+    TOAST data-loss bug. upsert.toast_state consumes this column to
+    carry the stored value forward instead. Off by default: the extra
+    column changes the envelope schema, and non-TOAST pipelines keep
+    the historical frame."""
     if relations is None:
         relations = discover_relations(messages, payload_col)
     fields = [(f.name, f.dataType) for f in row_schema.fields]
-    out_schema = StructType(
-        [
-            StructField("lsn", StringType()),
-            StructField("tag", StringType()),
-            StructField("new", row_schema),
-            StructField("old", row_schema),
-        ]
-    )
+    out_fields = [
+        StructField("lsn", StringType()),
+        StructField("tag", StringType()),
+        StructField("new", row_schema),
+        StructField("old", row_schema),
+    ]
+    if track_unchanged:
+        from pyspark.sql.types import ArrayType
 
-    def _image(relid: int, vals: list[str | None]) -> dict | None:
+        out_fields.append(StructField("unchanged", ArrayType(StringType())))
+    out_schema = StructType(out_fields)
+
+    def _image(relid: int, vals: list[object]) -> tuple[dict | None, list[str]]:
         names = relations.get(relid)
         if names is None:
-            return None
+            return None, []
         wire = dict(zip(names, vals))
-        return {n: _convert(wire.get(n), dt) for n, dt in fields}
+        img, unchanged = {}, []
+        for n, dt in fields:
+            v = wire.get(n)
+            if isinstance(v, _UnchangedToast):
+                img[n] = None
+                unchanged.append(n)
+            else:
+                img[n] = _convert(v, dt)
+        return img, unchanged
 
     def decode(batches) -> Iterator:
         import pandas as pd
 
+        cols = ["lsn", "tag", "new", "old"]
+        if track_unchanged:
+            cols = cols + ["unchanged"]
+
+        def emit(rows, lsn_s, tag, new=None, old=None, unchanged=None):
+            row = (lsn_s, tag, new, old)
+            if track_unchanged:
+                row = row + (unchanged,)
+            rows.append(row)
+
         for pdf in batches:
-            rows = []
+            rows: list[tuple] = []
             for lsn, payload in zip(pdf[lsn_col], pdf[payload_col]):
                 buf = bytes(payload)
                 # zero-padded so STRING order == WAL order (the envelope
@@ -244,40 +318,43 @@ def decode_pgoutput(
                 try:
                     kind = buf[:1]
                     if kind == b"B":
-                        rows.append((lsn_s, "begin", None, None))
+                        emit(rows, lsn_s, "begin")
                     elif kind == b"C":
-                        rows.append((lsn_s, "commit", None, None))
+                        emit(rows, lsn_s, "commit")
                     elif kind == b"R":
-                        rows.append((lsn_s, "relation", None, None))
+                        emit(rows, lsn_s, "relation")
                     elif kind == b"I":
                         (relid,) = struct.unpack_from(">i", buf, 1)
                         if buf[5:6] != b"N":
                             raise ValueError("insert without new tuple")
                         vals, _ = _read_tuple(buf, 6)
-                        rows.append((lsn_s, "insert", _image(relid, vals), None))
+                        img, unch = _image(relid, vals)
+                        emit(rows, lsn_s, "insert", new=img, unchanged=unch)
                     elif kind == b"U":
                         (relid,) = struct.unpack_from(">i", buf, 1)
                         pos, old = 5, None
                         if buf[pos:pos + 1] in (b"K", b"O"):
                             ovals, pos = _read_tuple(buf, pos + 1)
-                            old = _image(relid, ovals)
+                            old = _image(relid, ovals)[0]
                         if buf[pos:pos + 1] != b"N":
                             raise ValueError("update without new tuple")
                         vals, _ = _read_tuple(buf, pos + 1)
-                        rows.append((lsn_s, "update", _image(relid, vals), old))
+                        img, unch = _image(relid, vals)
+                        emit(rows, lsn_s, "update", new=img, old=old,
+                             unchanged=unch)
                     elif kind == b"D":
                         (relid,) = struct.unpack_from(">i", buf, 1)
                         if buf[5:6] not in (b"K", b"O"):
                             raise ValueError("delete without old tuple")
                         ovals, _ = _read_tuple(buf, 6)
-                        rows.append((lsn_s, "delete", None, _image(relid, ovals)))
+                        emit(rows, lsn_s, "delete", old=_image(relid, ovals)[0])
                     else:
-                        rows.append((lsn_s, "_corrupt", None, None))
+                        emit(rows, lsn_s, "_corrupt")
                 except (ValueError, struct.error, IndexError):
                     # dead-letter: a truncated/garbled message becomes a
                     # control-shaped row the pipeline filters, instead of
                     # failing the micro-batch
-                    rows.append((lsn_s, "_corrupt", None, None))
-            yield pd.DataFrame(rows, columns=["lsn", "tag", "new", "old"])
+                    emit(rows, lsn_s, "_corrupt")
+            yield pd.DataFrame(rows, columns=cols)
 
     return messages.mapInPandas(decode, schema=out_schema)

@@ -107,6 +107,75 @@ def compact_tombstones(
     )
 
 
+def toast_state(
+    changes: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    toast_cols: list[str],
+    unchanged_col: str = "unchanged",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """``latest_state`` with TOAST carry-forward: per key, the winning
+    row's ``toast_cols`` are filled from the most recent change that
+    actually CARRIED the column on the wire.
+
+    Postgres does not re-send a TOASTed value an UPDATE didn't touch
+    (pgoutput TupleData kind 'u'); the decoded image reads NULL there
+    with the column name listed in ``unchanged_col`` (see
+    pgoutput.decode_pgoutput(track_unchanged=True)). A plain upsert of
+    such images silently overwrites stored values with NULL — the
+    classic TOAST data-loss bug (the reference inherits it: its mapper
+    forwards wal2json images verbatim, src/mapping/customMapper.ts:19-23,
+    and wal2json renders unchanged TOAST as absent columns). Here every
+    toast column gets its own carry-forward:
+
+      last value over rows where the column was carried
+        = max_by(struct(value), order) FILTER (row is not a delete AND
+          column not listed in ``unchanged_col``)
+
+    — an AGGREGATE per column inside the SAME groupBy as the winner-row
+    max_by, for the same skew reason latest_state documents: map-side
+    partial combine collapses a hot key to one candidate per input
+    partition, where the equivalent window (last(...) ignoreNulls) would
+    pin every row of the hot key into one task. One shuffle total,
+    regardless of how many toast columns are tracked.
+
+    NULL discipline: the carried value rides inside a one-field struct,
+    so a genuine SQL NULL assignment (wire kind 'n') is a non-null
+    struct holding NULL — it wins the carry-forward and the state reads
+    NULL, exactly as Postgres would store it. Only 'u' markers are
+    skipped. A key whose column was never carried (replay horizon after
+    the last real value) reads NULL; deletes still remove the key.
+    """
+    payload_cols = [c for c in changes.columns if c not in keys]
+    order_struct = F.struct(*order_by)
+    unchanged = F.coalesce(F.col(unchanged_col), F.array().cast("array<string>"))
+    aggs = [F.max_by(F.struct(*payload_cols), order_struct).alias("__winner")]
+    for c in toast_cols:
+        carried = (F.col(op_col) != delete_op) & ~F.array_contains(unchanged, c)
+        aggs.append(
+            F.max_by(
+                F.struct(F.col(c).alias("v")), F.when(carried, order_struct)
+            ).alias(f"__last_{c}")
+        )
+    winners = changes.groupBy(*keys).agg(*aggs)
+    toast_set = set(toast_cols)
+    return (
+        winners.select(
+            *keys,
+            *[
+                F.col(f"__last_{c}.v").alias(c)
+                if c in toast_set
+                else F.col(f"__winner.{c}").alias(c)
+                for c in payload_cols
+            ],
+        )
+        .select(*changes.columns)  # restore original column order
+        .filter(F.col(op_col) != delete_op)
+    )
+
+
 def scd2_history(
     changes: DataFrame,
     keys: list[str],

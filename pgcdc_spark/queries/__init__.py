@@ -72,6 +72,7 @@ _MODULES = (
 # query in registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
     # round-8 new surface
+    "cdc_toast_upsert_state",
     "profile_join_key_skew",
     "cdc_wal2json_state",
     "cdc_pgoutput_state",

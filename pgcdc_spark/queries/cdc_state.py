@@ -718,3 +718,111 @@ def cdc_wal2json_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", F.col("value").alias("last_value")
     ).orderBy("user_id")
+
+
+# --- unchanged-TOAST carry-forward, driven through the oracle gate ------------
+# Postgres does NOT re-send a TOASTed value an UPDATE didn't touch: the
+# pgoutput tuple carries kind 'u' instead of the bytes. A pipeline that
+# upserts decoded images verbatim silently NULLs those columns — the
+# classic TOAST data-loss bug, and the reference inherits it (its mapper
+# forwards images verbatim, src/mapping/customMapper.ts:19-23). This
+# query drives the full defense end-to-end under the driver gate:
+# events re-encoded as binary pgoutput where
+#   - deletes are key-only ('K' old tuple, REPLICA IDENTITY DEFAULT),
+#   - inserts carry the full row,
+#   - updates with event_id%3==1 mark `value` unchanged-TOAST ('u'),
+#   - updates with event_id%7==2 set `value` to a GENUINE SQL NULL ('n')
+#     — the case that proves 'u' and 'n' are never conflated,
+# then decode_pgoutput(track_unchanged=True) surfaces the marker column
+# and upsert.toast_state carries the last wire-carried value forward
+# (one groupBy, map-side combinable — see its docstring for why not a
+# window). The oracle computes the same carry-forward via
+# last-carried-event-id + self-join, which keeps genuine NULLs (DuckDB's
+# arg_max would skip a NULL arg, so it cannot express this directly).
+
+_TOAST_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id,
+         event_type = 'error' AS is_del,
+         (event_type <> 'error')
+         AND NOT (event_id % 2 <> 0 AND event_id % 3 = 1) AS carried,
+         CASE WHEN event_id % 2 <> 0 AND event_id % 7 = 2 THEN NULL
+              ELSE value END AS wire_value
+  FROM events
+),
+last AS (
+  SELECT user_id,
+         MAX(event_id) FILTER (WHERE carried) AS last_carried_eid,
+         arg_max(is_del, event_id) AS last_is_del
+  FROM log GROUP BY user_id
+)
+SELECT l.user_id, lg.wire_value AS last_value
+FROM last l
+LEFT JOIN log lg
+  ON lg.user_id = l.user_id AND lg.event_id = l.last_carried_eid
+WHERE NOT l.last_is_del
+ORDER BY l.user_id
+"""
+
+
+@query("cdc_toast_upsert_state", oracle=_TOAST_ORACLE,
+       tags=("cdc", "pgoutput", "toast"))
+def cdc_toast_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import decode_pgoutput, encode_relation
+    from ..cdc.transform import extract_images, filter_control_messages
+
+    (events,) = load(spark, sf_dir, "events")
+
+    @pandas_udf("binary")
+    def enc(event_id: pd.Series, user_id: pd.Series, value: pd.Series,
+            etype: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            UNCHANGED_TOAST, encode_delete, encode_insert, encode_update)
+
+        out = []
+        for eid, uid, val, et in zip(event_id, user_id, value, etype):
+            eid = int(eid)
+            if et == "error":
+                # key-only delete: 'K' tuple, non-key column is 'n'
+                out.append(encode_delete(1, [int(uid), None], old_kind=b"K"))
+            elif eid % 2 == 0:
+                out.append(encode_insert(1, [int(uid), repr(float(val))]))
+            elif eid % 3 == 1:
+                out.append(encode_update(1, [int(uid), UNCHANGED_TOAST]))
+            elif eid % 7 == 2:
+                out.append(encode_update(1, [int(uid), None]))
+            else:
+                out.append(encode_update(1, [int(uid), repr(float(val))]))
+        return pd.Series(out)
+
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(1, "public", "events",
+                                       ["user_id", "value"])))],
+        "lsn long, payload binary",
+    )
+    msgs = rel.unionByName(
+        events.select(
+            (F.col("event_id") + 1).alias("lsn"),
+            enc("event_id", "user_id", "value", "event_type").alias("payload"),
+        )
+    )
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    decoded = decode_pgoutput(msgs, row_schema, track_unchanged=True)
+    changes = (
+        decoded.transform(filter_control_messages)
+        .transform(extract_images)
+        .select("lsn", "op", "unchanged", "image.*")
+    )
+    from ..cdc.upsert import toast_state
+
+    state = toast_state(
+        changes, keys=["user_id"], order_by=["lsn"], toast_cols=["value"]
+    )
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")

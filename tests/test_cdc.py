@@ -596,3 +596,94 @@ def test_wal2json_edges_checked(spark):
     assert rows[2]["id"] == 2 and rows[2]["v"] is None  # key-only delete
     lsns = [r["lsn"] for r in rows]
     assert lsns == sorted(lsns)          # ordinal-folded lsn sorts
+
+
+# --- unchanged-TOAST ('u' datum) + carry-forward ------------------------------
+
+_UPD_TOAST_GOLDEN = (
+    b"U" + b"\x00\x00\x00\x01" + b"N"
+    + b"\x00\x02"                        # 2 columns
+    + b"t" + b"\x00\x00\x00\x01" + b"7"  # id text '7'
+    + b"u"                               # v: unchanged TOAST (not re-sent)
+)
+
+
+def test_pgoutput_unchanged_toast_golden_bytes(spark):
+    """The 'u' TupleData kind is a one-byte datum meaning "value not
+    re-sent, keep the stored one" — hand-written literal pins it, and
+    track_unchanged surfaces the column name while the default frame
+    keeps the historical NULL-image behavior."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    from pgcdc_spark.cdc.pgoutput import (
+        UNCHANGED_TOAST, decode_pgoutput, encode_update)
+
+    assert encode_update(1, ["7", UNCHANGED_TOAST]) == _UPD_TOAST_GOLDEN
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", DoubleType())])
+    df = spark.createDataFrame(
+        [(0, bytearray(_REL_GOLDEN)), (1, bytearray(_UPD_TOAST_GOLDEN))],
+        "lsn long, payload binary",
+    )
+    tracked = {r["lsn"]: r
+               for r in decode_pgoutput(df, schema,
+                                        track_unchanged=True).collect()}
+    upd = tracked["0/0000000000000001"]
+    assert upd["tag"] == "update" and upd["new"]["id"] == 7
+    assert upd["new"]["v"] is None            # wire carries no value
+    assert list(upd["unchanged"]) == ["v"]    # ...but names the column
+    # default frame: same columns as before, 'u' reads as NULL
+    plain = {r["lsn"]: r for r in decode_pgoutput(df, schema).collect()}
+    assert "unchanged" not in plain["0/0000000000000001"].asDict()
+    assert plain["0/0000000000000001"]["new"]["v"] is None
+
+
+def test_unchanged_toast_sentinel_survives_pickle():
+    """Spark ships closures via cloudpickle; the sentinel must keep its
+    identity (or at least its type) across that boundary or every
+    marker is silently missed on the workers."""
+    import pickle
+
+    from pgcdc_spark.cdc.pgoutput import UNCHANGED_TOAST, _UnchangedToast
+
+    copy = pickle.loads(pickle.dumps(UNCHANGED_TOAST))
+    assert copy is UNCHANGED_TOAST
+    assert isinstance(copy, _UnchangedToast)
+
+
+def test_toast_state_carry_forward(spark):
+    """toast_state semantics pinned on a hand-built changelog:
+    unchanged-TOAST carries the stored value forward, a genuine SQL NULL
+    assignment overwrites it (the two are never conflated), a winning
+    delete removes the key, and a never-carried column reads NULL."""
+    from pgcdc_spark.cdc.upsert import toast_state
+
+    rows = [
+        # key 1: insert v=5, then unchanged-toast update -> carries 5
+        ("1", "I", [], 1, 5.0),
+        ("2", "U", ["v"], 1, None),
+        # key 2: insert v=5, genuine NULL update, unchanged update
+        #        -> the NULL is the stored value, carry gives NULL
+        ("1", "I", [], 2, 5.0),
+        ("2", "U", [], 2, None),
+        ("3", "U", ["v"], 2, None),
+        # key 3: delete wins -> absent
+        ("1", "I", [], 3, 5.0),
+        ("2", "D", None, 3, None),
+        # key 4: only an unchanged update visible (replay horizon after
+        #        the last real value) -> present, v NULL
+        ("1", "U", ["v"], 4, None),
+    ]
+    changes = spark.createDataFrame(
+        rows, "lsn string, op string, unchanged array<string>, k long, v double"
+    )
+    state = {r["k"]: r for r in toast_state(
+        changes, keys=["k"], order_by=["lsn"], toast_cols=["v"]
+    ).collect()}
+    assert state[1]["v"] == 5.0
+    assert state[2]["v"] is None
+    assert 3 not in state
+    assert state[4]["v"] is None
+    assert set(state) == {1, 2, 4}

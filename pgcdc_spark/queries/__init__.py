@@ -73,6 +73,9 @@ _MODULES = (
 _PRIORITY = (
     # round-8 new surface
     "cdc_toast_upsert_state",
+    "cdc_lsn_gap_audit",
+    "events_ewma_smooth",
+    "agg_linreg_by_type",
     "profile_join_key_skew",
     "cdc_wal2json_state",
     "cdc_pgoutput_state",

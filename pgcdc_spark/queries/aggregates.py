@@ -388,3 +388,74 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- regression aggregates (exact-sum closed form) -----------------------------
+# Per-group ordinary least squares from the five classic sufficient
+# statistics (n, Sx, Sy, Sxx, Sxy [, Syy for r2]) — the textbook
+# map-side-combinable shape: every statistic is a plain SUM, so the
+# whole regression is ONE partial-aggregated shuffle no matter how many
+# groups or rows (the same reason SQL engines expose regr_slope as an
+# aggregate). Spark HAS regr_slope/regr_intercept/regr_r2 built-ins, but
+# their float accumulation order is partition-dependent — not
+# hash-checkable. Instead the sufficient statistics go through EXACT
+# decimal sums (the engine-wide oracle convention) and the closed form
+# is evaluated in identical IEEE double arithmetic on both engines:
+#   slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+#   intercept = (Sy - slope*Sx) / n
+#   r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+_LINREG_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(event_id AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(event_id AS DECIMAL(18,0))
+                  * CAST(event_id AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(event_id AS DECIMAL(18,0))
+                  * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))
+                  * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope,
+       ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 9)
+         AS intercept,
+       ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS r2
+FROM s
+ORDER BY event_type
+"""
+
+
+@query("agg_linreg_by_type", oracle=_LINREG_ORACLE,
+       tags=("agg", "regression", "stats"))
+def agg_linreg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    xd = F.col("event_id").cast("decimal(18,0)")
+    yd = F.col("value").cast("decimal(18,4)")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("r2"),
+    ).orderBy("event_type")

@@ -826,3 +826,73 @@ def cdc_toast_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", F.col("value").alias("last_value")
     ).orderBy("user_id")
+
+
+# --- changelog integrity audit (LSN gaps / duplicates / max stall) ------------
+# The operational pre-flight every CDC consumer runs before trusting a
+# replay: per stream key, did the LSN sequence arrive dense and unique?
+# The reference acks offsets with no such check (ack-before-send window,
+# src/database/postgresql/PostgresOperation.ts:24-29) — a silently
+# skipped LSN is exactly the failure this surfaces. Fixture semantics:
+# event_id is the LSN analogue and each user_id is a slot/partition
+# analogue; REAL deliveries would use (slot, lsn). Per key:
+#   n_changes, n_distinct (duplicates = n - n_distinct), span-vs-count
+#   missing count, and the largest inter-LSN gap (max lead-lag step - 1).
+# Scale shape: one window per key for the step (single hash shuffle on
+# the key — the same partitioning the downstream upsert needs anyway,
+# so at 100 TB this audit rides the existing shuffle), folded by the
+# same groupBy. Gap arithmetic is integer-exact, so it hash-checks.
+
+_GAP_ORACLE = """
+WITH step AS (
+  SELECT user_id, event_id,
+         event_id - LAG(event_id) OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS d
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_changes,
+       CAST(COUNT(*) - COUNT(CASE WHEN d = 0 THEN 1 END) AS BIGINT)
+         AS n_distinct,
+       CAST(MAX(event_id) - MIN(event_id) + 1
+            - (COUNT(*) - COUNT(CASE WHEN d = 0 THEN 1 END))
+            AS BIGINT) AS n_missing,
+       CAST(COALESCE(MAX(d) - 1, 0) AS BIGINT) AS largest_gap
+FROM step
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("cdc_lsn_gap_audit", oracle=_GAP_ORACLE,
+       tags=("cdc", "diagnostics", "audit"))
+def cdc_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    step = events.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("d"),
+    )
+    # distinct via ADJACENCY, not countDistinct: the window already sorted
+    # each key by event_id, so a duplicate LSN is exactly an adjacent pair
+    # with step d == 0 — n_distinct = n - count(d = 0). countDistinct would
+    # add a second Exchange (partial-distinct expand on (key, lsn)); this
+    # keeps the whole audit on the window's single shuffle (verified: one
+    # Exchange in the executed plan).
+    n_dupes = F.count(F.when(F.col("d") == 0, 1))
+    n_distinct = F.count(F.lit(1)) - n_dupes
+    return (
+        step.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            n_distinct.cast("long").alias("n_distinct"),
+            (F.max("event_id") - F.min("event_id") + 1 - n_distinct)
+            .cast("long").alias("n_missing"),
+            F.coalesce(F.max("d") - 1, F.lit(0)).cast("long")
+            .alias("largest_gap"),
+        )
+        .orderBy("user_id")
+    )

@@ -330,3 +330,63 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(rz > _MAD_K)
         .select("event_id", "event_type", F.round(rz, 9).alias("robust_z"))
     )
+
+
+# --- EWMA (exponentially weighted moving average) -----------------------------
+# The standard streaming smoother (alpha = 0.5): ewma_i = a*x_i +
+# (1-a)*ewma_{i-1}. Inherently a sequential fold per series — but per
+# KEY, not per corpus: collect the series into an ordered array with a
+# sorted aggregate (one shuffle on user_id, like every other per-series
+# op here) and fold it with a higher-order AGGREGATE expression — JVM
+# codegen, no Python. Array size = one user's history, the same bound
+# LOCF's running frames already assume; at 100 TB series would be
+# windowed/bucketed by time first. Parity is exact: both engines fold
+# left-to-right with init = first element and the identical IEEE
+# expression 0.5*x + 0.5*acc (alpha 0.5 is a power of two, so the
+# weights are exact), rounded to 9 decimals per the transcendental-ulp
+# convention anyway.
+
+_EWMA_ORACLE = """
+SELECT user_id,
+       CAST(LEN(vals) AS BIGINT) AS n_obs,
+       ROUND(list_reduce(vals, (acc, x) -> 0.5*x + 0.5*acc), 9) AS ewma
+FROM (
+  SELECT user_id,
+         list(value ORDER BY epoch_us(ts), event_id) AS vals
+  FROM events
+  GROUP BY user_id
+)
+ORDER BY user_id
+"""
+
+
+@query("events_ewma_smooth", oracle=_EWMA_ORACLE,
+       tags=("timeseries", "ewma", "fold"))
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    ordered = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.expr("ts div 1000").alias("ts_us"),
+                F.col("event_id"),
+                F.col("value"),
+            ).alias("o"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("o")).alias("os"))
+        .select(
+            "user_id", F.expr("transform(os, x -> x.value)").alias("vals")
+        )
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_obs"),
+        F.round(
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1),"
+                " element_at(vals, 1), (acc, x) -> 0.5*x + 0.5*acc)"
+            ),
+            9,
+        ).alias("ewma"),
+    ).orderBy("user_id")

@@ -115,6 +115,8 @@ def toast_state(
     unchanged_col: str = "unchanged",
     op_col: str = "op",
     delete_op: str = "D",
+    keep_deletes: bool = False,
+    emit_carry_meta: bool = False,
 ) -> DataFrame:
     """``latest_state`` with TOAST carry-forward: per key, the winning
     row's ``toast_cols`` are filled from the most recent change that
@@ -147,6 +149,15 @@ def toast_state(
     NULL, exactly as Postgres would store it. Only 'u' markers are
     skipped. A key whose column was never carried (replay horizon after
     the last real value) reads NULL; deletes still remove the key.
+
+    The output's ``unchanged_col`` is REWRITTEN to the residual-unknown
+    set: the toast columns whose carry found nothing (never carried ⇒
+    value NULL but unknown, not stored-NULL). That makes the state
+    itself a valid changelog row, which is what lets merge_toast_batch
+    fold micro-batches exactly: re-unioning the state treats resolved
+    values as carried and still lets a late-arriving older image fill a
+    residual hole. ``keep_deletes=True`` keeps winning deletes as
+    tombstones (same contract as latest_state) for streaming merges.
     """
     payload_cols = [c for c in changes.columns if c not in keys]
     order_struct = F.struct(*order_by)
@@ -154,25 +165,98 @@ def toast_state(
     aggs = [F.max_by(F.struct(*payload_cols), order_struct).alias("__winner")]
     for c in toast_cols:
         carried = (F.col(op_col) != delete_op) & ~F.array_contains(unchanged, c)
+        # carry ORDER: a raw row carries at its own order iff it carried
+        # the column; a state row (from a previous fold) carries at the
+        # order RECORDED when the value was first seen (__carried_at_*)
+        # — never at the state row's own (winner) order, which would
+        # wrongly outrank a late-arriving older-but-newer-than-original
+        # image. This is what makes the merge fold exact under ANY batch
+        # split, not just in-order delivery.
+        carry_at = F.when(carried, order_struct)
+        meta = f"__carried_at_{c}"
+        if meta in changes.columns:
+            carry_at = F.coalesce(F.col(meta), carry_at)
         aggs.append(
-            F.max_by(
-                F.struct(F.col(c).alias("v")), F.when(carried, order_struct)
-            ).alias(f"__last_{c}")
+            F.max_by(F.struct(F.col(c).alias("v")), carry_at)
+            .alias(f"__last_{c}")
         )
+        aggs.append(F.max(carry_at).alias(f"__maxcarry_{c}"))
     winners = changes.groupBy(*keys).agg(*aggs)
     toast_set = set(toast_cols)
-    return (
-        winners.select(
-            *keys,
+    meta_of = {f"__carried_at_{c}": c for c in toast_cols}
+    residual = F.array_compact(
+        F.array(
             *[
-                F.col(f"__last_{c}.v").alias(c)
-                if c in toast_set
-                else F.col(f"__winner.{c}").alias(c)
-                for c in payload_cols
-            ],
+                F.when(F.col(f"__last_{c}").isNull(), F.lit(c))
+                for c in toast_cols
+            ]
         )
-        .select(*changes.columns)  # restore original column order
-        .filter(F.col(op_col) != delete_op)
+    )
+
+    def out_col(c):
+        if c == unchanged_col:
+            return residual.alias(c)
+        if c in meta_of:
+            return F.col(f"__maxcarry_{meta_of[c]}").alias(c)
+        if c in toast_set:
+            return F.col(f"__last_{c}.v").alias(c)
+        return F.col(f"__winner.{c}").alias(c)
+
+    out = [out_col(c) for c in payload_cols]
+    out_names = list(changes.columns)
+    if emit_carry_meta:
+        # bootstrap path: surface the carry metadata even though the raw
+        # log had none, so the result can seed merge_toast_batch folds
+        for c in toast_cols:
+            m = f"__carried_at_{c}"
+            if m not in changes.columns:
+                out.append(F.col(f"__maxcarry_{c}").alias(m))
+                out_names.append(m)
+    winners = winners.select(*keys, *out)
+    winners = winners.select(*out_names)  # restore original column order
+    if keep_deletes:
+        return winners
+    return winners.filter(F.col(op_col) != delete_op)
+
+
+def merge_toast_batch(
+    state: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    toast_cols: list[str],
+    unchanged_col: str = "unchanged",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """merge_batch's TOAST-aware twin: fold a micro-batch of changes
+    (with unchanged-TOAST markers) into a toast_state-shaped state.
+
+    The state is a valid changelog plus one metadata column per toast
+    column (``__carried_at_<col>``: the order struct at which the
+    resolved value was ORIGINALLY carried — null for residual unknowns).
+    Raw batch rows get a null metadata column (they carry at their own
+    order); re-folding coalesces. Preserving the original carry order
+    is what makes the fold EXACT under arbitrary delivery order, not
+    just in-order micro-batches: fold over any split/permutation of the
+    log == toast_state over the whole log, and replaying a batch is a
+    no-op (pinned by a property test over random changelogs).
+
+    Bootstrap: pass ``state=None``-shaped usage by folding the first
+    batch with an empty state built from the batch itself
+    (``batch.limit(0)`` + metadata columns), or just call this with the
+    first batch as ``state`` after one toast_state pass."""
+    null_order = F.when(F.lit(False), F.struct(*order_by))
+    b = batch
+    for c in toast_cols:
+        meta = f"__carried_at_{c}"
+        if meta not in b.columns:
+            b = b.withColumn(meta, null_order)
+    combined = state.select(b.columns).unionByName(b)
+    return toast_state(
+        combined, keys, order_by, toast_cols,
+        unchanged_col=unchanged_col, op_col=op_col, delete_op=delete_op,
+        keep_deletes=True,
     )
 
 

@@ -422,3 +422,88 @@ def test_snapshot_cutover_equals_full_replay(spark, ops, cut_frac, overlap_frac)
         for r in latest_state(log, keys=["id"], order_by=["lsn"]).collect()
     )
     assert got == want, f"cut={cut} overlap={overlap}: {got} != {want}"
+
+
+# --- toast_state fold: any split/permutation == one batch pass ----------------
+# The carry-order metadata (__carried_at_*) exists precisely so the
+# micro-batch fold is exact under arbitrary delivery order — a state
+# that stamped resolved values with its own winner order would let a
+# late-arriving older-but-newer-than-original image lose wrongly. This
+# generates random changelogs mixing inserts, carried updates,
+# unchanged-TOAST updates, genuine-NULL assignments and deletes, splits
+# them into micro-batches, PERMUTES the batches, folds, replays one
+# batch, and requires equality with toast_state over the whole log.
+
+_toast_op = st.tuples(
+    st.integers(min_value=1, max_value=4),                   # key
+    st.sampled_from(["I", "U", "U", "D"]),                   # op (U-heavy)
+    st.sampled_from(["carried", "unchanged", "nullset"]),    # U flavour
+)
+
+_TOAST_SCHEMA = "lsn long, op string, unchanged array<string>, k long, v double"
+
+
+def _toast_rows(ops):
+    rows = []
+    for i, (k, op, flavour) in enumerate(ops):
+        lsn = i + 1
+        if op == "D":
+            rows.append((lsn, "D", None, k, None))
+        elif op == "I" or flavour == "carried":
+            rows.append((lsn, op, [], k, float(lsn * 10 + k)))
+        elif flavour == "nullset":
+            rows.append((lsn, "U", [], k, None))     # genuine SQL NULL
+        else:
+            rows.append((lsn, "U", ["v"], k, None))  # unchanged TOAST
+    return rows
+
+
+@given(
+    ops=st.lists(_toast_op, min_size=1, max_size=14),
+    cuts=st.lists(st.integers(min_value=1, max_value=13), max_size=3),
+    perm_seed=st.integers(min_value=0, max_value=999),
+    replay_pick=st.integers(min_value=0, max_value=99),
+)
+@settings(**_SETTINGS)
+def test_toast_fold_any_split_equals_batch(spark, ops, cuts, perm_seed,
+                                           replay_pick):
+    import random
+
+    from pgcdc_spark.cdc.upsert import merge_toast_batch, toast_state
+
+    rows = _toast_rows(ops)
+    full = spark.createDataFrame(rows, _TOAST_SCHEMA)
+    truth = sorted(
+        (r["k"], r["lsn"], r["op"], tuple(r["unchanged"]), r["v"])
+        for r in toast_state(full, ["k"], ["lsn"], ["v"]).collect()
+    )
+
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    pieces, lo = [], 0
+    for b in bounds + [len(rows)]:
+        if rows[lo:b]:
+            pieces.append(rows[lo:b])
+        lo = b
+    random.Random(perm_seed).shuffle(pieces)  # ARBITRARY delivery order
+    state = toast_state(
+        spark.createDataFrame(pieces[0], _TOAST_SCHEMA), ["k"], ["lsn"],
+        ["v"], keep_deletes=True, emit_carry_meta=True,
+    )
+    for piece in pieces[1:]:
+        state = merge_toast_batch(
+            state, spark.createDataFrame(piece, _TOAST_SCHEMA),
+            ["k"], ["lsn"], ["v"],
+        )
+    # replay one already-applied batch: must be a no-op
+    state = merge_toast_batch(
+        state,
+        spark.createDataFrame(pieces[replay_pick % len(pieces)],
+                              _TOAST_SCHEMA),
+        ["k"], ["lsn"], ["v"],
+    )
+    folded = sorted(
+        (r["k"], r["lsn"], r["op"], tuple(r["unchanged"]), r["v"])
+        for r in state.filter(F.col("op") != "D")
+        .select("lsn", "op", "unchanged", "k", "v").collect()
+    )
+    assert folded == truth

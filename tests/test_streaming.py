@@ -828,3 +828,76 @@ def test_pgoutput_binary_stream_to_upsert_state(spark, tmp_path):
         for r in read_state(spark, str(tmp_path / "state")).collect()
     )
     assert got == [(10, 100), (11, 999)]
+
+
+def test_pgoutput_toast_stream_fold(spark, tmp_path):
+    """TOAST end-to-end under streaming: a file stream of binary
+    pgoutput payloads where an update marks a column unchanged ('u'),
+    decoded in-flight with track_unchanged and folded micro-batch by
+    micro-batch through merge_toast_batch. The carry must cross the
+    micro-batch boundary: the value arrives in file 0, the 'u' marker
+    in file 1, and the final state still holds the stored value, while
+    a genuine NULL assignment in file 1 really nulls its column."""
+    from pgcdc_spark.cdc.pgoutput import (
+        UNCHANGED_TOAST, decode_pgoutput, encode_delete, encode_insert,
+        encode_update)
+    from pgcdc_spark.cdc.transform import extract_images, filter_control_messages
+    from pgcdc_spark.cdc.upsert import merge_toast_batch, toast_state
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType)
+
+    src = str(tmp_path / "src")
+    rels = {1: ["id", "v"]}
+    row_schema = StructType([StructField("id", LongType()),
+                             StructField("v", LongType())])
+    f0 = [(1, encode_insert(1, [10, 100])),
+          (2, encode_insert(1, [11, 110])),
+          (3, encode_insert(1, [12, 120]))]
+    f1 = [(4, encode_update(1, [11, UNCHANGED_TOAST])),  # carry across files
+          (5, encode_update(1, [10, None])),             # genuine NULL
+          (6, encode_delete(1, [12, None], old_kind=b"K"))]
+    bin_schema = StructType([StructField("lsn", LongType()),
+                             StructField("payload", BinaryType())])
+    for i, rows in enumerate((f0, f1)):
+        (spark.createDataFrame([(l, bytearray(p)) for l, p in rows], bin_schema)
+         .coalesce(1).write.parquet(f"{src}/f{i}"))
+
+    stream = (
+        spark.readStream.schema(bin_schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*")
+    )
+    changes = (
+        decode_pgoutput(stream, row_schema, relations=rels,
+                        track_unchanged=True)
+        .transform(filter_control_messages)
+        .transform(extract_images)
+        .select("lsn", "op", "unchanged", "image.*")
+    )
+
+    holder = {"state": None}
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        local = spark.createDataFrame(batch_df.collect(), batch_df.schema)
+        if holder["state"] is None:
+            holder["state"] = toast_state(
+                local, ["id"], ["lsn"], ["v"],
+                keep_deletes=True, emit_carry_meta=True,
+            ).localCheckpoint()
+        else:
+            holder["state"] = merge_toast_batch(
+                holder["state"], local, ["id"], ["lsn"], ["v"]
+            ).localCheckpoint()
+
+    q = (changes.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    import pyspark.sql.functions as F
+    got = sorted(
+        (r["id"], r["v"])
+        for r in holder["state"].filter(F.col("op") != "D").collect()
+    )
+    assert got == [(10, None), (11, 110)]

@@ -226,6 +226,14 @@ _CASTS = {
     StringType: str,
 }
 
+# Postgres text-format renderings this decoder understands, beyond the
+# numeric/string basics: bool 't'/'f', timestamp 'YYYY-MM-DD HH:MM:SS
+# [.ffffff]', numeric as plain decimal text, bytea hex '\x...'. All
+# checked — malformed text degrades to NULL per the engine-wide
+# checked-cast rule (vs the reference's unchecked cast,
+# src/mapping/customMapper.ts:22).
+_PG_BOOL = {"t": True, "true": True, "f": False, "false": False}
+
 
 def _convert(text: str | None, dt) -> object:
     if text is None:
@@ -235,9 +243,26 @@ def _convert(text: str | None, dt) -> object:
             import datetime
 
             return datetime.date.fromisoformat(text)
+        from pyspark.sql.types import (
+            BinaryType, BooleanType, DecimalType, TimestampType)
+
+        if isinstance(dt, BooleanType):
+            return _PG_BOOL.get(text.lower())
+        if isinstance(dt, TimestampType):
+            import datetime
+
+            return datetime.datetime.fromisoformat(text)
+        if isinstance(dt, DecimalType):
+            import decimal
+
+            return decimal.Decimal(text)
+        if isinstance(dt, BinaryType):
+            if text.startswith("\\x"):
+                return bytes.fromhex(text[2:])
+            return text.encode()
         caster = _CASTS.get(type(dt))
         return caster(text) if caster else None
-    except (ValueError, TypeError):
+    except (ValueError, TypeError, ArithmeticError):
         return None  # checked cast: malformed value -> NULL, never a crash
 
 

@@ -73,6 +73,7 @@ _MODULES = (
 _PRIORITY = (
     # round-8 new surface
     "cdc_toast_upsert_state",
+    "profile_drift_psi",
     "cdc_lsn_gap_audit",
     "events_ewma_smooth",
     "agg_linreg_by_type",

@@ -498,3 +498,90 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _key_skew_profile(orders, "orders.o_custkey", "o_custkey").unionByName(
         _key_skew_profile(lineitem, "lineitem.l_suppkey", "l_suppkey")
     )
+
+
+# --- population stability index (distribution drift score) --------------------
+# The standard model-monitoring drift metric between a reference and a
+# current population: PSI = sum over buckets of (p - q) * ln(p / q).
+# Fixture: even event_ids are the reference window, odd the current.
+# Scale shape: ONE scan and ONE partial-agg shuffle produce the 10-row
+# bucket table (count_if per side in the same groupBy); the spine join
+# and totals are driver-size broadcasts on a 10-row relation. Laplace
+# smoothing (+1 / +K) keeps empty buckets finite, so the metric is
+# defined even when a bucket drains. ln() differs in the last ulp
+# across libms -> round 9 (engine-wide transcendental convention).
+
+_PSI_ORACLE = """
+WITH ev AS (
+  SELECT (event_id % 2 = 0) AS is_ref,
+         LEAST(GREATEST(CAST(FLOOR(value / 50) AS BIGINT), 0), 9) AS bucket
+  FROM events
+),
+cnt AS (
+  SELECT bucket,
+         COUNT(CASE WHEN is_ref THEN 1 END) AS n_ref,
+         COUNT(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+  FROM ev GROUP BY bucket
+),
+spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 10)),
+filled AS (
+  SELECT s.bucket,
+         COALESCE(n_ref, 0) AS n_ref,
+         COALESCE(n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN cnt USING (bucket)
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+         CAST(SUM(n_cur) AS DOUBLE) AS tc
+  FROM filled
+)
+SELECT bucket,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(((n_ref + 1.0) / (tr + 10.0) - (n_cur + 1.0) / (tc + 10.0))
+             * LN(((n_ref + 1.0) / (tr + 10.0))
+                  / ((n_cur + 1.0) / (tc + 10.0))), 9) AS psi_term
+FROM filled, tot
+ORDER BY bucket
+"""
+
+
+@query("profile_drift_psi", oracle=_PSI_ORACLE,
+       tags=("profiling", "drift", "quality"))
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.select(
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(9)
+        ).cast("long").alias("bucket"),
+    )
+    cnt = ev.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    filled = (
+        spine.join(cnt, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = filled.agg(
+        F.sum("n_ref").cast("double").alias("tr"),
+        F.sum("n_cur").cast("double").alias("tc"),
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tr") + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("tc") + 10.0)
+    return (
+        filled.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -687,3 +687,45 @@ def test_toast_state_carry_forward(spark):
     assert 3 not in state
     assert state[4]["v"] is None
     assert set(state) == {1, 2, 4}
+
+
+def test_pgoutput_typed_decode_breadth(spark):
+    """Postgres text renderings for the remaining common wire types —
+    bool 't'/'f', timestamp, numeric, bytea hex — decode to the schema's
+    types, and malformed text degrades to NULL (checked cast), never a
+    crashed batch."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, DecimalType, LongType, StructField,
+        StructType, TimestampType)
+
+    from pgcdc_spark.cdc.pgoutput import decode_pgoutput, encode_insert
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("at", TimestampType()),
+        StructField("amt", DecimalType(12, 2)),
+        StructField("blob", BinaryType()),
+    ])
+    rels = {1: ["id", "ok", "at", "amt", "blob"]}
+    good = encode_insert(
+        1, ["7", "t", "2024-03-01 10:23:54.500000", "12.34", "\\x0aff"])
+    bad = encode_insert(1, ["8", "maybe", "not-a-time", "NaN-ish", "\\xzz"])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "lsn long, payload binary",
+    )
+    rows = {r["lsn"]: r["new"]
+            for r in decode_pgoutput(df, schema, relations=rels).collect()}
+    g = rows["0/0000000000000001"]
+    assert g["id"] == 7 and g["ok"] is True
+    assert g["at"] == datetime.datetime(2024, 3, 1, 10, 23, 54, 500000)
+    assert g["amt"] == Decimal("12.34")
+    assert bytes(g["blob"]) == b"\x0a\xff"
+    b = rows["0/0000000000000002"]
+    assert b["id"] == 8
+    assert b["ok"] is None and b["at"] is None and b["amt"] is None
+    assert b["blob"] is None

@@ -96,6 +96,9 @@ EXTRA = [
     # vs whole-stage-codegen wal2json JSON (the deliberate pairing)
     "cdc_pgoutput_state",
     "cdc_wal2json_state",
+    # r8: TOAST carry-forward upsert (binary decode + per-column max_by
+    # carry aggregates in one groupBy)
+    "cdc_toast_upsert_state",
 ]
 
 
@@ -115,7 +118,7 @@ FAMILIES = {
     ],
     "cdc": [
         "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",
-        "cdc_pgoutput_state", "cdc_wal2json_state",
+        "cdc_pgoutput_state", "cdc_wal2json_state", "cdc_toast_upsert_state",
     ],
     "dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",

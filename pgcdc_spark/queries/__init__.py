@@ -77,6 +77,10 @@ _PRIORITY = (
     "cdc_lsn_gap_audit",
     "events_ewma_smooth",
     "agg_linreg_by_type",
+    "assoc_rules_copurchase",
+    "agg_abc_pareto",
+    "feat_target_encoding",
+    "agg_rfm_segmentation",
     "profile_join_key_skew",
     "cdc_wal2json_state",
     "cdc_pgoutput_state",

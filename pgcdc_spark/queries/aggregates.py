@@ -459,3 +459,169 @@ def agg_linreg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+# --- smoothed target encoding (ML feature engineering) -------------------------
+# The classic high-cardinality categorical encoder: replace a category
+# with its smoothed target mean, enc = (sum_cat + global_mean * m) /
+# (n_cat + m) — shrinks rare categories toward the prior (m = 10).
+# Scale shape: one partial-agg shuffle for the per-category sums plus a
+# broadcast of the single-row global prior; at 100 TB the encoder table
+# is |categories| rows and ships back to the feature join as a
+# broadcast. Sums go through exact decimals so the double chain is
+# engine-identical.
+
+_TENC_ORACLE = """
+WITH g AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gs,
+         COUNT(*) AS gn
+  FROM orders
+),
+c AS (
+  SELECT o_orderpriority AS category,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS cs,
+         COUNT(*) AS cn
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT category,
+       CAST(cn AS BIGINT) AS n,
+       ROUND((cs + (gs / gn) * 10.0) / (cn + 10.0), 9) AS encoded
+FROM c, g
+ORDER BY category
+"""
+
+
+@query("feat_target_encoding", oracle=_TENC_ORACLE,
+       tags=("agg", "features", "ml"))
+def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    td = F.col("o_totalprice").cast("decimal(18,4)")
+    g = orders.agg(
+        F.sum(td).cast("double").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    c = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(td).cast("double").alias("cs"),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            F.col("cn").cast("long").alias("n"),
+            F.round(
+                (F.col("cs") + (F.col("gs") / F.col("gn")) * 10.0)
+                / (F.col("cn") + 10.0),
+                9,
+            ).alias("encoded"),
+        )
+        .orderBy("category")
+    )
+
+
+# --- ABC / Pareto classification ------------------------------------------------
+# The BI staple: rank customers by revenue, classify by cumulative
+# revenue share (A: first 70%, B: to 90%, C: rest). One partial-agg
+# shuffle for per-customer revenue, one window over the global revenue
+# order for the running share (single sort at |customers| rows, far
+# smaller than the fact table), broadcast 1-row total. Exact decimal
+# revenue keeps the cumulative chain engine-identical: the running sum
+# is computed IN DECIMAL and only the final share divides as double.
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+  FROM orders GROUP BY o_custkey
+),
+run AS (
+  SELECT o_custkey, r,
+         SUM(r) OVER (ORDER BY r DESC, o_custkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT SUM(r) FROM rev) AS tot
+  FROM rev
+)
+SELECT o_custkey,
+       CAST(r AS DOUBLE) AS revenue,
+       ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.7 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM run
+ORDER BY revenue DESC, o_custkey
+"""
+
+
+@query("agg_abc_pareto", oracle=_ABC_ORACLE, tags=("agg", "window", "bi"))
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("r")
+    )
+    w = Window.orderBy(F.desc("r"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = rev.agg(F.sum("r").alias("tot"))
+    run = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(F.broadcast(tot))
+    share = F.col("cum").cast("double") / F.col("tot").cast("double")
+    return run.select(
+        "o_custkey",
+        F.col("r").cast("double").alias("revenue"),
+        F.round(share, 9).alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C")
+        .alias("abc_class"),
+    ).orderBy(F.desc("revenue"), "o_custkey")
+
+
+# --- RFM segmentation -----------------------------------------------------------
+# Recency / Frequency / Monetary quintile scoring — the classic customer
+# segmentation. One partial-agg shuffle to per-customer (last order
+# date, order count, exact-decimal revenue), then three ntile(5)
+# windows over the |customers|-row aggregate (not the fact table). Every
+# ntile order includes o_custkey as the final tiebreaker, so bucket
+# boundaries are deterministic and engine-identical — ntile is pure rank
+# arithmetic once the order is total.
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order, n_orders, revenue,
+       NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+       NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+       NTILE(5) OVER (ORDER BY revenue DESC, o_custkey) AS m_score
+FROM per_cust
+ORDER BY o_custkey
+"""
+
+
+@query("agg_rfm_segmentation", oracle=_RFM_ORACLE,
+       tags=("agg", "window", "segmentation"))
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").alias("revenue"),
+    )
+    return per_cust.select(
+        "o_custkey", "last_order", "n_orders", "revenue",
+        F.ntile(5).over(
+            Window.orderBy(F.desc("last_order"), "o_custkey")
+        ).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.desc("n_orders"), "o_custkey")
+        ).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.desc("revenue"), "o_custkey")
+        ).alias("m_score"),
+    ).orderBy("o_custkey")

@@ -516,3 +516,83 @@ def merge_into_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         when_not_matched_by_source_delete=True,
     )
+
+
+# --- market-basket association rules ------------------------------------------
+# Co-purchase mining over lineitem: support / confidence / lift for part
+# pairs that share an order. The candidate space is bounded the same way
+# every serious implementation bounds it — pairs are generated per
+# BASKET (self-join co-partitioned on l_orderkey, a < b ordering halves
+# it), never across the catalog, so the blow-up is sum(basket_size^2)
+# not |parts|^2. Per-item counts join back onto the SURVIVING pairs only
+# (support >= 2 filter first). Lift arithmetic is integer-counts ->
+# identical double chain, round 9.
+
+_BASKET_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+item AS (SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT pa, pb,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       ROUND(CAST(c_ab AS DOUBLE) / n_orders, 9) AS support,
+       ROUND(CAST(c_ab AS DOUBLE) / ia.c, 9) AS confidence,
+       ROUND((CAST(c_ab AS DOUBLE) * n_orders) / (ia.c * ib.c), 9) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = pa
+JOIN item ib ON ib.l_partkey = pb
+CROSS JOIN n
+ORDER BY c_ab DESC, pa, pb
+LIMIT 100
+"""
+
+
+@query("assoc_rules_copurchase", oracle=_BASKET_ORACLE,
+       tags=("join", "basket", "ml"))
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    out = (
+        pair.join(ia, "pa").join(ib, "pb").crossJoin(F.broadcast(n))
+        .select(
+            "pa", "pb",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(F.col("c_ab").cast("double") / F.col("n_orders"), 9)
+            .alias("support"),
+            F.round(F.col("c_ab").cast("double") / F.col("ca"), 9)
+            .alias("confidence"),
+            F.round(
+                (F.col("c_ab").cast("double") * F.col("n_orders"))
+                / (F.col("ca") * F.col("cb")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("c_ab"), "pa", "pb")
+        .limit(100)
+    )
+    return out

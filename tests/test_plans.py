@@ -486,3 +486,42 @@ def test_recursive_cte_no_cartesian(spark):
     plan = _plan(spark, "graph_bfs_recursive_cte")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_linreg_partial_agg_single_shuffle(spark):
+    """All five OLS sufficient statistics must partial-aggregate before
+    the one shuffle (the whole point of the closed-form rewrite vs
+    regr_* built-ins), and the scan reads only the three needed cols."""
+    plan = _plan(spark, "agg_linreg_by_type")
+    assert "partial_" in plan
+    body = plan.split("ReadSchema")[0]
+    # one hash-partition exchange for the groupBy (+ the presentation
+    # range sort); no expand, no extra shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in body
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "event_type" in read_schema and "value" in read_schema
+    assert "user_id" not in read_schema, "column pruning regressed"
+
+
+def test_lsn_gap_audit_rides_window_shuffle(spark):
+    """The adjacency rewrite exists so the audit aggregate reuses the
+    window's hash partitioning: exactly one hashpartitioning Exchange
+    (the orderBy's rangepartitioning is presentation-only), and no
+    count-distinct Expand."""
+    plan = _plan(spark, "cdc_lsn_gap_audit")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in plan
+    assert "partial_count" in plan
+
+
+def test_basket_pairs_co_partitioned_on_order(spark):
+    """Market-basket pair generation must be an equi-join on the basket
+    key (co-partitioned or broadcast at test scale) with the a<b dedup
+    as a join condition — never a cartesian/nested-loop over parts."""
+    plan = _plan(spark, "assoc_rules_copurchase")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the single-row count broadcast
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 1
+    assert "l_orderkey" in plan.split("ReadSchema")[0]

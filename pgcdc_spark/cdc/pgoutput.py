@@ -266,6 +266,49 @@ def _convert(text: str | None, dt) -> object:
         return None  # checked cast: malformed value -> NULL, never a crash
 
 
+def _parse_change(buf: bytes, image) -> tuple:
+    """Parse ONE payload into (tag, new, old, unchanged) — the shared
+    per-message core of the v1 and v2 decoders. ``image(relid, vals)``
+    returns (row dict | None, unchanged column names). Any malformed
+    message becomes ('_corrupt', None, None, None): dead-letter, never a
+    failed batch."""
+    try:
+        kind = buf[:1]
+        if kind == b"B":
+            return ("begin", None, None, None)
+        if kind == b"C":
+            return ("commit", None, None, None)
+        if kind == b"R":
+            return ("relation", None, None, None)
+        if kind == b"I":
+            (relid,) = struct.unpack_from(">i", buf, 1)
+            if buf[5:6] != b"N":
+                raise ValueError("insert without new tuple")
+            vals, _ = _read_tuple(buf, 6)
+            img, unch = image(relid, vals)
+            return ("insert", img, None, unch)
+        if kind == b"U":
+            (relid,) = struct.unpack_from(">i", buf, 1)
+            pos, old = 5, None
+            if buf[pos:pos + 1] in (b"K", b"O"):
+                ovals, pos = _read_tuple(buf, pos + 1)
+                old = image(relid, ovals)[0]
+            if buf[pos:pos + 1] != b"N":
+                raise ValueError("update without new tuple")
+            vals, _ = _read_tuple(buf, pos + 1)
+            img, unch = image(relid, vals)
+            return ("update", img, old, unch)
+        if kind == b"D":
+            (relid,) = struct.unpack_from(">i", buf, 1)
+            if buf[5:6] not in (b"K", b"O"):
+                raise ValueError("delete without old tuple")
+            ovals, _ = _read_tuple(buf, 6)
+            return ("delete", None, image(relid, ovals)[0], None)
+        return ("_corrupt", None, None, None)
+    except (ValueError, struct.error, IndexError):
+        return ("_corrupt", None, None, None)
+
+
 def decode_pgoutput(
     messages: DataFrame,
     row_schema: StructType,
@@ -327,59 +370,247 @@ def decode_pgoutput(
         if track_unchanged:
             cols = cols + ["unchanged"]
 
-        def emit(rows, lsn_s, tag, new=None, old=None, unchanged=None):
-            row = (lsn_s, tag, new, old)
-            if track_unchanged:
-                row = row + (unchanged,)
-            rows.append(row)
-
         for pdf in batches:
             rows: list[tuple] = []
             for lsn, payload in zip(pdf[lsn_col], pdf[payload_col]):
-                buf = bytes(payload)
                 # zero-padded so STRING order == WAL order (the envelope
                 # convention cdc_evolving_state also relies on)
                 lsn_s = f"0/{int(lsn):016X}"
-                try:
-                    kind = buf[:1]
-                    if kind == b"B":
-                        emit(rows, lsn_s, "begin")
-                    elif kind == b"C":
-                        emit(rows, lsn_s, "commit")
-                    elif kind == b"R":
-                        emit(rows, lsn_s, "relation")
-                    elif kind == b"I":
-                        (relid,) = struct.unpack_from(">i", buf, 1)
-                        if buf[5:6] != b"N":
-                            raise ValueError("insert without new tuple")
-                        vals, _ = _read_tuple(buf, 6)
-                        img, unch = _image(relid, vals)
-                        emit(rows, lsn_s, "insert", new=img, unchanged=unch)
-                    elif kind == b"U":
-                        (relid,) = struct.unpack_from(">i", buf, 1)
-                        pos, old = 5, None
-                        if buf[pos:pos + 1] in (b"K", b"O"):
-                            ovals, pos = _read_tuple(buf, pos + 1)
-                            old = _image(relid, ovals)[0]
-                        if buf[pos:pos + 1] != b"N":
-                            raise ValueError("update without new tuple")
-                        vals, _ = _read_tuple(buf, pos + 1)
-                        img, unch = _image(relid, vals)
-                        emit(rows, lsn_s, "update", new=img, old=old,
-                             unchanged=unch)
-                    elif kind == b"D":
-                        (relid,) = struct.unpack_from(">i", buf, 1)
-                        if buf[5:6] not in (b"K", b"O"):
-                            raise ValueError("delete without old tuple")
-                        ovals, _ = _read_tuple(buf, 6)
-                        emit(rows, lsn_s, "delete", old=_image(relid, ovals)[0])
-                    else:
-                        emit(rows, lsn_s, "_corrupt")
-                except (ValueError, struct.error, IndexError):
-                    # dead-letter: a truncated/garbled message becomes a
-                    # control-shaped row the pipeline filters, instead of
-                    # failing the micro-batch
-                    emit(rows, lsn_s, "_corrupt")
+                tag, new, old, unch = _parse_change(bytes(payload), _image)
+                row = (lsn_s, tag, new, old)
+                if track_unchanged:
+                    row = row + (unch,)
+                rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
     return messages.mapInPandas(decode, schema=out_schema)
+
+
+# --- protocol v2: streamed in-progress transactions ---------------------------
+# PostgreSQL 14+ ("streaming" on the replication slot) ships LARGE
+# transactions before commit, framed as interleavable segments:
+#
+#   'S' StreamStart   Int32 xid, Int8 first_segment
+#   'E' StreamStop    (empty)
+#   'c' StreamCommit  Int32 xid, Int8 flags, Int64 lsn, Int64 end_lsn,
+#                     Int64 commit_ts
+#   'A' StreamAbort   Int32 xid, Int32 sub_xid
+#
+# and every row message INSIDE a segment carries an Int32 xid right
+# after its type byte. Semantics the consumer must implement: buffer
+# streamed changes per xid, APPLY them only at StreamCommit (in commit
+# order, which can differ from wire order), DISCARD them on StreamAbort.
+#
+# Spark-shaped decomposition (no per-row driver state, no sequential
+# consumer):
+#   1. stream_segments  — the S/E control rows are O(#segments), filtered
+#      by first byte in the scan; pairing is ONE window over that tiny
+#      relation (the protocol guarantees segments never nest on the wire,
+#      so S/E strictly alternate in lsn order).
+#   2. membership        — "is this lsn inside a segment?" is an interval
+#      join: the engine's own binned_range_join (equi-join on lsn bins,
+#      never a nested loop), left-outer so non-streamed traffic passes
+#      through.
+#   3. decode            — the same stateless Arrow pass as v1, stripping
+#      the 4 xid bytes when (and only when) the row is inside a segment.
+#   4. stream_verdicts + apply_stream_transactions — 'c'/'A' rows are
+#      O(#transactions); a broadcast join stamps each streamed row with
+#      its commit lsn (the APPLY position) or drops it (abort/in-flight).
+#      Non-streamed rows apply at their own lsn. The emitted envelope lsn
+#      is "APPLY/ORIGINAL" zero-padded hex, so plain string order ==
+#      commit-then-within-transaction order and every downstream operator
+#      (filter -> extract -> latest_state) runs UNCHANGED.
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">ib", xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(xid: int, lsn: int, end_lsn: int,
+                         commit_ts: int) -> bytes:
+    return b"c" + struct.pack(">ibqqq", xid, 0, lsn, end_lsn, commit_ts)
+
+
+def encode_stream_abort(xid: int, sub_xid: int | None = None) -> bytes:
+    return b"A" + struct.pack(">ii", xid, sub_xid if sub_xid is not None else xid)
+
+
+def stream_wrap(xid: int, msg: bytes) -> bytes:
+    """Prefix a row message with the Int32 xid, as v2 does for every
+    message inside a streamed segment."""
+    return msg[:1] + struct.pack(">i", xid) + msg[1:]
+
+
+def _be_int(payload_col: str, pos: int, nbytes: int):
+    """Big-endian unsigned int at a byte offset, decoded JVM-side
+    (hex -> base-10 conv) — keeps the control passes in codegen."""
+    return F.conv(
+        F.hex(F.expr(f"substring({payload_col}, {pos}, {nbytes})")), 16, 10
+    ).cast("long")
+
+
+def stream_segments(messages: DataFrame, lsn_col: str = "lsn",
+                    payload_col: str = "payload") -> DataFrame:
+    """(seg_start, seg_stop, seg_xid) — one row per S..E segment.
+
+    The filter on the first payload byte runs in the scan; what survives
+    is O(#segments). Pairing uses one global window over that tiny
+    relation — legitimate because segments never nest on the wire, so in
+    lsn order the kinds strictly alternate S,E,S,E. A trailing S with no
+    E yet (capture window cut mid-segment) stays open-ended: its rows
+    are streamed and will simply have no verdict yet (dropped as
+    in-flight by apply_stream_transactions, picked up complete in the
+    next capture window)."""
+    from pyspark.sql import Window
+
+    ctrl = messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) IN (X'53', X'45')")
+    ).select(
+        F.col(lsn_col).alias("__ctrl_lsn"),
+        (F.expr(f"substring({payload_col}, 1, 1)") == F.lit(b"S")).alias("__is_start"),
+        _be_int(payload_col, 2, 4).alias("seg_xid"),
+    )
+    w = Window.orderBy("__ctrl_lsn")
+    paired = ctrl.withColumn("__nxt", F.lead("__ctrl_lsn").over(w))
+    return paired.filter(F.col("__is_start")).select(
+        F.col("__ctrl_lsn").alias("seg_start"),
+        F.coalesce(F.col("__nxt"), F.lit(2**62)).alias("seg_stop"),
+        "seg_xid",
+    )
+
+
+def stream_verdicts(messages: DataFrame, lsn_col: str = "lsn",
+                    payload_col: str = "payload") -> DataFrame:
+    """(v_xid, verdict, commit_lsn) from the 'c'/'A' control rows —
+    O(#transactions), decoded entirely JVM-side."""
+    is_commit = F.expr(f"substring({payload_col}, 1, 1) = X'63'")
+    return messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) IN (X'63', X'41')")
+    ).select(
+        _be_int(payload_col, 2, 4).alias("v_xid"),
+        F.when(is_commit, "commit").otherwise("abort").alias("verdict"),
+        F.when(is_commit, _be_int(payload_col, 7, 8)).alias("commit_lsn"),
+    )
+
+
+def decode_pgoutput_v2(
+    messages: DataFrame,
+    row_schema: StructType,
+    relations: dict[int, list[str]] | None = None,
+    segments: DataFrame | None = None,
+    lsn_col: str = "lsn",
+    payload_col: str = "payload",
+    bin_width: int = 1024,
+    broadcast_segments: bool = True,
+) -> DataFrame:
+    """Decode a protocol-v2 capture (streamed transactions present) into
+    (lsn long, xid, tag, new, old). Stream membership comes from the
+    binned interval join against ``stream_segments`` (equi-join on lsn
+    bins — operators/rangejoin.py — never a nested loop); inside a
+    segment the Int32 xid is stripped before the shared v1 parse.
+    ``relations`` should come from NON-streamed relation traffic (or be
+    passed explicitly): a streamed 'R' carries an xid and is surfaced
+    here as a control row, not auto-discovered.
+
+    Compose with apply_stream_transactions to get the standard ordered
+    envelope. Segments default to broadcast (they are O(#segments) per
+    capture window); pass broadcast_segments=False to hash-join when a
+    window legitimately contains millions of segments."""
+    from ..operators.rangejoin import binned_range_join
+
+    if relations is None:
+        relations = discover_relations(
+            messages.filter(
+                F.expr(f"substring({payload_col}, 1, 1) = X'52'")
+            ),
+            payload_col,
+        )
+    if segments is None:
+        segments = stream_segments(messages, lsn_col, payload_col)
+    if broadcast_segments:
+        segments = F.broadcast(segments)
+    tagged = binned_range_join(
+        messages.select(F.col(lsn_col).alias("__lsn"),
+                        F.col(payload_col).alias("__payload")),
+        segments,
+        "__lsn", "seg_start", "seg_stop", bin_width, how="left_outer",
+    ).select("__lsn", "__payload",
+             F.col("seg_xid").isNotNull().alias("__in_stream"))
+
+    fields = [(f.name, f.dataType) for f in row_schema.fields]
+    out_schema = StructType([
+        StructField("lsn", LongType()),
+        StructField("xid", LongType()),
+        StructField("tag", StringType()),
+        StructField("new", row_schema),
+        StructField("old", row_schema),
+    ])
+
+    def _image(relid: int, vals: list[object]) -> tuple[dict | None, list[str]]:
+        names = relations.get(relid)
+        if names is None:
+            return None, []
+        wire = dict(zip(names, vals))
+        img = {}
+        for n, dt in fields:
+            v = wire.get(n)
+            img[n] = None if isinstance(v, _UnchangedToast) else _convert(v, dt)
+        return img, []
+
+    _CTRL = {b"S": "stream_start", b"E": "stream_stop",
+             b"c": "stream_commit", b"A": "stream_abort"}
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for lsn, payload, in_stream in zip(
+                pdf["__lsn"], pdf["__payload"], pdf["__in_stream"]
+            ):
+                buf = bytes(payload)
+                kind = buf[:1]
+                ctrl = _CTRL.get(kind)
+                if ctrl is not None:
+                    rows.append((int(lsn), None, ctrl, None, None))
+                    continue
+                xid = None
+                if in_stream and kind in (b"I", b"U", b"D", b"R", b"T"):
+                    try:
+                        (xid,) = struct.unpack_from(">i", buf, 1)
+                        buf = buf[:1] + buf[5:]
+                    except struct.error:
+                        rows.append((int(lsn), None, "_corrupt", None, None))
+                        continue
+                tag, new, old, _ = _parse_change(buf, _image)
+                rows.append((int(lsn), xid, tag, new, old))
+            yield pd.DataFrame(rows, columns=["lsn", "xid", "tag", "new", "old"])
+
+    return tagged.mapInPandas(decode, schema=out_schema)
+
+
+def apply_stream_transactions(decoded: DataFrame,
+                              verdicts: DataFrame) -> DataFrame:
+    """Turn the v2 decode into the standard ordered envelope: aborted
+    and still-in-flight streamed rows are DROPPED, committed streamed
+    rows apply at their transaction's commit lsn, non-streamed rows at
+    their own lsn; within a transaction the original wire order is the
+    tiebreak. Envelope lsn = 'APPLY/ORIGINAL' zero-padded hex, so plain
+    string order is apply order and the v1 pipeline runs unchanged.
+    Verdicts are O(#transactions) -> broadcast join."""
+    joined = decoded.join(
+        F.broadcast(verdicts), decoded["xid"] == verdicts["v_xid"], "left"
+    )
+    keep = F.col("xid").isNull() | (F.col("verdict") == "commit")
+    apply_lsn = F.coalesce(F.col("commit_lsn"), F.col("lsn"))
+    return (
+        joined.filter(keep)
+        .select(
+            F.format_string("%016X/%016X", apply_lsn, F.col("lsn")).alias("lsn"),
+            "tag", "new", "old",
+        )
+    )

@@ -99,6 +99,9 @@ EXTRA = [
     # r8: TOAST carry-forward upsert (binary decode + per-column max_by
     # carry aggregates in one groupBy)
     "cdc_toast_upsert_state",
+    # r8: protocol-v2 streamed transactions (segment pairing + binned
+    # interval membership + verdict join + commit-order apply)
+    "cdc_pgoutput_stream_state",
 ]
 
 
@@ -119,6 +122,7 @@ FAMILIES = {
     "cdc": [
         "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",
         "cdc_pgoutput_state", "cdc_wal2json_state", "cdc_toast_upsert_state",
+        "cdc_pgoutput_stream_state",
     ],
     "dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",

@@ -476,10 +476,18 @@ def stream_segments(messages: DataFrame, lsn_col: str = "lsn",
     )
     w = Window.orderBy("__ctrl_lsn")
     paired = ctrl.withColumn("__nxt", F.lead("__ctrl_lsn").over(w))
-    return paired.filter(F.col("__is_start")).select(
-        F.col("__ctrl_lsn").alias("seg_start"),
-        F.coalesce(F.col("__nxt"), F.lit(2**62)).alias("seg_stop"),
-        "seg_xid",
+    # an open trailing segment stops at the capture window's last lsn
+    # (NOT at "infinity": the binned join replicates each interval into
+    # every bin it overlaps, so an unbounded stop would explode)
+    window_end = messages.agg((F.max(lsn_col) + 1).alias("__window_end"))
+    return (
+        paired.filter(F.col("__is_start"))
+        .crossJoin(F.broadcast(window_end))
+        .select(
+            F.col("__ctrl_lsn").alias("seg_start"),
+            F.coalesce(F.col("__nxt"), F.col("__window_end")).alias("seg_stop"),
+            "seg_xid",
+        )
     )
 
 

@@ -72,6 +72,7 @@ _MODULES = (
 # query in registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
     # round-8 new surface
+    "cdc_pgoutput_stream_state",
     "cdc_toast_upsert_state",
     "profile_drift_psi",
     "cdc_lsn_gap_audit",

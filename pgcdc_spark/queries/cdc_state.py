@@ -896,3 +896,151 @@ def cdc_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- pgoutput protocol v2 (streamed transactions), driven through the gate ----
+# Postgres 14+ streams LARGE transactions before commit: segments of
+# xid-prefixed row messages bounded by S/E frames, applied only at
+# StreamCommit (in COMMIT order, which differs from wire order) and
+# discarded on StreamAbort. Fixture: events grouped into 4-change
+# transactions (txn = event_id div 4); odd txns are streamed, with the
+# commit lsn SHIFTED forward by 40*(txn%3) so commit order genuinely
+# crosses later wire traffic; streamed txns with txn%11==3 abort (their
+# changes must vanish). The engine path is the full Spark decomposition:
+# byte-filtered segment pairing -> binned-interval-join membership
+# (operators/rangejoin) -> xid-stripping Arrow decode -> broadcast
+# verdict join -> APPLY/ORIGINAL envelope order -> the UNCHANGED v1
+# pipeline + upsert. The oracle replays the same apply-order rule in
+# SQL, so a green row proves commit-order application, abort discard,
+# and the reorder arithmetic all at once.
+
+_PGOUT_V2_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, value, event_type,
+         event_id // 4 AS txn
+  FROM events
+),
+t AS (
+  SELECT *, MAX(event_id) OVER (PARTITION BY txn) AS mx FROM e
+),
+f AS (
+  SELECT user_id, value, event_type,
+         CASE WHEN txn % 2 = 1
+              THEN mx * 10 + 7 + 40 * (txn % 3)
+              ELSE event_id * 10 END AS apply_lsn,
+         event_id * 10 AS orig,
+         (txn % 2 = 1 AND txn % 11 = 3) AS aborted
+  FROM t
+)
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY apply_lsn DESC, orig DESC) AS rn
+  FROM f WHERE NOT aborted
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_pgoutput_stream_state", oracle=_PGOUT_V2_ORACLE,
+       tags=("cdc", "pgoutput", "streaming-txn"))
+def cdc_pgoutput_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2, encode_relation,
+        stream_verdicts)
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "value", "event_type",
+        F.expr("event_id div 4").alias("txn"),
+    )
+
+    @pandas_udf("binary")
+    def enc_row(event_id: pd.Series, user_id: pd.Series, value: pd.Series,
+                etype: pd.Series, txn: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_delete, encode_insert, encode_update, stream_wrap)
+
+        out = []
+        for eid, uid, val, et, tx in zip(event_id, user_id, value, etype, txn):
+            eid, tx = int(eid), int(tx)
+            if et == "error":
+                msg = encode_delete(1, [int(uid), None], old_kind=b"K")
+            elif eid % 3 == 0:
+                msg = encode_insert(1, [int(uid), repr(float(val))])
+            else:
+                msg = encode_update(1, [int(uid), repr(float(val))])
+            out.append(stream_wrap(tx, msg) if tx % 2 == 1 else msg)
+        return pd.Series(out)
+
+    rows = e.select(
+        (F.col("event_id") * 10).alias("lsn"),
+        enc_row("event_id", "user_id", "value", "event_type", "txn")
+        .alias("payload"),
+    )
+
+    seg = (
+        e.filter(F.col("txn") % 2 == 1)
+        .groupBy("txn")
+        .agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+    )
+
+    @pandas_udf("binary")
+    def enc_ctrl(kind: pd.Series, txn: pd.Series,
+                 commit_lsn: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_stream_abort, encode_stream_commit, encode_stream_start,
+            encode_stream_stop)
+
+        out = []
+        for k, tx, cl in zip(kind, txn, commit_lsn):
+            tx = int(tx)
+            if k == "S":
+                out.append(encode_stream_start(tx))
+            elif k == "E":
+                out.append(encode_stream_stop())
+            elif k == "c":
+                out.append(encode_stream_commit(tx, int(cl), int(cl) + 1, 0))
+            else:
+                out.append(encode_stream_abort(tx, tx))
+        return pd.Series(out)
+
+    aborted = F.col("txn") % 11 == 3
+    commit_lsn = F.col("mx") * 10 + 7 + 40 * (F.col("txn") % 3)
+    starts = seg.select(
+        (F.col("mn") * 10 - 5).alias("lsn"),
+        enc_ctrl(F.lit("S"), "txn", F.lit(0)).alias("payload"),
+    )
+    stops = seg.select(
+        (F.col("mx") * 10 + 1).alias("lsn"),
+        enc_ctrl(F.lit("E"), "txn", F.lit(0)).alias("payload"),
+    )
+    verdict_rows = seg.select(
+        (F.col("mx") * 10 + 9).alias("lsn"),
+        enc_ctrl(
+            F.when(aborted, "A").otherwise("c"), "txn", commit_lsn
+        ).alias("payload"),
+    )
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(1, "public", "events",
+                                       ["user_id", "value"])))],
+        "lsn long, payload binary",
+    )
+    msgs = rel.unionByName(rows).unionByName(starts).unionByName(stops) \
+              .unionByName(verdict_rows)
+
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    decoded = decode_pgoutput_v2(msgs, row_schema, bin_width=64)
+    env = apply_stream_transactions(decoded, stream_verdicts(msgs))
+    changes = apply_pipeline(env)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")

@@ -729,3 +729,72 @@ def test_pgoutput_typed_decode_breadth(spark):
     assert b["id"] == 8
     assert b["ok"] is None and b["at"] is None and b["amt"] is None
     assert b["blob"] is None
+
+
+# --- pgoutput protocol v2: streamed in-progress transactions ------------------
+
+def test_pgoutput_v2_golden_bytes():
+    """Hand-written literals pin the v2 control layouts and the xid
+    prefix streamed row messages carry."""
+    from pgcdc_spark.cdc.pgoutput import (
+        encode_insert, encode_stream_abort, encode_stream_commit,
+        encode_stream_start, encode_stream_stop, stream_wrap)
+
+    assert encode_stream_start(7) == b"S" + b"\x00\x00\x00\x07" + b"\x01"
+    assert encode_stream_stop() == b"E"
+    assert encode_stream_commit(7, 60, 61, 5) == (
+        b"c" + b"\x00\x00\x00\x07" + b"\x00"
+        + b"\x00\x00\x00\x00\x00\x00\x00\x3c"
+        + b"\x00\x00\x00\x00\x00\x00\x00\x3d"
+        + b"\x00\x00\x00\x00\x00\x00\x00\x05"
+    )
+    assert encode_stream_abort(8, 8) == (
+        b"A" + b"\x00\x00\x00\x08" + b"\x00\x00\x00\x08")
+    ins = encode_insert(1, ["2"])
+    assert stream_wrap(7, ins) == ins[:1] + b"\x00\x00\x00\x07" + ins[1:]
+
+
+def test_pgoutput_v2_commit_order_abort_and_inflight(spark):
+    """The consumer contract for streamed transactions, end-to-end:
+    committed segments apply at their COMMIT lsn (here after a later
+    non-streamed update, which the committed value must beat), aborted
+    segments vanish, a still-open segment (no verdict in the capture
+    window) is held back, and non-streamed traffic passes through at
+    its own lsn."""
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2, encode_insert,
+        encode_relation, encode_stream_abort, encode_stream_commit,
+        encode_stream_start, encode_stream_stop, encode_update,
+        stream_verdicts, stream_wrap)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "v"])),
+        (10, encode_insert(1, [1, 1])),                       # plain
+        (20, encode_stream_start(7)),                         # xid 7 opens
+        (21, stream_wrap(7, encode_insert(1, [2, 2]))),
+        (22, stream_wrap(7, encode_update(1, [1, 100]))),
+        (23, encode_stream_stop()),
+        (30, encode_stream_start(8)),                         # xid 8 opens
+        (31, stream_wrap(8, encode_update(1, [1, 200]))),
+        (32, encode_stream_stop()),
+        (40, encode_update(1, [1, 50])),                      # plain, later
+        (50, encode_stream_abort(8, 8)),                      # 8 discarded
+        (61, encode_stream_commit(7, 60, 61, 5)),             # 7 applies AT 60
+        (70, encode_stream_start(9)),                         # in-flight
+        (71, stream_wrap(9, encode_insert(1, [3, 3]))),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = decode_pgoutput_v2(df, schema, bin_width=16)
+    env = apply_stream_transactions(decoded, stream_verdicts(df))
+    state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
+    got = sorted((r["id"], r["v"]) for r in state.collect())
+    # id=1: plain lsn-40 write of 50 is OUTRANKED by xid 7's 100, which
+    # applies at commit lsn 60; xid 8's 200 aborted; id=3 in-flight.
+    assert got == [(1, 100), (2, 2)]

@@ -137,7 +137,13 @@ def test_no_collect_in_query_surface(spark):
                  # relation discovery: one bounded collect of the 'R'
                  # metadata messages (O(#tables), decoded driver-side) —
                  # the WAL-decode twin of evolution's schema discovery
-                 "cdc_pgoutput_state"}
+                 "cdc_pgoutput_state",
+                 # same bounded 'R' discovery; multi-stage only because
+                 # the v2 FIXTURE's control messages derive from a groupBy
+                 # (per-txn segment frames), so the metadata collect's
+                 # lineage includes that shuffle. Still O(#tables) rows to
+                 # the driver.
+                 "cdc_pgoutput_stream_state"}
 
     qs = all_queries()
     tracker = spark.sparkContext.statusTracker()

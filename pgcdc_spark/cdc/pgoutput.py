@@ -156,6 +156,13 @@ def encode_commit(lsn: int, end_lsn: int, commit_ts: int) -> bytes:
     return b"C" + struct.pack(">bqqq", 0, lsn, end_lsn, commit_ts)
 
 
+def encode_truncate(relids: list[int], options: int = 0) -> bytes:
+    """'T' Int32 nrels, Int8 options (1=CASCADE, 2=RESTART IDENTITY),
+    nrels x Int32 relid."""
+    return (b"T" + struct.pack(">ib", len(relids), options)
+            + b"".join(struct.pack(">i", r) for r in relids))
+
+
 # --- decode ------------------------------------------------------------------
 
 
@@ -266,7 +273,7 @@ def _convert(text: str | None, dt) -> object:
         return None  # checked cast: malformed value -> NULL, never a crash
 
 
-def _parse_change(buf: bytes, image) -> tuple:
+def _parse_change(buf: bytes, image, known_relids=None) -> tuple:
     """Parse ONE payload into (tag, new, old, unchanged) — the shared
     per-message core of the v1 and v2 decoders. ``image(relid, vals)``
     returns (row dict | None, unchanged column names). Any malformed
@@ -304,6 +311,20 @@ def _parse_change(buf: bytes, image) -> tuple:
                 raise ValueError("delete without old tuple")
             ovals, _ = _read_tuple(buf, 6)
             return ("delete", None, image(relid, ovals)[0], None)
+        if kind == b"T":
+            (nrels,) = struct.unpack_from(">i", buf, 1)
+            if not 0 <= nrels <= 10_000:
+                raise ValueError("implausible truncate relation count")
+            relids = [struct.unpack_from(">i", buf, 6 + 4 * i)[0]
+                      for i in range(nrels)]
+            # a TRUNCATE names every affected relation; only one that hits
+            # THIS decoder's table wipes this stream — truncates of other
+            # tables pass through as inert control rows
+            if known_relids is not None and not any(
+                r in known_relids for r in relids
+            ):
+                return ("truncate_other", None, None, None)
+            return ("truncate", None, None, None)
         return ("_corrupt", None, None, None)
     except (ValueError, struct.error, IndexError):
         return ("_corrupt", None, None, None)
@@ -363,6 +384,8 @@ def decode_pgoutput(
                 img[n] = _convert(v, dt)
         return img, unchanged
 
+    known = frozenset(relations)
+
     def decode(batches) -> Iterator:
         import pandas as pd
 
@@ -376,7 +399,8 @@ def decode_pgoutput(
                 # zero-padded so STRING order == WAL order (the envelope
                 # convention cdc_evolving_state also relies on)
                 lsn_s = f"0/{int(lsn):016X}"
-                tag, new, old, unch = _parse_change(bytes(payload), _image)
+                tag, new, old, unch = _parse_change(
+                    bytes(payload), _image, known)
                 row = (lsn_s, tag, new, old)
                 if track_unchanged:
                     row = row + (unch,)
@@ -571,6 +595,7 @@ def decode_pgoutput_v2(
 
     _CTRL = {b"S": "stream_start", b"E": "stream_stop",
              b"c": "stream_commit", b"A": "stream_abort"}
+    known = frozenset(relations)
 
     def decode(batches) -> Iterator:
         import pandas as pd
@@ -594,7 +619,7 @@ def decode_pgoutput_v2(
                     except struct.error:
                         rows.append((int(lsn), None, "_corrupt", None, None))
                         continue
-                tag, new, old, _ = _parse_change(buf, _image)
+                tag, new, old, _ = _parse_change(buf, _image, known)
                 rows.append((int(lsn), xid, tag, new, old))
             yield pd.DataFrame(rows, columns=["lsn", "xid", "tag", "new", "old"])
 

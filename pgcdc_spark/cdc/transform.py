@@ -21,7 +21,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-CONTROL_TAGS = ("begin", "commit", "relation")
+CONTROL_TAGS = ("begin", "commit", "relation", "truncate", "truncate_other")
 
 Transformer = Callable[[DataFrame], DataFrame]
 
@@ -37,6 +37,26 @@ def filter_control_messages(df: DataFrame) -> DataFrame:
     from .mongo import CONTROL_OPERATIONS
 
     return df.filter(~F.col("tag").isin(*CONTROL_TAGS, *CONTROL_OPERATIONS))
+
+
+def drop_pre_truncate(df: DataFrame) -> DataFrame:
+    """Apply TRUNCATE semantics to the envelope stream: every change
+    ordered at or before the LAST truncate that names this table is
+    void (the table was emptied). Fully declarative — the truncate
+    watermark is a 1-row aggregate broadcast against the stream, no
+    driver scalar; lsn strings are zero-padded so string order is WAL
+    order. Truncates of OTHER tables (tag 'truncate_other') are inert.
+    Run BEFORE filter_control_messages (which drops the truncate rows
+    themselves as control traffic)."""
+    wm = df.filter(F.col("tag") == "truncate").agg(
+        F.max("lsn").alias("__trunc_lsn")
+    )
+    return (
+        df.crossJoin(F.broadcast(wm))
+        .filter(F.col("__trunc_lsn").isNull()
+                | (F.col("lsn") > F.col("__trunc_lsn")))
+        .drop("__trunc_lsn")
+    )
 
 
 def extract_images(df: DataFrame) -> DataFrame:

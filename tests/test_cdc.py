@@ -798,3 +798,79 @@ def test_pgoutput_v2_commit_order_abort_and_inflight(spark):
     # id=1: plain lsn-40 write of 50 is OUTRANKED by xid 7's 100, which
     # applies at commit lsn 60; xid 8's 200 aborted; id=3 in-flight.
     assert got == [(1, 100), (2, 2)]
+
+
+# --- TRUNCATE ('T') + decoder fuzz ---------------------------------------------
+
+def test_pgoutput_truncate_wipes_then_rebuilds(spark):
+    """TRUNCATE semantics through the standard pipeline: every change at
+    or before the last truncate naming THIS table is void; truncates of
+    other tables are inert; post-truncate inserts rebuild the state."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_insert, encode_relation, encode_truncate)
+    from pgcdc_spark.cdc.transform import (
+        DEFAULT_PIPELINE, apply_pipeline, drop_pre_truncate)
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "v"])),
+        (1, encode_insert(1, [1, 10])),
+        (2, encode_insert(1, [2, 20])),
+        (3, encode_truncate([99])),        # OTHER table: inert
+        (4, encode_insert(1, [3, 30])),
+        (5, encode_truncate([99, 1])),     # names this table: wipes 1,2,3
+        (6, encode_insert(1, [4, 40])),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    env = decode_pgoutput(df, schema)
+    changes = apply_pipeline(env, (drop_pre_truncate,) + DEFAULT_PIPELINE)
+    state = latest_state(changes, keys=["id"], order_by=["lsn"])
+    assert sorted((r["id"], r["v"]) for r in state.collect()) == [(4, 40)]
+
+
+def test_pgoutput_parse_never_raises_fuzz():
+    """The parse core must dead-letter ANY byte garbage — truncations,
+    flipped kind bytes, absurd length fields — never raise. Fuzzes raw
+    random buffers plus mutations of every valid message shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pgcdc_spark.cdc.pgoutput import (
+        UNCHANGED_TOAST, _parse_change, encode_begin, encode_commit,
+        encode_delete, encode_insert, encode_relation, encode_truncate,
+        encode_update)
+
+    def image(relid, vals):
+        return ({"id": None}, [])
+
+    valid = [
+        encode_relation(1, "s", "t", ["id"]),
+        encode_insert(1, ["7", None, UNCHANGED_TOAST]),
+        encode_update(1, ["7"], old_values=["6"], old_kind=b"K"),
+        encode_delete(1, ["7"]),
+        encode_begin(1, 2, 3),
+        encode_commit(1, 2, 3),
+        encode_truncate([1, 2], options=2),
+    ]
+
+    @given(
+        base=st.sampled_from(list(range(len(valid))) + [-1]),
+        raw=st.binary(max_size=40),
+        cut=st.integers(min_value=0, max_value=60),
+        flip=st.integers(min_value=0, max_value=59),
+    )
+    @settings(max_examples=300, deadline=None)
+    def run(base, raw, cut, flip):
+        buf = raw if base < 0 else valid[base]
+        buf = buf[:cut] if cut < len(buf) else buf + raw
+        if buf and flip < len(buf):
+            buf = buf[:flip] + bytes([buf[flip] ^ 0x5A]) + buf[flip + 1:]
+        tag, new, old, _ = _parse_change(bytes(buf), image)
+        assert isinstance(tag, str)
+
+    run()

@@ -1033,6 +1033,11 @@ def cdc_pgoutput_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     msgs = rel.unionByName(rows).unionByName(starts).unionByName(stops) \
               .unionByName(verdict_rows)
+    # The capture REALLY is bytes in storage read by four passes
+    # (relation discovery, segment pairing, membership join, verdicts);
+    # without materialization each pass would re-run the fixture's Arrow
+    # ENCODER, timing the fixture 4x instead of the decode path.
+    msgs = msgs.localCheckpoint()
 
     row_schema = StructType(
         [StructField("user_id", LongType()), StructField("value", DoubleType())]

@@ -647,3 +647,147 @@ def apply_stream_transactions(decoded: DataFrame,
             "tag", "new", "old",
         )
     )
+
+
+# --- multi-table capture: generic (bronze) decode + JVM-typed routing ---------
+# A replication slot carries EVERY published table; decoding straight to
+# one typed schema (decode_pgoutput) forces one scan per table. The
+# scalable layering is the lakehouse bronze/silver split:
+#
+#   bronze  decode_pgoutput_generic — ONE Arrow pass turns every message
+#           into a schema-agnostic envelope (lsn, relid, tag, per-column
+#           text values + wire kinds). Python touches the bytes exactly
+#           once for the whole slot; persist/land this frame and every
+#           table routes from it.
+#   silver  route_table — pure JVM: element_at + try_cast build the typed
+#           image inside whole-stage codegen (checked casts: malformed
+#           text -> NULL, the same engine-wide rule), wire kind 'u'
+#           surfaces as the unchanged-TOAST name list, 'n' stays SQL
+#           NULL. N tables = N filters over the SAME bronze scan, zero
+#           additional decode work.
+
+
+def decode_pgoutput_generic(
+    messages: DataFrame,
+    relations: dict[int, list[str]] | None = None,
+    lsn_col: str = "lsn",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Bronze envelope: (lsn, relid, tag, vals, kinds, old_vals,
+    old_kinds) — values as wire text, kinds as 't'/'n'/'u' per column.
+    Unknown relids keep their rows (relid is there, vals NULL) so a
+    late-registered table is a re-route, not a re-capture."""
+    from pyspark.sql.types import ArrayType
+
+    if relations is None:
+        relations = discover_relations(messages, payload_col)
+    known = frozenset(relations)
+    arr = ArrayType(StringType())
+    out_schema = StructType([
+        StructField("lsn", StringType()),
+        StructField("relid", LongType()),
+        StructField("tag", StringType()),
+        StructField("vals", arr),
+        StructField("kinds", arr),
+        StructField("old_vals", arr),
+        StructField("old_kinds", arr),
+    ])
+
+    def split(vals):
+        if vals is None:
+            return None, None
+        out_v, out_k = [], []
+        for v in vals:
+            if isinstance(v, _UnchangedToast):
+                out_v.append(None)
+                out_k.append("u")
+            elif v is None:
+                out_v.append(None)
+                out_k.append("n")
+            else:
+                out_v.append(v)
+                out_k.append("t")
+        return out_v, out_k
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for lsn, payload in zip(pdf[lsn_col], pdf[payload_col]):
+                buf = bytes(payload)
+                lsn_s = f"0/{int(lsn):016X}"
+                relid = None
+                try:
+                    kind = buf[:1]
+                    if kind in (b"I", b"U", b"D"):
+                        (relid,) = struct.unpack_from(">i", buf, 1)
+                except (struct.error, IndexError):
+                    pass
+
+                def raw_image(rid, tuple_vals):
+                    # generic: keep the WIRE order, no schema projection
+                    return tuple_vals if rid in known else None
+
+                tag, new, old, _ = _parse_change(
+                    buf, lambda rid, tv: (raw_image(rid, tv), []), known)
+                nv, nk = split(new)
+                ov, ok = split(old)
+                rows.append((lsn_s, relid, tag, nv, nk, ov, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["lsn", "relid", "tag", "vals", "kinds",
+                         "old_vals", "old_kinds"],
+            )
+
+    return messages.mapInPandas(decode, schema=out_schema)
+
+
+def route_table(
+    generic: DataFrame,
+    relid: int,
+    col_names: list[str],
+    row_schema: StructType,
+    track_unchanged: bool = False,
+) -> DataFrame:
+    """Silver routing: the typed envelope for ONE table, built entirely
+    JVM-side from the bronze frame — element_at + try_cast inside
+    codegen, no Python. Output matches decode_pgoutput's frame (lsn,
+    tag, new, old [, unchanged]), so the standard pipeline and
+    toast_state run unchanged."""
+    g = generic.filter(F.col("relid") == relid)
+
+    def typed(vals_c, kinds_c):
+        fields = []
+        for f in row_schema.fields:
+            if f.name in col_names:
+                i = col_names.index(f.name) + 1  # element_at is 1-based
+                v = F.when(
+                    F.element_at(kinds_c, i) == "t",
+                    F.element_at(vals_c, i).try_cast(f.dataType),
+                )
+            else:  # additive evolution: schema column absent on the wire
+                v = F.lit(None).cast(f.dataType)
+            fields.append(v.alias(f.name))
+        return F.struct(*fields)
+
+    new = F.when(F.col("kinds").isNotNull(),
+                 typed(F.col("vals"), F.col("kinds")))
+    old = F.when(F.col("old_kinds").isNotNull(),
+                 typed(F.col("old_vals"), F.col("old_kinds")))
+    cols = [F.col("lsn"), F.col("tag"), new.alias("new"), old.alias("old")]
+    if track_unchanged:
+        names_lit = F.array(*[F.lit(c) for c in col_names])
+        cols.append(
+            F.when(
+                F.col("kinds").isNotNull(),
+                F.filter(
+                    F.zip_with(
+                        F.col("kinds"), names_lit,
+                        lambda k, n: F.when(k == "u", n),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            ).alias("unchanged")
+        )
+    return g.select(*cols)

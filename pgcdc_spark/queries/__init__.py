@@ -73,6 +73,7 @@ _MODULES = (
 _PRIORITY = (
     # round-8 new surface
     "cdc_pgoutput_stream_state",
+    "cdc_multitable_route_state",
     "cdc_toast_upsert_state",
     "profile_drift_psi",
     "cdc_lsn_gap_audit",

@@ -1049,3 +1049,120 @@ def cdc_pgoutput_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", F.col("value").alias("last_value")
     ).orderBy("user_id")
+
+
+# --- multi-table capture routed bronze -> silver, driven through the gate -----
+# One replication slot, TWO tables interleaved in the same byte stream
+# (events as relid 1, orders as relid 2 — orders get an insert AND a
+# later halved-price update each, so the routed LWW is non-trivial).
+# The engine decodes the slot ONCE into the schema-agnostic bronze
+# envelope (decode_pgoutput_generic: the only Python pass), materializes
+# it (the landing the bronze layer exists for), then routes both silver
+# tables with pure-JVM element_at + try_cast typing (route_table) into
+# the standard pipeline + upsert. The oracle replays both tables' LWW
+# and unions them, so one green row hash-checks the relid routing, the
+# codegen typing, and both states.
+
+_MULTI_ORACLE = """
+SELECT 'events' AS tbl, user_id AS k, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+UNION ALL
+SELECT 'orders' AS tbl, o_orderkey AS k, o_totalprice / 2 AS last_value
+FROM orders
+ORDER BY tbl, k
+"""
+
+
+@query("cdc_multitable_route_state", oracle=_MULTI_ORACLE,
+       tags=("cdc", "pgoutput", "multitable"))
+def cdc_multitable_route_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import (
+        decode_pgoutput_generic, encode_relation, route_table)
+    from ..cdc.transform import apply_pipeline
+
+    (events, orders) = load(spark, sf_dir, "events", "orders")
+
+    @pandas_udf("binary")
+    def enc_event(event_id: pd.Series, user_id: pd.Series, value: pd.Series,
+                  etype: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import encode_delete, encode_insert, encode_update
+
+        out = []
+        for eid, uid, val, et in zip(event_id, user_id, value, etype):
+            if et == "error":
+                out.append(encode_delete(1, [int(uid), None], old_kind=b"K"))
+            elif int(eid) % 3 == 0:
+                out.append(encode_insert(1, [int(uid), repr(float(val))]))
+            else:
+                out.append(encode_update(1, [int(uid), repr(float(val))]))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def enc_order(okey: pd.Series, price: pd.Series,
+                  kind: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import encode_insert, encode_update
+
+        out = []
+        for k, p, knd in zip(okey, price, kind):
+            if knd == "I":
+                out.append(encode_insert(2, [int(k), repr(float(p))]))
+            else:
+                out.append(encode_update(2, [int(k), repr(float(p) / 2)]))
+        return pd.Series(out)
+
+    rels = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(1, "public", "events",
+                                          ["user_id", "value"]))),
+            (2, bytearray(encode_relation(2, "public", "orders",
+                                          ["o_orderkey", "o_totalprice"]))),
+        ],
+        "lsn long, payload binary",
+    )
+    ev_rows = events.select(
+        (F.col("event_id") * 4).alias("lsn"),
+        enc_event("event_id", "user_id", "value", "event_type")
+        .alias("payload"),
+    )
+    ord_ins = orders.select(
+        (F.col("o_orderkey") * 4 + 1).alias("lsn"),
+        enc_order("o_orderkey", "o_totalprice", F.lit("I")).alias("payload"),
+    )
+    ord_upd = orders.select(
+        (F.col("o_orderkey") * 4 + 3).alias("lsn"),
+        enc_order("o_orderkey", "o_totalprice", F.lit("U")).alias("payload"),
+    )
+    msgs = rels.unionByName(ev_rows).unionByName(ord_ins).unionByName(ord_upd)
+
+    relations = {1: ["user_id", "value"], 2: ["o_orderkey", "o_totalprice"]}
+    # bronze lands once; both silver tables route from the SAME pass
+    bronze = decode_pgoutput_generic(msgs, relations).localCheckpoint()
+
+    ev_schema = StructType([StructField("user_id", LongType()),
+                            StructField("value", DoubleType())])
+    ord_schema = StructType([StructField("o_orderkey", LongType()),
+                             StructField("o_totalprice", DoubleType())])
+    ev_state = latest_state(
+        apply_pipeline(route_table(bronze, 1, relations[1], ev_schema)),
+        keys=["user_id"], order_by=["lsn"], op_col="op",
+    ).select(
+        F.lit("events").alias("tbl"),
+        F.col("user_id").alias("k"),
+        F.col("value").alias("last_value"),
+    )
+    ord_state = latest_state(
+        apply_pipeline(route_table(bronze, 2, relations[2], ord_schema)),
+        keys=["o_orderkey"], order_by=["lsn"], op_col="op",
+    ).select(
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("last_value"),
+    )
+    return ev_state.unionByName(ord_state).orderBy("tbl", "k")

@@ -874,3 +874,49 @@ def test_pgoutput_parse_never_raises_fuzz():
         assert isinstance(tag, str)
 
     run()
+
+
+def test_bronze_generic_decode_and_jvm_route(spark):
+    """Bronze/silver split pinned: the generic decode is the ONLY Python
+    pass (exactly one MapInPandas in the routed plan), routing types with
+    checked casts ('oops' -> NULL), surfaces 'u' kinds as unchanged
+    names, keeps unknown-relid rows in bronze, and reads schema columns
+    absent from the wire as NULL (additive evolution)."""
+    from pgcdc_spark.cdc.pgoutput import (
+        UNCHANGED_TOAST, decode_pgoutput_generic, encode_insert,
+        encode_update, route_table)
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType)
+
+    rels = {1: ["id", "v"]}
+    msgs = spark.createDataFrame(
+        [
+            (1, bytearray(encode_insert(1, [7, "1.5"]))),
+            (2, bytearray(encode_update(1, [7, UNCHANGED_TOAST]))),
+            (3, bytearray(encode_insert(1, [8, "oops"]))),   # bad double
+            (4, bytearray(encode_insert(99, [1, "x"]))),     # unknown relid
+        ],
+        "lsn long, payload binary",
+    )
+    bronze = decode_pgoutput_generic(msgs, rels)
+    rows = {r["lsn"]: r for r in bronze.collect()}
+    assert rows["0/0000000000000004"]["relid"] == 99    # retained
+    assert rows["0/0000000000000004"]["vals"] is None   # but unregistered
+    assert list(rows["0/0000000000000002"]["kinds"]) == ["t", "u"]
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("v", DoubleType()),
+        StructField("added_later", StringType()),   # not on the wire
+    ])
+    routed = route_table(bronze, 1, rels[1], schema, track_unchanged=True)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, "route must add no Python pass"
+    out = {r["lsn"]: r for r in routed.collect()}
+    assert out["0/0000000000000001"]["new"]["v"] == 1.5
+    assert out["0/0000000000000001"]["new"]["added_later"] is None
+    assert list(out["0/0000000000000002"]["unchanged"]) == ["v"]
+    assert out["0/0000000000000002"]["new"]["v"] is None
+    assert out["0/0000000000000003"]["new"]["v"] is None  # checked cast
+    assert out["0/0000000000000003"]["new"]["id"] == 8
+    assert "0/0000000000000004" not in out               # other relid

@@ -311,6 +311,12 @@ def _parse_change(buf: bytes, image, known_relids=None) -> tuple:
                 raise ValueError("delete without old tuple")
             ovals, _ = _read_tuple(buf, 6)
             return ("delete", None, image(relid, ovals)[0], None)
+        if kind == b"M":
+            return ("message", None, None, None)   # logical decoding msg
+        if kind == b"O":
+            return ("origin", None, None, None)    # replication origin
+        if kind == b"Y":
+            return ("type", None, None, None)      # custom type metadata
         if kind == b"T":
             (nrels,) = struct.unpack_from(">i", buf, 1)
             if not 0 <= nrels <= 10_000:

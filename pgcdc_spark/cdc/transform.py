@@ -21,7 +21,8 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-CONTROL_TAGS = ("begin", "commit", "relation", "truncate", "truncate_other")
+CONTROL_TAGS = ("begin", "commit", "relation", "truncate",
+                "truncate_other", "message", "origin", "type")
 
 Transformer = Callable[[DataFrame], DataFrame]
 

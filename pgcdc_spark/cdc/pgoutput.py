@@ -544,9 +544,13 @@ def decode_pgoutput_v2(
     payload_col: str = "payload",
     bin_width: int = 1024,
     broadcast_segments: bool = True,
+    track_unchanged: bool = False,
 ) -> DataFrame:
     """Decode a protocol-v2 capture (streamed transactions present) into
-    (lsn long, xid, tag, new, old). Stream membership comes from the
+    (lsn long, xid, tag, new, old [, unchanged]). Streamed transactions
+    TOAST like any other: an in-segment UPDATE can carry 'u' datums, so
+    track_unchanged matters here exactly as in v1 — without it a
+    committed streamed update would NULL-overwrite stored values. Stream membership comes from the
     binned interval join against ``stream_segments`` (equi-join on lsn
     bins — operators/rangejoin.py — never a nested loop); inside a
     segment the Int32 xid is stripped before the shared v1 parse.
@@ -580,24 +584,33 @@ def decode_pgoutput_v2(
              F.col("seg_xid").isNotNull().alias("__in_stream"))
 
     fields = [(f.name, f.dataType) for f in row_schema.fields]
-    out_schema = StructType([
+    out_fields = [
         StructField("lsn", LongType()),
         StructField("xid", LongType()),
         StructField("tag", StringType()),
         StructField("new", row_schema),
         StructField("old", row_schema),
-    ])
+    ]
+    if track_unchanged:
+        from pyspark.sql.types import ArrayType
+
+        out_fields.append(StructField("unchanged", ArrayType(StringType())))
+    out_schema = StructType(out_fields)
 
     def _image(relid: int, vals: list[object]) -> tuple[dict | None, list[str]]:
         names = relations.get(relid)
         if names is None:
             return None, []
         wire = dict(zip(names, vals))
-        img = {}
+        img, unchanged = {}, []
         for n, dt in fields:
             v = wire.get(n)
-            img[n] = None if isinstance(v, _UnchangedToast) else _convert(v, dt)
-        return img, []
+            if isinstance(v, _UnchangedToast):
+                img[n] = None
+                unchanged.append(n)
+            else:
+                img[n] = _convert(v, dt)
+        return img, unchanged
 
     _CTRL = {b"S": "stream_start", b"E": "stream_stop",
              b"c": "stream_commit", b"A": "stream_abort"}
@@ -605,6 +618,16 @@ def decode_pgoutput_v2(
 
     def decode(batches) -> Iterator:
         import pandas as pd
+
+        cols = ["lsn", "xid", "tag", "new", "old"]
+        if track_unchanged:
+            cols = cols + ["unchanged"]
+
+        def emit(rows, lsn, xid, tag, new=None, old=None, unch=None):
+            row = (int(lsn), xid, tag, new, old)
+            if track_unchanged:
+                row = row + (unch,)
+            rows.append(row)
 
         for pdf in batches:
             rows: list[tuple] = []
@@ -615,7 +638,7 @@ def decode_pgoutput_v2(
                 kind = buf[:1]
                 ctrl = _CTRL.get(kind)
                 if ctrl is not None:
-                    rows.append((int(lsn), None, ctrl, None, None))
+                    emit(rows, lsn, None, ctrl)
                     continue
                 xid = None
                 if in_stream and kind in (b"I", b"U", b"D", b"R", b"T"):
@@ -623,11 +646,11 @@ def decode_pgoutput_v2(
                         (xid,) = struct.unpack_from(">i", buf, 1)
                         buf = buf[:1] + buf[5:]
                     except struct.error:
-                        rows.append((int(lsn), None, "_corrupt", None, None))
+                        emit(rows, lsn, None, "_corrupt")
                         continue
-                tag, new, old, _ = _parse_change(buf, _image, known)
-                rows.append((int(lsn), xid, tag, new, old))
-            yield pd.DataFrame(rows, columns=["lsn", "xid", "tag", "new", "old"])
+                tag, new, old, unch = _parse_change(buf, _image, known)
+                emit(rows, lsn, xid, tag, new, old, unch)
+            yield pd.DataFrame(rows, columns=cols)
 
     return tagged.mapInPandas(decode, schema=out_schema)
 
@@ -646,13 +669,13 @@ def apply_stream_transactions(decoded: DataFrame,
     )
     keep = F.col("xid").isNull() | (F.col("verdict") == "commit")
     apply_lsn = F.coalesce(F.col("commit_lsn"), F.col("lsn"))
-    return (
-        joined.filter(keep)
-        .select(
-            F.format_string("%016X/%016X", apply_lsn, F.col("lsn")).alias("lsn"),
-            "tag", "new", "old",
-        )
-    )
+    cols = [
+        F.format_string("%016X/%016X", apply_lsn, F.col("lsn")).alias("lsn"),
+        "tag", "new", "old",
+    ]
+    if "unchanged" in decoded.columns:
+        cols.append("unchanged")  # TOAST markers ride through to toast_state
+    return joined.filter(keep).select(*cols)
 
 
 # --- multi-table capture: generic (bronze) decode + JVM-typed routing ---------

@@ -920,3 +920,44 @@ def test_bronze_generic_decode_and_jvm_route(spark):
     assert out["0/0000000000000003"]["new"]["v"] is None  # checked cast
     assert out["0/0000000000000003"]["new"]["id"] == 8
     assert "0/0000000000000004" not in out               # other relid
+
+
+def test_pgoutput_v2_streamed_toast_carry(spark):
+    """The v2 x TOAST interaction: a COMMITTED streamed transaction whose
+    update marks a column unchanged must carry the stored value forward,
+    not NULL it — the two features have to compose, not just pass their
+    own tests."""
+    from pgcdc_spark.cdc.pgoutput import (
+        UNCHANGED_TOAST, apply_stream_transactions, decode_pgoutput_v2,
+        encode_insert, encode_relation, encode_stream_commit,
+        encode_stream_start, encode_stream_stop, encode_update,
+        stream_verdicts, stream_wrap)
+    from pgcdc_spark.cdc.transform import extract_images, filter_control_messages
+    from pgcdc_spark.cdc.upsert import toast_state
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "v"])),
+        (10, encode_insert(1, [1, 11])),                     # plain: v=11
+        (20, encode_stream_start(7)),
+        (21, stream_wrap(7, encode_update(1, [1, UNCHANGED_TOAST]))),
+        (22, encode_stream_stop()),
+        (30, encode_stream_commit(7, 29, 30, 0)),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = decode_pgoutput_v2(df, schema, bin_width=16,
+                                 track_unchanged=True)
+    env = apply_stream_transactions(decoded, stream_verdicts(df))
+    changes = (
+        env.transform(filter_control_messages)
+        .transform(extract_images)
+        .select("lsn", "op", "unchanged", "image.*")
+    )
+    state = toast_state(changes, ["id"], ["lsn"], ["v"])
+    rows = state.collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 1 and rows[0]["v"] == 11   # carried, not NULLed

@@ -80,12 +80,21 @@ def _typed_image(map_col: F.Column, row_schema: StructType) -> F.Column:
 
 
 def parse_wal2json(
-    raw: DataFrame, row_schema: StructType, json_col: str = "value"
+    raw: DataFrame, row_schema: StructType, json_col: str = "value",
+    track_unchanged: bool = False,
 ) -> DataFrame:
     """Transaction documents -> one envelope row per change, ordered by
     (transaction lsn, change ordinal) folded into a zero-padded sortable
     lsn string. Unknown kinds (truncate/message) pass through with null
-    images and are dropped by the standard control/image filters."""
+    images and are dropped by the standard control/image filters.
+
+    wal2json renders an unchanged-TOAST column by OMITTING it from the
+    columnnames/columnvalues arrays (a genuine SQL NULL is present with
+    a null value) — so upserting images verbatim NULL-overwrites stored
+    values, the same TOAST hazard as pgoutput's 'u' datum.
+    ``track_unchanged=True`` adds an ``unchanged`` column naming the
+    schema fields absent from the wire arrays (JVM filter, no Python);
+    feed it to upsert.toast_state to carry stored values forward."""
     doc = raw.withColumn("_doc", F.from_json(F.col(json_col), _DOC))
     ch = doc.select(
         F.col("_doc.lsn").alias("_txn_lsn"),
@@ -113,4 +122,19 @@ def parse_wal2json(
         ).alias("tag"),
         F.when(~is_del & has_new, _typed_image(new_map, row_schema)).alias("new"),
         F.when(is_del & has_old, _typed_image(old_map, row_schema)).alias("old"),
+        *(
+            [
+                F.when(
+                    ~is_del & has_new,
+                    F.filter(
+                        F.array(*[F.lit(f.name) for f in row_schema.fields]),
+                        lambda n: ~F.array_contains(
+                            F.col("_ch.columnnames"), n
+                        ),
+                    ),
+                ).alias("unchanged")
+            ]
+            if track_unchanged
+            else []
+        ),
     )

@@ -961,3 +961,45 @@ def test_pgoutput_v2_streamed_toast_carry(spark):
     rows = state.collect()
     assert len(rows) == 1
     assert rows[0]["id"] == 1 and rows[0]["v"] == 11   # carried, not NULLed
+
+
+def test_wal2json_unchanged_toast_carry(spark):
+    """wal2json's TOAST rendering (column OMITTED from the arrays, vs a
+    present-but-null genuine NULL) must carry forward through
+    toast_state, mirroring the pgoutput 'u' path."""
+    import json
+
+    from pgcdc_spark.cdc.transform import extract_images, filter_control_messages
+    from pgcdc_spark.cdc.upsert import toast_state
+    from pgcdc_spark.cdc.wal2json import parse_wal2json
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    docs = [
+        json.dumps({"lsn": "1", "change": [
+            {"kind": "insert", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columnvalues": ["1", "1.5"]},
+            {"kind": "insert", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columnvalues": ["2", "2.5"]},
+        ]}),
+        json.dumps({"lsn": "2", "change": [
+            # unchanged TOAST: v OMITTED from the arrays
+            {"kind": "update", "schema": "s", "table": "t",
+             "columnnames": ["id"], "columnvalues": ["1"]},
+            # genuine SQL NULL: v present with null value
+            {"kind": "update", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columnvalues": ["2", None]},
+        ]}),
+    ]
+    raw = spark.createDataFrame([(d,) for d in docs], "value string")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", DoubleType())])
+    env = parse_wal2json(raw, schema, track_unchanged=True)
+    changes = (
+        env.transform(filter_control_messages)
+        .transform(extract_images)
+        .select("lsn", "op", "unchanged", "image.*")
+    )
+    state = {r["id"]: r["v"] for r in
+             toast_state(changes, ["id"], ["lsn"], ["v"]).collect()}
+    assert state[1] == 1.5      # omitted column -> carried
+    assert state[2] is None     # present-null -> really NULL

@@ -507,3 +507,64 @@ def test_toast_fold_any_split_equals_batch(spark, ops, cuts, perm_seed,
         .select("lsn", "op", "unchanged", "k", "v").collect()
     )
     assert folded == truth
+
+
+# --- bronze route == direct typed decode --------------------------------------
+# The multi-table bronze/silver split must be a pure refactoring of the
+# typed decoder: for any message mix, route_table over the generic
+# envelope yields EXACTLY decode_pgoutput's typed envelope (images,
+# checked-cast NULLs, unchanged-TOAST names, old tuples). Random
+# messages hit the hazard shapes: 'u' datums, genuine NULLs, malformed
+# numerics, key-only old tuples.
+
+_val = st.sampled_from(["7", "1.5", None, "junk", "UNCH"])
+_msg = st.tuples(
+    st.sampled_from(["I", "U", "UO", "D"]),
+    _val, _val,
+)
+
+
+@given(msgs=st.lists(_msg, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_bronze_route_equals_typed_decode(spark, msgs):
+    from pgcdc_spark.cdc.pgoutput import (
+        UNCHANGED_TOAST, decode_pgoutput, decode_pgoutput_generic,
+        encode_delete, encode_insert, encode_update, route_table)
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    def v(x):
+        return UNCHANGED_TOAST if x == "UNCH" else x
+
+    payloads = []
+    for i, (kind, a, b) in enumerate(msgs):
+        vals = [v(a), v(b)]
+        if kind == "I":
+            payloads.append((i + 1, encode_insert(1, vals)))
+        elif kind == "U":
+            payloads.append((i + 1, encode_update(1, vals)))
+        elif kind == "UO":
+            payloads.append(
+                (i + 1, encode_update(1, vals, old_values=[v(a), None],
+                                      old_kind=b"K")))
+        else:
+            payloads.append((i + 1, encode_delete(1, vals)))
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in payloads], "lsn long, payload binary"
+    )
+    rels = {1: ["id", "v"]}
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", DoubleType())])
+
+    def norm(frame):
+        return sorted(
+            (r["lsn"], r["tag"], r["new"], r["old"],
+             tuple(r["unchanged"]) if r["unchanged"] is not None else None)
+            for r in frame.collect()
+        )
+
+    direct = norm(decode_pgoutput(df, schema, relations=rels,
+                                  track_unchanged=True))
+    routed = norm(route_table(decode_pgoutput_generic(df, rels), 1,
+                              rels[1], schema, track_unchanged=True))
+    assert routed == direct

@@ -317,6 +317,9 @@ def patch_state(
         gated.groupBy(*keys, "__field")
         .agg(F.max_by("__act", "__ord").alias("__act"), F.max("__ord").alias("__ord"))
     )
+    # bounded buffer: latest_patch is already one row per (key, field),
+    # so this collect_list holds at most #schema-fields entries per key —
+    # document WIDTH, never changelog length (hot keys are safe)
     patch_maps = latest_patch.groupBy(*keys).agg(
         F.map_from_entries(
             F.collect_list(

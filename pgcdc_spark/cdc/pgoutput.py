@@ -523,8 +523,14 @@ def stream_segments(messages: DataFrame, lsn_col: str = "lsn",
 
 def stream_verdicts(messages: DataFrame, lsn_col: str = "lsn",
                     payload_col: str = "payload") -> DataFrame:
-    """(v_xid, verdict, commit_lsn) from the 'c'/'A' control rows —
-    O(#transactions), decoded entirely JVM-side."""
+    """(v_xid, verdict, commit_lsn, sub_xid) from the 'c'/'A' control
+    rows — O(#transactions), decoded entirely JVM-side.
+
+    StreamAbort carries (xid, sub_xid): sub_xid == xid aborts the WHOLE
+    transaction, sub_xid != xid aborts only that SUBTRANSACTION's
+    changes (protocol v2; every in-segment row message is prefixed with
+    the xid of its immediate (sub)transaction, which is what the
+    sub-abort must match against)."""
     is_commit = F.expr(f"substring({payload_col}, 1, 1) = X'63'")
     return messages.filter(
         F.expr(f"substring({payload_col}, 1, 1) IN (X'63', X'41')")
@@ -532,6 +538,7 @@ def stream_verdicts(messages: DataFrame, lsn_col: str = "lsn",
         _be_int(payload_col, 2, 4).alias("v_xid"),
         F.when(is_commit, "commit").otherwise("abort").alias("verdict"),
         F.when(is_commit, _be_int(payload_col, 7, 8)).alias("commit_lsn"),
+        F.when(~is_commit, _be_int(payload_col, 6, 4)).alias("sub_xid"),
     )
 
 
@@ -547,16 +554,27 @@ def decode_pgoutput_v2(
     track_unchanged: bool = False,
 ) -> DataFrame:
     """Decode a protocol-v2 capture (streamed transactions present) into
-    (lsn long, xid, tag, new, old [, unchanged]). Streamed transactions
-    TOAST like any other: an in-segment UPDATE can carry 'u' datums, so
-    track_unchanged matters here exactly as in v1 — without it a
-    committed streamed update would NULL-overwrite stored values. Stream membership comes from the
+    (lsn long, xid, top_xid, tag, new, old [, unchanged]). ``xid`` is
+    the Int32 prefixed on the row message — the xid of the IMMEDIATE
+    (sub)transaction that produced the change; ``top_xid`` is the
+    enclosing segment's StreamStart xid — the TOP-LEVEL transaction,
+    which is what StreamCommit names. They differ exactly when the
+    change belongs to a subtransaction (and StreamAbort's sub_xid form
+    must then be matched against ``xid``, not ``top_xid``). Streamed
+    transactions TOAST like any other: an in-segment UPDATE can carry
+    'u' datums, so track_unchanged matters here exactly as in v1 —
+    without it a committed streamed update would NULL-overwrite stored
+    values. Stream membership comes from the
     binned interval join against ``stream_segments`` (equi-join on lsn
     bins — operators/rangejoin.py — never a nested loop); inside a
     segment the Int32 xid is stripped before the shared v1 parse.
-    ``relations`` should come from NON-streamed relation traffic (or be
-    passed explicitly): a streamed 'R' carries an xid and is surfaced
-    here as a control row, not auto-discovered.
+    Auto-discovery of ``relations`` handles streamed 'R' messages too:
+    an 'R' whose lsn falls inside a segment has its 4 xid bytes
+    stripped before the driver-side decode (segments are collected
+    first — O(#segments) bounded metadata), so a table whose Relation
+    message arrives only inside a streamed segment still maps
+    correctly instead of polluting the relations dict with
+    xid-shifted garbage.
 
     Compose with apply_stream_transactions to get the standard ordered
     envelope. Segments default to broadcast (they are O(#segments) per
@@ -564,15 +582,28 @@ def decode_pgoutput_v2(
     window legitimately contains millions of segments."""
     from ..operators.rangejoin import binned_range_join
 
-    if relations is None:
-        relations = discover_relations(
-            messages.filter(
-                F.expr(f"substring({payload_col}, 1, 1) = X'52'")
-            ),
-            payload_col,
-        )
     if segments is None:
         segments = stream_segments(messages, lsn_col, payload_col)
+    if relations is None:
+        seg_rows = [(r["seg_start"], r["seg_stop"])
+                    for r in segments.collect()]  # O(#segments) metadata
+        r_rows = (
+            messages.filter(
+                F.expr(f"substring({payload_col}, 1, 1) = X'52'")
+            )
+            .select(lsn_col, payload_col)
+            .collect()
+        )
+        relations = {}
+        for row in r_rows:
+            buf = bytes(row[1])
+            if any(s <= row[0] <= e for s, e in seg_rows):
+                buf = buf[:1] + buf[5:]  # strip the streamed Int32 xid
+            try:
+                relid, names = decode_relation_message(buf)
+            except (ValueError, struct.error, IndexError):
+                continue  # dead-letter: a corrupt 'R' never poisons the map
+            relations[relid] = names
     if broadcast_segments:
         segments = F.broadcast(segments)
     tagged = binned_range_join(
@@ -580,13 +611,13 @@ def decode_pgoutput_v2(
                         F.col(payload_col).alias("__payload")),
         segments,
         "__lsn", "seg_start", "seg_stop", bin_width, how="left_outer",
-    ).select("__lsn", "__payload",
-             F.col("seg_xid").isNotNull().alias("__in_stream"))
+    ).select("__lsn", "__payload", F.col("seg_xid").alias("__seg_xid"))
 
     fields = [(f.name, f.dataType) for f in row_schema.fields]
     out_fields = [
         StructField("lsn", LongType()),
         StructField("xid", LongType()),
+        StructField("top_xid", LongType()),
         StructField("tag", StringType()),
         StructField("new", row_schema),
         StructField("old", row_schema),
@@ -619,26 +650,28 @@ def decode_pgoutput_v2(
     def decode(batches) -> Iterator:
         import pandas as pd
 
-        cols = ["lsn", "xid", "tag", "new", "old"]
+        cols = ["lsn", "xid", "top_xid", "tag", "new", "old"]
         if track_unchanged:
             cols = cols + ["unchanged"]
 
-        def emit(rows, lsn, xid, tag, new=None, old=None, unch=None):
-            row = (int(lsn), xid, tag, new, old)
+        def emit(rows, lsn, xid, top, tag, new=None, old=None, unch=None):
+            row = (int(lsn), xid, top, tag, new, old)
             if track_unchanged:
                 row = row + (unch,)
             rows.append(row)
 
         for pdf in batches:
             rows: list[tuple] = []
-            for lsn, payload, in_stream in zip(
-                pdf["__lsn"], pdf["__payload"], pdf["__in_stream"]
+            for lsn, payload, seg_xid in zip(
+                pdf["__lsn"], pdf["__payload"], pdf["__seg_xid"]
             ):
                 buf = bytes(payload)
+                in_stream = seg_xid is not None and not pd.isna(seg_xid)
+                top = int(seg_xid) if in_stream else None
                 kind = buf[:1]
                 ctrl = _CTRL.get(kind)
                 if ctrl is not None:
-                    emit(rows, lsn, None, ctrl)
+                    emit(rows, lsn, None, None, ctrl)
                     continue
                 xid = None
                 if in_stream and kind in (b"I", b"U", b"D", b"R", b"T"):
@@ -646,10 +679,10 @@ def decode_pgoutput_v2(
                         (xid,) = struct.unpack_from(">i", buf, 1)
                         buf = buf[:1] + buf[5:]
                     except struct.error:
-                        emit(rows, lsn, None, "_corrupt")
+                        emit(rows, lsn, None, None, "_corrupt")
                         continue
                 tag, new, old, unch = _parse_change(buf, _image, known)
-                emit(rows, lsn, xid, tag, new, old, unch)
+                emit(rows, lsn, xid, top, tag, new, old, unch)
             yield pd.DataFrame(rows, columns=cols)
 
     return tagged.mapInPandas(decode, schema=out_schema)
@@ -663,11 +696,39 @@ def apply_stream_transactions(decoded: DataFrame,
     their own lsn; within a transaction the original wire order is the
     tiebreak. Envelope lsn = 'APPLY/ORIGINAL' zero-padded hex, so plain
     string order is apply order and the v1 pipeline runs unchanged.
-    Verdicts are O(#transactions) -> broadcast join."""
-    joined = decoded.join(
-        F.broadcast(verdicts), decoded["xid"] == verdicts["v_xid"], "left"
+    Verdicts are O(#transactions) -> broadcast joins.
+
+    Verdict matching is two-tier, per protocol v2:
+      - StreamCommit names the TOP-LEVEL xid -> matched against
+        ``top_xid`` (the enclosing segment's StreamStart xid); a whole-
+        transaction StreamAbort (sub_xid == xid) simply never commits,
+        so its rows drop as in-flight.
+      - StreamAbort with sub_xid != xid aborts ONE SUBTRANSACTION: only
+        rows whose per-message ``xid`` equals that sub_xid (within the
+        named top-level transaction) are discarded — the rest of the
+        transaction still applies at its commit lsn. Matching the
+        top-level xid alone would wrongly apply the aborted
+        subtransaction's changes at commit.
+
+    Backward-compat: a decoded frame without ``top_xid`` (pre-v2-subtxn
+    callers) falls back to matching commits on ``xid``."""
+    top = "top_xid" if "top_xid" in decoded.columns else "xid"
+    commits = verdicts.filter(F.col("verdict") == "commit").select(
+        "v_xid", "commit_lsn")
+    sub_aborts = verdicts.filter(
+        (F.col("verdict") == "abort") & (F.col("sub_xid") != F.col("v_xid"))
+    ).select(F.col("v_xid").alias("__a_top"),
+             F.col("sub_xid").alias("__a_sub"))
+    pruned = decoded.join(
+        F.broadcast(sub_aborts),
+        (decoded[top] == F.col("__a_top"))
+        & (decoded["xid"] == F.col("__a_sub")),
+        "left_anti",
     )
-    keep = F.col("xid").isNull() | (F.col("verdict") == "commit")
+    joined = pruned.join(
+        F.broadcast(commits), pruned[top] == commits["v_xid"], "left"
+    )
+    keep = F.col(top).isNull() | F.col("commit_lsn").isNotNull()
     apply_lsn = F.coalesce(F.col("commit_lsn"), F.col("lsn"))
     cols = [
         F.format_string("%016X/%016X", apply_lsn, F.col("lsn")).alias("lsn"),

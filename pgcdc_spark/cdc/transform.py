@@ -60,6 +60,77 @@ def drop_pre_truncate(df: DataFrame) -> DataFrame:
     )
 
 
+def split_key_updates(df: DataFrame, keys: list[str]) -> DataFrame:
+    """REPLICA IDENTITY routing for key-changing UPDATEs.
+
+    When an UPDATE moves a row to a DIFFERENT key, Postgres ships the
+    old image (key-only under REPLICA IDENTITY DEFAULT, pgoutput old
+    kind 'K'; the full row under FULL, kind 'O' — both decoded into
+    ``old`` by cdc/pgoutput.py). Upserting only the new image leaves a
+    stale ghost row at the OLD key forever — the reference inherits
+    this too, since its mapper forwards Option(new) and ignores old on
+    updates (src/mapping/customMapper.ts:19-23). This transformer
+    splits such an update into two envelope rows:
+
+      DELETE(old key)  at lsn "<lsn>/0"
+      INSERT(new image) at lsn "<lsn>/1"
+
+    so the standard extract -> latest_state pipeline retires the old
+    key and lands the new one, in that order ('/' sorts below '0'-'9',
+    so both sub-rows sort between this lsn and the next). Updates whose
+    key did not change — or that carry no old image at all (REPLICA
+    IDENTITY NOTHING / unkeyed tables) — pass through untouched, as
+    does every non-update row. Pure map-side JVM work (when/array/
+    inline), no shuffle.
+
+    TOAST note: the insert sub-row keeps the ``unchanged`` marker
+    column (carry-forward still applies to the new image); the delete
+    sub-row nulls it (a delete has no new image to carry into).
+    """
+    extra = [c for c in df.columns if c not in ("lsn", "tag", "new", "old")]
+    old_key = F.struct(*[F.col(f"old.{k}") for k in keys])
+    new_key = F.struct(*[F.col(f"new.{k}") for k in keys])
+    is_split = (
+        (F.col("tag") == "update")
+        & F.col("old").isNotNull()
+        & F.col("new").isNotNull()
+        & ~old_key.eqNullSafe(new_key)
+    )
+    new_t = df.schema["new"].dataType
+    old_t = df.schema["old"].dataType
+
+    def env(lsn, tag, new, old, null_unchanged=False):
+        cols = [lsn.alias("lsn"), tag.alias("tag"),
+                new.alias("new"), old.alias("old")]
+        for c in extra:
+            v = F.col(c)
+            if c == "unchanged" and null_unchanged:
+                v = F.lit(None).cast(df.schema[c].dataType)
+            cols.append(v.alias(c))
+        return F.struct(*cols)
+
+    passthrough = env(F.col("lsn"), F.col("tag"), F.col("new"), F.col("old"))
+    rows = F.when(
+        is_split,
+        F.array(
+            env(
+                F.concat(F.col("lsn"), F.lit("/0")),
+                F.lit("delete"),
+                F.lit(None).cast(new_t),
+                F.col("old"),
+                null_unchanged=True,
+            ),
+            env(
+                F.concat(F.col("lsn"), F.lit("/1")),
+                F.lit("insert"),
+                F.col("new"),
+                F.lit(None).cast(old_t),
+            ),
+        ),
+    ).otherwise(F.array(passthrough))
+    return df.select(F.inline(rows))
+
+
 def extract_images(df: DataFrame) -> DataFrame:
     """R5 fixed: op column + the correct image per op (deletes preserved)."""
     op = (

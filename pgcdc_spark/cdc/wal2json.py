@@ -21,7 +21,8 @@ text becomes NULL, never an ANSI cast error aborting the batch — the
 same contract as the pgoutput decoder and the engine-wide fix for the
 reference's unchecked cast, src/mapping/customMapper.ts:22). Output is
 the standard envelope frame (lsn, tag, new, old) with lsn =
-zero-padded "<txn lsn>/<change ordinal>", so the unchanged
+"<hi>/<lo>/<change ordinal>" — the pg_lsn 'X/Y' hex halves each
+zero-padded to a fixed width — so the unchanged
 filter -> extract -> upsert pipeline gets a total order. No Python
 runs per row: at 100 TB this is whole-stage-codegen JSON work, the
 deliberate contrast to pgoutput's (necessarily) Arrow-batched binary
@@ -105,9 +106,26 @@ def parse_wal2json(
     is_del = F.col("_ch.kind") == "delete"
     has_new = F.col("_ch.columnnames").isNotNull()
     has_old = F.col("_ch.oldkeys").isNotNull()
+    # Real wal2json emits the PostgreSQL 'X/Y' HEXADECIMAL pg_lsn form
+    # (e.g. "0/16B3748"): lpad-ing the raw string and comparing
+    # lexicographically diverges from WAL order the moment the hex digit
+    # count changes (lpad('0/10') sorts BELOW lpad('0/9') though
+    # 0x10 > 0x9) — so each half is zero-padded SEPARATELY to a fixed
+    # width, which makes string order equal numeric order. A bare
+    # numeric lsn (no '/') is treated as the low half; hex digits are
+    # uppercased so 'a'-'f' renderings sort with 'A'-'F'. Both parses
+    # are order-preserving for plain decimal strings too (any shorter
+    # digit string is numerically smaller in base 16 as well).
+    has_slash = F.instr(F.col("_txn_lsn"), "/") > 0
+    lsn_hi = F.when(has_slash, F.substring_index(F.col("_txn_lsn"), "/", 1)
+                    ).otherwise(F.lit("0"))
+    lsn_lo = F.when(has_slash, F.substring_index(F.col("_txn_lsn"), "/", -1)
+                    ).otherwise(F.col("_txn_lsn"))
     return ch.select(
         F.concat(
-            F.lpad(F.col("_txn_lsn"), 16, "0"),
+            F.lpad(F.upper(lsn_hi), 16, "0"),
+            F.lit("/"),
+            F.lpad(F.upper(lsn_lo), 16, "0"),
             F.lit("/"),
             F.lpad(F.col("_idx").cast("string"), 8, "0"),
         ).alias("lsn"),

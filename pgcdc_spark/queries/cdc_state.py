@@ -1166,3 +1166,103 @@ def cdc_multitable_route_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("last_value"),
     )
     return ev_state.unionByName(ord_state).orderBy("tbl", "k")
+
+
+# --- REPLICA IDENTITY routing of key-changing UPDATEs -------------------------
+# An UPDATE that MOVES a row to a different key ships an old image
+# (key-only under REPLICA IDENTITY DEFAULT, pgoutput old kind 'K'; the
+# full row under FULL, kind 'O'). A consumer that upserts only the new
+# image leaves a stale ghost row at the old key forever — the reference
+# does exactly that (Option(new), old ignored on updates,
+# src/mapping/customMapper.ts:19-23). transform.split_key_updates routes
+# such an update as DELETE(old key) + INSERT(new image) at sub-ordinal
+# lsns. Fixture: events keyed by user_id; event_id%5==3 non-error events
+# become key migrations user_id -> user_id+100000 (DEFAULT and FULL
+# alternating by event_id%2, exercising both wire shapes), error events
+# are key-only deletes, the rest plain inserts/updates. The oracle
+# replays the SPLIT changelog (2 rows per migration at ordinals 2*eid
+# and 2*eid+1) with window LWW — so a green row proves the split, the
+# sub-ordinal ordering, and both old-image decodes end-to-end.
+
+_RI_ORACLE = """
+WITH log AS (
+  SELECT user_id AS k, value AS v, event_id * 2 + 1 AS ord,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'I' END AS op
+  FROM events
+  WHERE NOT (event_type <> 'error' AND event_id % 5 = 3)
+  UNION ALL
+  SELECT user_id AS k, NULL AS v, event_id * 2 AS ord, 'D' AS op
+  FROM events WHERE event_type <> 'error' AND event_id % 5 = 3
+  UNION ALL
+  SELECT user_id + 100000 AS k, value AS v, event_id * 2 + 1 AS ord, 'I' AS op
+  FROM events WHERE event_type <> 'error' AND event_id % 5 = 3
+)
+SELECT k AS user_id, v AS last_value
+FROM (
+  SELECT k, v, op, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
+  FROM log
+) WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
+@query("cdc_replica_identity_state", oracle=_RI_ORACLE,
+       tags=("cdc", "pgoutput", "replica-identity"))
+def cdc_replica_identity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import decode_pgoutput, encode_relation
+    from ..cdc.transform import apply_pipeline, split_key_updates
+
+    (events,) = load(spark, sf_dir, "events")
+
+    @pandas_udf("binary")
+    def enc(event_id: pd.Series, user_id: pd.Series, value: pd.Series,
+            etype: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_delete, encode_insert, encode_update)
+
+        out = []
+        for eid, uid, val, et in zip(event_id, user_id, value, etype):
+            eid, uid = int(eid), int(uid)
+            v = repr(float(val))
+            if et == "error":
+                # key-only delete (REPLICA IDENTITY DEFAULT)
+                out.append(encode_delete(1, [uid, None], old_kind=b"K"))
+            elif eid % 5 == 3:
+                # key migration: uid -> uid+100000, both identity modes
+                if eid % 2 == 0:   # DEFAULT: key-only old image
+                    out.append(encode_update(
+                        1, [uid + 100000, v],
+                        old_values=[uid, None], old_kind=b"K"))
+                else:              # FULL: full old image
+                    out.append(encode_update(
+                        1, [uid + 100000, v],
+                        old_values=[uid, v], old_kind=b"O"))
+            elif eid % 3 == 0:
+                out.append(encode_insert(1, [uid, v]))
+            else:
+                out.append(encode_update(1, [uid, v]))
+        return pd.Series(out)
+
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(1, "public", "events",
+                                       ["user_id", "value"])))],
+        "lsn long, payload binary",
+    )
+    msgs = rel.unionByName(
+        events.select(
+            (F.col("event_id") + 1).alias("lsn"),
+            enc("event_id", "user_id", "value", "event_type").alias("payload"),
+        )
+    )
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    env = split_key_updates(decode_pgoutput(msgs, row_schema), keys=["user_id"])
+    changes = apply_pipeline(env)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")

@@ -334,17 +334,25 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- EWMA (exponentially weighted moving average) -----------------------------
 # The standard streaming smoother (alpha = 0.5): ewma_i = a*x_i +
-# (1-a)*ewma_{i-1}. Inherently a sequential fold per series — but per
-# KEY, not per corpus: collect the series into an ordered array with a
-# sorted aggregate (one shuffle on user_id, like every other per-series
-# op here) and fold it with a higher-order AGGREGATE expression — JVM
-# codegen, no Python. Array size = one user's history, the same bound
-# LOCF's running frames already assume; at 100 TB series would be
-# windowed/bucketed by time first. Parity is exact: both engines fold
-# left-to-right with init = first element and the identical IEEE
-# expression 0.5*x + 0.5*acc (alpha 0.5 is a power of two, so the
-# weights are exact), rounded to 9 decimals per the transcendental-ulp
-# convention anyway.
+# (1-a)*ewma_{i-1}. Inherently a sequential fold per series — but the
+# fold is SEGMENTABLE: for a contiguous chunk y_1..y_m, the zero-init
+# partial p = fold(y, 0) and the carry c = 0.5^m satisfy
+# e_out = p + c * e_in, because the recurrence is affine in the
+# accumulator. So instead of collecting a key's FULL history into one
+# aggregation buffer (unbounded per-hot-key memory — the r8 verdict's
+# scale soft spot), the series is chunked by TIME BUCKET (chunk id =
+# ts div bucket_width — monotone in the sort order, so chunks partition
+# the sequence): level 1 folds each (key, chunk) — buffers bounded by
+# events-per-bucket; level 2 folds the O(#buckets) chunk summaries
+# (p, c, and the first chunk's first-element-init fold p0) in chunk
+# order. Two shuffles of bounded buffers instead of one unbounded one;
+# both levels are JVM higher-order aggregates, no Python. Multiplying
+# by c is exact (powers of two shift the exponent only), so the
+# segmented result differs from the sequential oracle fold by at most
+# addition-association ulps — absorbed by the engine-wide
+# round-to-9-decimals convention (same class as LN/POWER libm ulps).
+# tests/test_timeseries.py pins a 10^5-event hot key against a local
+# sequential fold.
 
 _EWMA_ORACLE = """
 SELECT user_id,
@@ -360,33 +368,69 @@ ORDER BY user_id
 """
 
 
-@query("events_ewma_smooth", oracle=_EWMA_ORACLE,
-       tags=("timeseries", "ewma", "fold"))
-def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = load(spark, sf_dir, "events")
-    ordered = (
+def ewma_segmented(events: DataFrame, key: str = "user_id",
+                   bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Segmented EWMA fold (alpha=0.5) per key, memory bounded by
+    events-per-bucket and #buckets instead of series length. Exposed as
+    an operator so tests can drive it with a synthetic hot key."""
+    chunks = (
         events.select(
-            "user_id",
+            key,
+            (F.expr("ts div 1000") / F.lit(bucket_us)).cast("long")
+            .alias("__chunk"),
             F.struct(
                 F.expr("ts div 1000").alias("ts_us"),
                 F.col("event_id"),
                 F.col("value"),
             ).alias("o"),
         )
-        .groupBy("user_id")
+        .groupBy(key, "__chunk")
         .agg(F.array_sort(F.collect_list("o")).alias("os"))
         .select(
-            "user_id", F.expr("transform(os, x -> x.value)").alias("vals")
+            key,
+            F.col("__chunk"),
+            F.expr("transform(os, x -> x.value)").alias("vals"),
+        )
+        .select(
+            key,
+            F.struct(
+                F.col("__chunk").alias("chunk"),
+                F.size("vals").cast("long").alias("m"),
+                # zero-init partial: e_out = p + c * e_in
+                F.expr(
+                    "aggregate(vals, CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> 0.5*x + 0.5*acc)"
+                ).alias("p"),
+                F.expr("power(0.5, size(vals))").alias("c"),
+                # first-element-init fold, used iff this is chunk #1
+                F.expr(
+                    "aggregate(slice(vals, 2, size(vals) - 1),"
+                    " element_at(vals, 1), (acc, x) -> 0.5*x + 0.5*acc)"
+                ).alias("p0"),
+            ).alias("ch"),
         )
     )
-    return ordered.select(
-        "user_id",
-        F.size("vals").cast("long").alias("n_obs"),
-        F.round(
-            F.expr(
-                "aggregate(slice(vals, 2, size(vals) - 1),"
-                " element_at(vals, 1), (acc, x) -> 0.5*x + 0.5*acc)"
-            ),
-            9,
-        ).alias("ewma"),
-    ).orderBy("user_id")
+    return (
+        chunks.groupBy(key)
+        .agg(F.array_sort(F.collect_list("ch")).alias("chs"))
+        .select(
+            key,
+            F.expr("aggregate(chs, CAST(0 AS BIGINT), (acc, x) -> acc + x.m)")
+            .cast("long").alias("n_obs"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(chs, 2, size(chs) - 1),"
+                    " element_at(chs, 1).p0,"
+                    " (acc, x) -> x.p + x.c * acc)"
+                ),
+                9,
+            ).alias("ewma"),
+        )
+    )
+
+
+@query("events_ewma_smooth", oracle=_EWMA_ORACLE,
+       tags=("timeseries", "ewma", "fold"))
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return ewma_segmented(events).orderBy("user_id")

@@ -1003,3 +1003,157 @@ def test_wal2json_unchanged_toast_carry(spark):
              toast_state(changes, ["id"], ["lsn"], ["v"]).collect()}
     assert state[1] == 1.5      # omitted column -> carried
     assert state[2] is None     # present-null -> really NULL
+
+
+# --- round-9 hardening: hex LSNs, streamed 'R' discovery, sub-txn abort -------
+
+def test_wal2json_hex_lsn_wal_order(spark):
+    """Real wal2json emits PostgreSQL 'X/Y' HEX pg_lsn strings. When the
+    hex digit count changes (0/9 -> 0/10, 0/FF -> 0/100) a raw
+    lexicographic compare inverts WAL order; the adapter must zero-pad
+    each half separately so string order == numeric order and LWW
+    resolves to the LATER transaction."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pgcdc_spark.cdc.wal2json import parse_wal2json
+
+    def doc(lsn, v):
+        return json.dumps({"lsn": lsn, "change": [
+            {"kind": "update", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columnvalues": ["1", str(v)]}]})
+
+    # wire order: 0/9 (older) then 0/10 (=0x10, newer), lowercase 0/ff
+    # then 0/100 — both flips break a raw-lexicographic lsn
+    docs = [doc("0/9", 9), doc("0/10", 16), doc("0/ff", 255), doc("0/100", 256)]
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    raw = spark.createDataFrame([(d,) for d in docs], "value string")
+    env = parse_wal2json(raw, schema)
+    lsns = {r["v"]: r["lsn"] for r in apply_pipeline(env).collect()}
+    assert lsns[9] < lsns[16] < lsns[255] < lsns[256]
+    state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
+    assert state.collect()[0]["v"] == 256  # the true latest transaction
+
+
+def test_pgoutput_v2_streamed_relation_discovery(spark):
+    """A table whose ONLY Relation message arrives inside a streamed
+    segment (xid-prefixed 'R'): auto-discovery must strip the xid before
+    decoding, or the relations map is poisoned (xid bytes read as relid)
+    and every row of that table decodes with null images."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2, encode_insert,
+        encode_relation, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, stream_verdicts, stream_wrap)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    msgs = [
+        (10, encode_stream_start(7)),
+        (11, stream_wrap(7, encode_relation(1, "public", "t", ["id", "v"]))),
+        (12, stream_wrap(7, encode_insert(1, [1, 42]))),
+        (13, encode_stream_stop()),
+        (20, encode_stream_commit(7, 19, 20, 0)),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = decode_pgoutput_v2(df, schema, bin_width=16)
+    env = apply_stream_transactions(decoded, stream_verdicts(df))
+    state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
+    rows = state.collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 42)]
+
+
+def test_pgoutput_v2_subtransaction_abort(spark):
+    """StreamAbort(xid, sub_xid) with sub_xid != xid aborts ONE
+    subtransaction: its changes (wrapped with the sub_xid) are dropped,
+    the rest of the transaction still applies at StreamCommit. A
+    verdict join by top-level xid alone would wrongly apply them."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2, encode_insert,
+        encode_relation, encode_stream_abort, encode_stream_commit,
+        encode_stream_start, encode_stream_stop, stream_verdicts,
+        stream_wrap)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "v"])),
+        (10, encode_stream_start(7)),
+        (11, stream_wrap(7, encode_insert(1, [1, 100]))),   # top-level xid
+        (12, stream_wrap(70, encode_insert(1, [2, 200]))),  # subxid 70
+        (13, stream_wrap(7, encode_insert(1, [3, 300]))),   # top-level again
+        (14, encode_stream_stop()),
+        (20, encode_stream_abort(7, 70)),                   # ONLY subxid 70
+        (30, encode_stream_commit(7, 29, 30, 0)),           # txn 7 commits
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = decode_pgoutput_v2(df, schema, bin_width=16)
+    env = apply_stream_transactions(decoded, stream_verdicts(df))
+    state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
+    got = sorted((r["id"], r["v"]) for r in state.collect())
+    # id=2 (subxid 70) aborted; 1 and 3 commit with the transaction
+    assert got == [(1, 100), (3, 300)]
+
+
+def test_replica_identity_key_change_routing(spark):
+    """Key-changing UPDATEs under both REPLICA IDENTITY modes route as
+    DELETE(old key) + INSERT(new key) through split_key_updates; a
+    same-key update and an old-image-less update pass through. Without
+    the split, the old key would survive as a stale ghost row."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_insert, encode_relation, encode_update)
+    from pgcdc_spark.cdc.transform import apply_pipeline, split_key_updates
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "v"])),
+        (1, encode_insert(1, [1, 10])),
+        (2, encode_insert(1, [2, 20])),
+        # RI DEFAULT: key-only old image ('K', non-key columns null)
+        (3, encode_update(1, [11, 10], old_values=[1, None], old_kind=b"K")),
+        # RI FULL: full old image ('O'), key 2 -> 22
+        (4, encode_update(1, [22, 99], old_values=[2, 20], old_kind=b"O")),
+        # same-key update with old image: passes through, no split
+        (5, encode_update(1, [11, 15], old_values=[11, 10], old_kind=b"K")),
+        # no old image (key unchanged by definition): passes through
+        (6, encode_update(1, [22, 77])),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    env = split_key_updates(decode_pgoutput(df, schema), keys=["id"])
+    state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
+    got = sorted((r["id"], r["v"]) for r in state.collect())
+    # keys 1 and 2 retired by the splits; 11 then updated in place to 15,
+    # 22 updated in place to 77
+    assert got == [(11, 15), (22, 77)]
+
+    # hand-written literal pins the 'K' old-image byte layout (encoder
+    # and decoder cannot drift together): U relid=1, K old=(id=1,null),
+    # N new=(id=11,v=10)
+    literal = (
+        b"U" + b"\x00\x00\x00\x01"
+        + b"K" + b"\x00\x02" + b"t" + b"\x00\x00\x00\x01" + b"1" + b"n"
+        + b"N" + b"\x00\x02" + b"t" + b"\x00\x00\x00\x02" + b"11"
+        + b"t" + b"\x00\x00\x00\x02" + b"10"
+    )
+    assert literal == encode_update(1, [11, 10], old_values=[1, None],
+                                    old_kind=b"K")

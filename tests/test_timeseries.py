@@ -131,3 +131,28 @@ def test_ohlc_single_trade_and_order(spark):
     assert (b12["open"], b12["high"], b12["low"], b12["close"], b12["n_trades"]) == (
         4.0, 4.0, 4.0, 4.0, 1,
     )
+
+
+def test_ewma_segmented_hot_key_bounded(spark):
+    """The segmented EWMA fold (r9: replaces the whole-series
+    collect_list, whose per-hot-key buffer was unbounded) must match a
+    local sequential fold on a 10^5-event hot key spread over many time
+    buckets — with per-chunk buffers of ~bucket size, not series size."""
+    import math
+
+    from pgcdc_spark.queries.timeseries import ewma_segmented
+
+    n = 100_000
+    # one hot user; ts advances 1s per event -> ~28 hourly buckets... use
+    # 10s steps for ~278 buckets so chunks hold ~360 events each
+    rows = [(i, 1, (1_000_000_000 + i * 10) * 1_000_000_000,
+             "purchase", float((i * 37) % 101) / 7.0) for i in range(n)]
+    df = _series(spark, rows).repartition(16)
+    out = ewma_segmented(df).collect()
+    assert len(out) == 1 and out[0]["n_obs"] == n
+
+    vals = [r[4] for r in rows]  # already in (ts, event_id) order
+    e = vals[0]
+    for x in vals[1:]:
+        e = 0.5 * x + 0.5 * e
+    assert math.isclose(out[0]["ewma"], round(e, 9), rel_tol=0, abs_tol=2e-9)

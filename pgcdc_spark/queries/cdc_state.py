@@ -540,16 +540,21 @@ def cdc_time_travel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..streaming.statestore import BucketedStateStore
-    from .ivm_views import _events_changelog, _scratch_dir
+    from .ivm_views import _events_changelog, _maintained_dir
 
-    log = _events_changelog(spark, sf_dir)
-    state_dir = _scratch_dir("pgcdc-timetravel-")
+    def build(state_dir: str) -> None:
+        store = BucketedStateStore(
+            os.path.join(state_dir, "state"), n_buckets=8)
+        log = _events_changelog(spark, sf_dir)
+        for b in range(3):
+            store.merge(
+                log.filter(F.col("batch") == b).drop("batch"),
+                keys=["user_id"], order_by=["ts_us", "event_id"],
+                label=str(b),
+            )
+
+    state_dir = _maintained_dir("timetravel", sf_dir, ("events",), build)
     store = BucketedStateStore(os.path.join(state_dir, "state"), n_buckets=8)
-    for b in range(3):
-        store.merge(
-            log.filter(F.col("batch") == b).drop("batch"),
-            keys=["user_id"], order_by=["ts_us", "event_id"], label=str(b),
-        )
     asof = store.read_asof(spark, "1")  # batch 2 is committed but unseen
     return asof.filter(F.col("op") != "D").select(
         "user_id",
@@ -1260,7 +1265,14 @@ def cdc_replica_identity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_schema = StructType(
         [StructField("user_id", LongType()), StructField("value", DoubleType())]
     )
-    env = split_key_updates(decode_pgoutput(msgs, row_schema), keys=["user_id"])
+    # relations passed explicitly (the fixture defines them): the bounded
+    # 'R'-discovery collect is cdc_pgoutput_state's driver-gated claim,
+    # and skipping it keeps this build job-free (test_plans discipline)
+    env = split_key_updates(
+        decode_pgoutput(msgs, row_schema,
+                        relations={1: ["user_id", "value"]}),
+        keys=["user_id"],
+    )
     changes = apply_pipeline(env)
     state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
     return state.select(

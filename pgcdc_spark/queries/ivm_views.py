@@ -47,6 +47,70 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
+_IVM_CACHE_FORMAT = "v1"  # bump to invalidate cached maintained states
+
+
+def _tables_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Content fingerprint (paths + sizes + mtimes) of the fixture's
+    source tables — the cache key, so a regenerated corpus at the same
+    path rebuilds instead of serving stale state (same discipline as the
+    ANN index cache, queries/llm_extra._corpus_fingerprint)."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        paths = [p] if os.path.isfile(p) else [
+            os.path.join(base, f)
+            for base, _dirs, files in os.walk(p) for f in files
+        ]
+        for f in sorted(paths):
+            st = os.stat(f)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def _maintained_dir(kind: str, sf_dir: str, tables: tuple[str, ...],
+                    build) -> str:
+    """Session-transcending cache of a twin's MAINTAINED state, keyed on
+    the source-table fingerprint: the 3-batch maintenance is
+    deterministic, so its end state is a build-once artifact exactly
+    like the ANN index — query builds on a warm cache plan lazily over
+    the published state (the job-free-build discipline,
+    tests/test_plans.py::test_no_collect_in_query_surface). The build
+    runs in a scratch sibling and publishes by ATOMIC RENAME (manifests
+    are root-relative, so the state is relocatable); a concurrent
+    builder losing the rename race just discards its scratch copy.
+
+    ``PGCDC_IVM_CACHE=0`` disables the cache (fresh scratch dir per
+    invocation) — bench.py sets it so the benched IVM entries keep
+    timing the MAINTENANCE path, the number the cross-round series
+    tracks, not the cached read-back."""
+    if os.environ.get("PGCDC_IVM_CACHE", "1") == "0":
+        d = _scratch_dir(f"pgcdc-ivm-{kind}-")
+        build(d)
+        return d
+    parent = os.path.join(
+        tempfile.gettempdir(), f"pgcdc_spark_ivm_{_IVM_CACHE_FORMAT}")
+    root = os.path.join(
+        parent, f"{kind}-{_tables_fingerprint(sf_dir, tables)}")
+    if os.path.isdir(root):
+        return root
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{kind}-build-", dir=parent)
+    try:
+        build(tmp)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            # lost the publish race: the winner's state is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return root
+
+
 def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a 3-batch CDC changelog: key user_id, LSN (ts_us,
     event_id), op D for 'error' rows, batch = event_id % 3 — so a user's
@@ -87,17 +151,21 @@ def ivm_agg_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.statestore import BucketedStateStore
 
     view = AggView("by_type", group_cols=["event_type"], sum_col="value")
-    state_dir = _scratch_dir("pgcdc-ivm-agg-")
-    store = BucketedStateStore(os.path.join(state_dir, "state"),
-                               n_buckets=_N_BUCKETS)
-    delta_root = os.path.join(state_dir, f"view_{view.name}")
-    log = _events_changelog(spark, sf_dir)
-    for b in range(3):
-        apply_agg_view_batch(
-            store, view, delta_root,
-            log.filter(F.col("batch") == b).drop("batch"),
-            label=str(b), keys=["user_id"], order_by=["ts_us", "event_id"],
-        )
+
+    def build(state_dir: str) -> None:
+        store = BucketedStateStore(os.path.join(state_dir, "state"),
+                                   n_buckets=_N_BUCKETS)
+        delta_root = os.path.join(state_dir, f"view_{view.name}")
+        log = _events_changelog(spark, sf_dir)
+        for b in range(3):
+            apply_agg_view_batch(
+                store, view, delta_root,
+                log.filter(F.col("batch") == b).drop("batch"),
+                label=str(b), keys=["user_id"],
+                order_by=["ts_us", "event_id"],
+            )
+
+    state_dir = _maintained_dir("agg", sf_dir, ("events",), build)
     return read_agg_view(spark, state_dir, view)
 
 
@@ -123,15 +191,20 @@ def ivm_minmax_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = MinMaxView("mn", group_cols=["event_type"], val_col="value",
                       key_cols=["user_id"], agg="min", k=4)
-    state_dir = _scratch_dir("pgcdc-ivm-minmax-")
-    m = MinMaxViewMaintainer(state_dir, view, keys=["user_id"],
-                             order_by=["ts_us", "event_id"],
-                             n_buckets=_N_BUCKETS)
-    log = _events_changelog(spark, sf_dir)
-    for b in range(3):
-        m.apply_batch(log.filter(F.col("batch") == b).drop("batch"),
-                      label=str(b))
-    out = m.read_view(spark)
+
+    def build(state_dir: str) -> None:
+        m = MinMaxViewMaintainer(state_dir, view, keys=["user_id"],
+                                 order_by=["ts_us", "event_id"],
+                                 n_buckets=_N_BUCKETS)
+        log = _events_changelog(spark, sf_dir)
+        for b in range(3):
+            m.apply_batch(log.filter(F.col("batch") == b).drop("batch"),
+                          label=str(b))
+
+    state_dir = _maintained_dir("minmax", sf_dir, ("events",), build)
+    out = MinMaxViewMaintainer(state_dir, view, keys=["user_id"],
+                               order_by=["ts_us", "event_id"],
+                               n_buckets=_N_BUCKETS).read_view(spark)
     return out.select("event_type", F.col("min_value"))
 
 
@@ -228,16 +301,21 @@ def ivm_join_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = JoinView("ord_cust", on=["j"], left_cols=["id", "j", "a_val"],
                     right_cols=["j", "b_val"])
-    state_dir = _scratch_dir("pgcdc-ivm-join-")
-    m = JoinViewMaintainer(state_dir, view, left_keys=["id"],
-                           right_keys=["rid"], n_buckets=_N_BUCKETS)
-    for b in range(3):
-        m.apply_batch(
-            left_log.filter(F.col("batch") == b).drop("batch"),
-            right_log.filter(F.col("batch") == b).drop("batch"),
-            label=str(b),
-        )
-    return m.read_view(spark)
+
+    def build(state_dir: str) -> None:
+        m = JoinViewMaintainer(state_dir, view, left_keys=["id"],
+                               right_keys=["rid"], n_buckets=_N_BUCKETS)
+        for b in range(3):
+            m.apply_batch(
+                left_log.filter(F.col("batch") == b).drop("batch"),
+                right_log.filter(F.col("batch") == b).drop("batch"),
+                label=str(b),
+            )
+
+    state_dir = _maintained_dir("join", sf_dir, ("orders", "customer"), build)
+    return JoinViewMaintainer(state_dir, view, left_keys=["id"],
+                              right_keys=["rid"],
+                              n_buckets=_N_BUCKETS).read_view(spark)
 
 
 _DISTINCT_VIEW_ORACLE = """
@@ -269,19 +347,23 @@ def ivm_distinct_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = DistinctView("cohorts", group_cols=["event_type"],
                         distinct_col="cohort")
-    state_dir = _scratch_dir("pgcdc-ivm-distinct-")
-    store = BucketedStateStore(os.path.join(state_dir, "state"),
-                               n_buckets=_N_BUCKETS)
-    delta_root = os.path.join(state_dir, f"view_{view.name}")
-    log = _events_changelog(spark, sf_dir).withColumn(
-        "cohort", F.col("user_id") % 25
-    )
-    for b in range(3):
-        apply_distinct_view_batch(
-            store, view, delta_root,
-            log.filter(F.col("batch") == b).drop("batch"),
-            label=str(b), keys=["user_id"], order_by=["ts_us", "event_id"],
+
+    def build(state_dir: str) -> None:
+        store = BucketedStateStore(os.path.join(state_dir, "state"),
+                                   n_buckets=_N_BUCKETS)
+        delta_root = os.path.join(state_dir, f"view_{view.name}")
+        log = _events_changelog(spark, sf_dir).withColumn(
+            "cohort", F.col("user_id") % 25
         )
+        for b in range(3):
+            apply_distinct_view_batch(
+                store, view, delta_root,
+                log.filter(F.col("batch") == b).drop("batch"),
+                label=str(b), keys=["user_id"],
+                order_by=["ts_us", "event_id"],
+            )
+
+    state_dir = _maintained_dir("distinct", sf_dir, ("events",), build)
     return read_distinct_view(spark, state_dir, view)
 
 
@@ -313,15 +395,20 @@ def ivm_topk_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     view = TopKView("t3", group_cols=["event_type"], val_col="value",
                     key_cols=["user_id"], agg="max", k_out=3, slack=4)
-    state_dir = _scratch_dir("pgcdc-ivm-topk-")
-    m = TopKViewMaintainer(state_dir, view, keys=["user_id"],
-                           order_by=["ts_us", "event_id"],
-                           n_buckets=_N_BUCKETS)
-    log = _events_changelog(spark, sf_dir)
-    for b in range(3):
-        m.apply_batch(log.filter(F.col("batch") == b).drop("batch"),
-                      label=str(b))
-    return m.read_view(spark)
+
+    def build(state_dir: str) -> None:
+        m = TopKViewMaintainer(state_dir, view, keys=["user_id"],
+                               order_by=["ts_us", "event_id"],
+                               n_buckets=_N_BUCKETS)
+        log = _events_changelog(spark, sf_dir)
+        for b in range(3):
+            m.apply_batch(log.filter(F.col("batch") == b).drop("batch"),
+                          label=str(b))
+
+    state_dir = _maintained_dir("topk", sf_dir, ("events",), build)
+    return TopKViewMaintainer(state_dir, view, keys=["user_id"],
+                              order_by=["ts_us", "event_id"],
+                              n_buckets=_N_BUCKETS).read_view(spark)
 
 
 # Documents as a 3-batch changelog — batches 0/1 insert (doc_id % 2),
@@ -403,16 +490,19 @@ def ivm_term_df_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _docs_changelog(spark, sf_dir)
     view = TermDFView("df")
-    state_dir = _scratch_dir("pgcdc-ivm-termdf-")
-    store = BucketedStateStore(os.path.join(state_dir, "state"),
-                               n_buckets=_N_BUCKETS)
-    delta_root = os.path.join(state_dir, f"view_{view.name}")
-    for b in range(3):
-        apply_agg_view_batch(
-            store, view, delta_root,
-            ev.filter(F.col("batch") == b).drop("batch"),
-            label=str(b), keys=["doc_id"], order_by=["lsn"],
-        )
+
+    def build(state_dir: str) -> None:
+        store = BucketedStateStore(os.path.join(state_dir, "state"),
+                                   n_buckets=_N_BUCKETS)
+        delta_root = os.path.join(state_dir, f"view_{view.name}")
+        for b in range(3):
+            apply_agg_view_batch(
+                store, view, delta_root,
+                ev.filter(F.col("batch") == b).drop("batch"),
+                label=str(b), keys=["doc_id"], order_by=["lsn"],
+            )
+
+    state_dir = _maintained_dir("termdf", sf_dir, ("documents",), build)
     return read_term_df_view(spark, state_dir, view)
 
 
@@ -488,17 +578,19 @@ def ivm_bm25_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _docs_changelog(spark, sf_dir)
     view = PostingsView("post")
-    state_dir = _scratch_dir("pgcdc-ivm-bm25-")
-    store = BucketedStateStore(os.path.join(state_dir, "state"),
-                               n_buckets=_N_BUCKETS)
-    delta_root = os.path.join(state_dir, f"view_{view.name}")
-    for b in range(3):
-        apply_agg_view_batch(
-            store, view, delta_root,
-            ev.filter(F.col("batch") == b).drop("batch"),
-            label=str(b), keys=["doc_id"], order_by=["lsn"],
-        )
 
+    def build(state_dir: str) -> None:
+        store = BucketedStateStore(os.path.join(state_dir, "state"),
+                                   n_buckets=_N_BUCKETS)
+        delta_root = os.path.join(state_dir, f"view_{view.name}")
+        for b in range(3):
+            apply_agg_view_batch(
+                store, view, delta_root,
+                ev.filter(F.col("batch") == b).drop("batch"),
+                label=str(b), keys=["doc_id"], order_by=["lsn"],
+            )
+
+    state_dir = _maintained_dir("bm25post", sf_dir, ("documents",), build)
     post = read_postings_view(spark, state_dir, view)
     dl = post.filter(F.col("term") == view.dl_term).select(
         "doc_id", F.col("tf").cast("double").alias("dl")
@@ -583,20 +675,24 @@ def ivm_histogram_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.statestore import BucketedStateStore
 
     view = AggView("hist", group_cols=["event_type", "bucket"], sum_col="value")
-    state_dir = _scratch_dir("pgcdc-ivm-hist-")
-    store = BucketedStateStore(os.path.join(state_dir, "state"),
-                               n_buckets=_N_BUCKETS)
-    delta_root = os.path.join(state_dir, f"view_{view.name}")
-    log = _events_changelog(spark, sf_dir).withColumn(
-        "bucket",
-        F.width_bucket(
-            "value", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_NB)
-        ),
-    )
-    for b in range(3):
-        apply_agg_view_batch(
-            store, view, delta_root,
-            log.filter(F.col("batch") == b).drop("batch"),
-            label=str(b), keys=["user_id"], order_by=["ts_us", "event_id"],
+
+    def build(state_dir: str) -> None:
+        store = BucketedStateStore(os.path.join(state_dir, "state"),
+                                   n_buckets=_N_BUCKETS)
+        delta_root = os.path.join(state_dir, f"view_{view.name}")
+        log = _events_changelog(spark, sf_dir).withColumn(
+            "bucket",
+            F.width_bucket(
+                "value", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_NB)
+            ),
         )
+        for b in range(3):
+            apply_agg_view_batch(
+                store, view, delta_root,
+                log.filter(F.col("batch") == b).drop("batch"),
+                label=str(b), keys=["user_id"],
+                order_by=["ts_us", "event_id"],
+            )
+
+    state_dir = _maintained_dir("hist", sf_dir, ("events",), build)
     return read_agg_view(spark, state_dir, view)

@@ -44,6 +44,30 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def decode_and_fold(batch_df: DataFrame, row_schema: StructType):
+    """ONE decode pass per micro-batch, shared by every maintainer.
+
+    Parses + pipelines the envelope text ONCE and persists both the
+    per-row frame and the per-key fold; each maintainer then reads the
+    cached frames (InMemoryTableScan), never re-scanning the batch or
+    re-running from_json N times. Plan-pinned by
+    tests/test_plans.py::test_ingest_decode_shared_across_maintainers —
+    removing either persist() regresses the composed stream to
+    one-decode-per-maintainer, exactly the N-pass shape the pin exists
+    to forbid. Caller unpersists both (see merge's finally)."""
+    from ..cdc.envelope import parse_envelope
+    from ..cdc.transform import apply_pipeline
+    from ..cdc.upsert import latest_state
+
+    rows = apply_pipeline(
+        parse_envelope(batch_df, "value", row_schema)
+    ).persist()
+    folded = latest_state(
+        rows, keys=["doc_id"], order_by=["lsn"], keep_deletes=True
+    ).persist()
+    return rows, folded
+
+
 def start_training_ingest_stream(
     spark: SparkSession,
     source_dir: str,
@@ -80,9 +104,6 @@ def start_training_ingest_stream(
     rescan."""
     import os
 
-    from ..cdc.envelope import parse_envelope
-    from ..cdc.transform import apply_pipeline
-    from ..cdc.upsert import latest_state
     from ..operators.annindex import AnnIndex
     from .annstream import apply_ann_batch
     from .dedup import merge_dedup_batch
@@ -111,12 +132,7 @@ def start_training_ingest_stream(
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        rows = apply_pipeline(
-            parse_envelope(batch_df, "value", row_schema)
-        ).persist()
-        folded = latest_state(
-            rows, keys=["doc_id"], order_by=["lsn"], keep_deletes=True
-        ).persist()
+        rows, folded = decode_and_fold(batch_df, row_schema)
         try:
             if not folded.head(1):
                 return

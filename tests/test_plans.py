@@ -85,67 +85,63 @@ def test_no_collect_in_query_surface(spark):
 
     (fan_out's getNumPartitions inspects the plan without running a job —
     this test is also the proof of that.)"""
-    # Declared-iterative operators are the one sanctioned exception: a
-    # fixpoint loop (connected components) must run jobs while it builds —
-    # per-iteration localCheckpoints and scalar convergence counts. That is
-    # distributed iteration (the GraphX/Pregel execution model), not a
-    # driver-side data loop; only SCALARS ever reach the driver.
-    # cdc_evolving_state's schema DISCOVERY is the other sanctioned one:
-    # it collects the distinct image column-name set (O(columns) metadata,
-    # not data — cdc/evolution.py) before the checked parse can be planned.
-    iterative = {"dedup_cc_clusters", "cdc_evolving_state",
-                 "cdc_widening_state",  # same sanctioned schema discovery
-                 "dedup_keep_best",  # composes the iterative CC operator
-                 "training_mix_pipeline",  # composes dedup_keep_best (CC)
-                 "graph_bfs_hops",   # declared-iterative BFS frontier loop
-                 "graph_pagerank",   # same bounded n=count() scalar as BFS
-                 "graph_triangle_count",  # same bounded n=count() scalar
-                 # build-once/probe-many index queries: on a cold cache the
-                 # builder runs the DECLARED one-time O(corpus) index-build
-                 # job (operators/annindex.py — the artifact's whole point);
-                 # the probe's cell-list collect is O(|queries| * nprobe)
-                 # driver METADATA (the FAISS invlist lookup), same class as
-                 # the BFS/CC scalar exceptions. Only ids reach the driver.
-                 "emb_ann_index_probe",
-                 "emb_ann_index_incremental",
-                 "emb_ann_index_compacted",
-                 "emb_ann_index_stats",  # same cold-cache build + cellmap read
-                 "emb_ann_index_idmap_stats",  # same cold-cache build
-                 "emb_ann_index_filtered_probe",  # same cold-cache build
-                 "emb_ann_index_filtered_incremental",  # same, incr chain
-                 "emb_ann_index_asof_probe",  # same cold-cache build
-                 # binaryFile ingestion: on a cold cache the builder runs
-                 # the DECLARED one-time fixture materialization (executor-
-                 # side file writes, queries/multimodal._mm_fixture_dir) —
-                 # the test-env stand-in for the object store the real
-                 # on-ramp lists; the query itself then plans lazily over
-                 # the files. No data rows ever reach the driver.
-                 "mm_binary_ingest",
-                 # IVM batch twins: applying the 3-batch CDC fixture through
-                 # the stream maintainer IS the declared maintenance work
-                 # (state-transition writes to a temp store); the returned
-                 # DataFrame then reads that state lazily. Maintenance jobs
-                 # during build are the operator's contract, not a leak.
-                 "ivm_agg_view_state", "ivm_minmax_view_state",
-                 "ivm_join_view_state", "ivm_distinct_view_state",
-                 "ivm_topk_view_state", "ivm_term_df_state",
-                 "ivm_bm25_topk_state", "ivm_histogram_view_state",
-                 # same class: the 3-batch merge into the temp store IS
-                 # the declared maintenance work; read_asof then reads a
-                 # retained manifest lazily
-                 "cdc_time_travel_state",
-                 # relation discovery: one bounded collect of the 'R'
-                 # metadata messages (O(#tables), decoded driver-side) —
-                 # the WAL-decode twin of evolution's schema discovery
-                 "cdc_pgoutput_state",
-                 # same bounded 'R' discovery; multi-stage only because
-                 # the v2 FIXTURE's control messages derive from a groupBy
-                 # (per-txn segment frames), so the metadata collect's
-                 # lineage includes that shuffle. Still O(#tables) rows to
-                 # the driver.
-                 "cdc_pgoutput_stream_state"}
+    # EXCEPTION DISCIPLINE (r8 verdict item 6): every entry MUST name the
+    # O(.) class of what its build jobs ship to the driver — an entry
+    # without a bounded driver-payload argument does not belong here.
+    # Two sanctioned classes remain after the r9 shrink (artifact-cached
+    # builders — ANN stats, binaryFile fixture, all IVM twins, time
+    # travel — now plan lazily on a warm cache and are PREWARMED below
+    # instead of excepted):
+    #   fixpoint   — declared-iterative operators (the GraphX/Pregel
+    #                execution model): per-iteration jobs, only SCALAR
+    #                convergence counts reach the driver;
+    #   metadata   — one bounded collect of schema/cell/relation METADATA
+    #                that must exist before the plan can be built.
+    iterative = {
+        "dedup_cc_clusters": "fixpoint: O(1) scalar count per CC round",
+        "dedup_keep_best": "fixpoint: composes CC, same scalar counts",
+        "training_mix_pipeline": "fixpoint: composes dedup_keep_best (CC)",
+        "graph_bfs_hops": "fixpoint: O(1) frontier-size scalar per hop",
+        "graph_pagerank": "fixpoint: O(1) n=count() scalar",
+        "graph_triangle_count": "metadata: O(1) n=count() scalar",
+        "cdc_evolving_state":
+            "metadata: O(columns) image-column-name discovery",
+        "cdc_widening_state": "metadata: same O(columns) schema discovery",
+        # probe-serving queries: the cell-list collect is O(|queries| *
+        # nprobe) ids — the FAISS invlist lookup — plus, on a cold corpus
+        # cache, the DECLARED one-time O(corpus) index build
+        "emb_ann_index_probe": "metadata: O(q*nprobe) cell ids",
+        "emb_ann_index_incremental": "metadata: O(q*nprobe) cell ids",
+        "emb_ann_index_compacted": "metadata: O(q*nprobe) cell ids",
+        "emb_ann_index_filtered_probe": "metadata: O(q*nprobe) cell ids",
+        "emb_ann_index_filtered_incremental":
+            "metadata: O(q*nprobe) cell ids",
+        "emb_ann_index_asof_probe":
+            "metadata: O(q*nprobe) cell ids + O(versions) manifest",
+        "cdc_pgoutput_state":
+            "metadata: O(#tables) 'R' relation-message discovery",
+        "cdc_pgoutput_stream_state":
+            "metadata: same O(#tables) 'R' discovery (multi-stage only "
+            "because the FIXTURE's control rows derive from a groupBy)",
+    }
+    # Artifact-cached builders: their one-time build (ANN index / mm
+    # fixture / IVM maintained state) is the artifact's contract, not a
+    # query-build leak — prewarm the caches, then hold the queries to the
+    # SAME job-free standard as everything else (warm = serving path =
+    # the 100 TB posture, where the artifact already exists).
+    prewarm = [
+        "emb_ann_index_stats", "emb_ann_index_idmap_stats",
+        "mm_binary_ingest",
+        "ivm_agg_view_state", "ivm_minmax_view_state",
+        "ivm_join_view_state", "ivm_distinct_view_state",
+        "ivm_topk_view_state", "ivm_term_df_state",
+        "ivm_bm25_topk_state", "ivm_histogram_view_state",
+        "cdc_time_travel_state",
+    ]
 
     qs = all_queries()
+    for name in prewarm:
+        qs[name].fn(spark, SF_DIR).schema  # cold build fills the cache
     tracker = spark.sparkContext.statusTracker()
 
     def jobs_above(jid: int) -> list[int]:
@@ -531,3 +527,56 @@ def test_basket_pairs_co_partitioned_on_order(spark):
     bnlj = plan.count("BroadcastNestedLoopJoin")
     assert bnlj <= 1
     assert "l_orderkey" in plan.split("ReadSchema")[0]
+
+
+def test_ingest_decode_shared_across_maintainers(spark):
+    """The composed training-ingest stream decodes each micro-batch ONCE
+    (ingest.decode_and_fold persists both the row frame and the fold) and
+    every maintainer reads the cache: downstream plans must leaf at
+    InMemoryTableScan with zero re-parsing (no JsonToStructs) and zero
+    re-scans of the batch source. Removing either persist() makes the
+    composed stream re-decode the batch once PER maintainer — the N-pass
+    regression this pin forbids."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType)
+
+    from pgcdc_spark.streaming.ingest import decode_and_fold
+
+    row_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    lines = [
+        json.dumps({"lsn": f"{i:012d}", "tag": "insert",
+                    "new": {"doc_id": i, "text": f"doc {i}",
+                            "embedding": [0.1 * i, 0.2]}})
+        for i in range(8)
+    ]
+    batch = spark.createDataFrame([(l,) for l in lines], "value string")
+    rows, folded = decode_and_fold(batch, row_schema)
+    try:
+        folded.count()  # materialize the shared cache once
+        # the four maintainer feeds, as merge() derives them
+        feeds = [
+            rows.filter(F.col("op") == "I").select("doc_id").distinct(),
+            folded.filter(F.col("op") != "D").select("doc_id", "text"),
+            folded.filter(F.col("op") == "D").select("doc_id"),
+            folded.select("lsn", "op", "doc_id",
+                          F.length("text").alias("doclen")),
+        ]
+        for f in feeds:
+            plan = f._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, "maintainer lost the cache"
+            # the cached relation PRINTS its build plan (from_json et al.)
+            # under InMemoryRelation; the execution path ABOVE the cache
+            # leaf must not re-decode
+            exec_path = plan.split("InMemoryRelation")[0]
+            assert "JsonToStructs" not in exec_path, "re-decode per maintainer"
+            assert "from_json" not in exec_path
+    finally:
+        folded.unpersist()
+        rows.unpersist()

@@ -64,65 +64,70 @@ _MODULES = (
 # run samples the first 50 queries in iteration order.  DISCIPLINE (r7
 # verdict): rotating this list is part of ADDING any registry query —
 # every name that has never earned a driver-side green CORRECTNESS row
-# goes first, composition-verifying queries in front.  Rounds 1-7
-# cumulatively greenlit 163/178 oracle-backed names; the list below is
-# the 15 round-7 additions (never driver-sampled; all pass
-# scripts/parity_sweep.py at sf0.1) plus the round-8 additions.
-# all_queries() yields these first, then every already-driver-green
-# query in registration order.  Do NOT reorder mid-round.
+# goes first, composition-verifying queries in front; remaining slots
+# carry the STALEST previously-green names (r8 verdict item 3) so the
+# cumulative driver evidence keeps refreshing.  As of round 9 every
+# oracle-backed name has been driver-sampled green at least once
+# (cumulative r1-r8 union: 212/212); the list below is the 2 round-9
+# additions plus the 48 names last sampled in rounds 3-6.
+# all_queries() yields these first, then every other query in
+# registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # round-8 new surface
-    "cdc_pgoutput_stream_state",
-    "cdc_multitable_route_state",
-    "cdc_toast_upsert_state",
-    "profile_drift_psi",
-    "cdc_lsn_gap_audit",
-    "events_ewma_smooth",
-    "agg_linreg_by_type",
-    "assoc_rules_copurchase",
-    "agg_abc_pareto",
-    "feat_target_encoding",
-    "agg_rfm_segmentation",
-    "profile_join_key_skew",
-    "cdc_wal2json_state",
-    "cdc_pgoutput_state",
-    "emb_ann_index_asof_probe",
-    "scalar_collation_groupby",
-    "cdc_time_travel_state",
-    "events_session_window_native",
-    "graph_bfs_recursive_cte",
-    "cdc_snapshot_cutover_state",
-    "emb_jl_projection_recall",
-    "ivm_histogram_view_state",
-    "emb_ann_rerank_exact",
-    "emb_ann_index_filtered_probe",
-    "mm_binary_ingest",
-    "docs_mixture_weights",
-    "docs_train_val_test_split",
-    "emb_ann_index_idmap_stats",
-    "ivm_topk_view_state",
-    "emb_ann_index_filtered_incremental",
-    "emb_lsh_ann_topk",  # rows-only -> full oracle in r8: re-hash-check
-    "ivm_term_df_state",
-    "ivm_bm25_topk_state",
-    "hybrid_rrf_retrieval",
-    # round-7, composition-verifying first
-    "training_mix_pipeline",
-    "emb_ann_index_incremental",
-    "ivm_distinct_view_state",
-    # round-7, the rest
-    "agg_weighted_median",
-    "docs_bm25_topk",
-    "docs_cms_heavy_hitters",
-    "docs_phrase_search",
-    "emb_ann_index_compacted",
-    "emb_ann_index_stats",
-    "events_markov_transitions",
-    "events_outliers_mad",
-    "events_outliers_zscore",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "mm_quarantine_deadletter",
+    # round-9 additions, composition-verifying showcase first
+    "cdc_e2e_revenue_rollup",
+    "cdc_replica_identity_state",
+    # stalest oracle-backed names (last driver-sampled r3-r6) fill the
+    # remaining 48 sample slots so the cumulative driver evidence stays
+    # fresh; the two declared-approximate no-oracle names are excluded
+    # (they can only earn rows-only rows — pytest bounds them instead)
+    "agg_collect_set",
+    "agg_cube",
+    "agg_distinct_stats",
+    "agg_filtered_pivot",
+    "agg_global",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stddev_stable",
+    "case_when_coalesce",
+    "join_anti",
+    "join_asof_events",
+    "join_equi_plus_range",
+    "join_full_outer",
+    "join_left_outer_agg",
+    "join_range_binned",
+    "join_salted_skew",
+    "join_semi",
+    "join_theta_cross",
+    "proj_filter_predicates",
+    "q10_returned_items",
+    "q11_important_value",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_brackets",
+    "q1_pricing_summary",
+    "q20_heavy_shippers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q2_best_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "scalar_date_fns",
+    "scalar_decimal_arith",
+    "scalar_math_fns",
+    "scalar_string_fns",
+    "subq_exists_late_orders",
+    "subq_in_big_qty_orders",
+    "subq_scalar_correlated",
 )
 
 

@@ -1278,3 +1278,166 @@ def cdc_replica_identity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", F.col("value").alias("last_value")
     ).orderBy("user_id")
+
+
+# --- the whole engine in ONE plan: CDC -> analytics showcase ------------------
+# Binary pgoutput decode -> unchanged-TOAST carry-forward -> SCD2
+# version history -> point-in-time join -> exact-decimal revenue rollup,
+# composed as a single lazy DataFrame the driver hash-checks end-to-end.
+# Scenario: a user "rate" profile is CDC-fed (every 3rd event is a rate
+# change; every 5th rate change doesn't re-send the TOASTed rate; error
+# events delete the profile), and purchases (the other events) must be
+# priced at the rate that was valid AT their position in the log — the
+# canonical "reprice facts against a slowly changing dimension" job.
+# Plan shape at 100 TB: one Arrow decode pass (the only Python), one
+# window pair per user for carry + versioning (hash shuffle on user_id),
+# then a plain HASH join (equi on user_id, validity range as residual)
+# into a partial-agg rollup. Deletes genuinely shape validity: a
+# purchase between a profile delete and the next insert matches no
+# version and drops from the rollup.
+
+_E2E_ORACLE = """
+WITH chg AS (
+  SELECT user_id, event_id + 1 AS ord,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CASE WHEN event_type <> 'error' AND event_id % 5 <> 2
+              THEN value END AS wire_rate
+  FROM events WHERE event_id % 3 = 0
+),
+filled AS (
+  SELECT user_id, ord, op,
+         LAST_VALUE(wire_rate IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate
+  FROM chg
+),
+versions AS (
+  SELECT * FROM (
+    SELECT user_id, rate, op, ord AS valid_from,
+           LEAD(ord) OVER (PARTITION BY user_id ORDER BY ord) AS valid_to
+    FROM filled
+  ) WHERE op <> 'D'
+),
+facts AS (
+  SELECT user_id, event_id + 1 AS ord, value, event_type
+  FROM events WHERE event_id % 3 <> 0 AND event_type <> 'error'
+)
+SELECT f.event_type,
+       CAST(SUM(CAST(f.value * v.rate AS DECIMAL(28,8))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_facts
+FROM facts f
+JOIN versions v
+  ON v.user_id = f.user_id
+ AND v.valid_from <= f.ord
+ AND (v.valid_to IS NULL OR f.ord < v.valid_to)
+GROUP BY f.event_type
+ORDER BY f.event_type
+"""
+
+
+@query("cdc_e2e_revenue_rollup", oracle=_E2E_ORACLE,
+       tags=("cdc", "pgoutput", "toast", "scd2", "pit", "showcase"))
+def cdc_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import decode_pgoutput, encode_relation
+    from ..cdc.transform import extract_images, filter_control_messages
+    from ..cdc.upsert import scd2_history
+
+    (events,) = load(spark, sf_dir, "events")
+
+    # 1. the CDC feed, as real pgoutput BYTES (rate changes only)
+    @pandas_udf("binary")
+    def enc(event_id: pd.Series, user_id: pd.Series,
+            value: pd.Series, etype: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            UNCHANGED_TOAST, encode_delete, encode_insert, encode_update)
+
+        out = []
+        for eid, uid, val, et in zip(event_id, user_id, value, etype):
+            eid, uid = int(eid), int(uid)
+            if et == "error":
+                out.append(encode_delete(1, [uid, None], old_kind=b"K"))
+            elif eid % 5 == 2:  # TOASTed rate not re-sent
+                out.append(encode_update(1, [uid, UNCHANGED_TOAST]))
+            elif eid % 2 == 0:
+                out.append(encode_insert(1, [uid, repr(float(val))]))
+            else:
+                out.append(encode_update(1, [uid, repr(float(val))]))
+        return pd.Series(out)
+
+    msgs = events.filter(F.col("event_id") % 3 == 0).select(
+        (F.col("event_id") + 1).alias("lsn"),
+        enc("event_id", "user_id", "value", "event_type").alias("payload"),
+    )
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("rate", DoubleType())]
+    )
+    env = decode_pgoutput(
+        msgs, row_schema, relations={1: ["user_id", "rate"]},
+        track_unchanged=True,
+    )
+    changes = (
+        env.transform(filter_control_messages)
+        .transform(extract_images)
+        .select(
+            "lsn", "op", "unchanged",
+            F.col("image.user_id").alias("user_id"),
+            F.col("image.rate").alias("rate"),
+        )
+        # back to the numeric log position (lsn is "0/%016X")
+        .withColumn(
+            "ord", F.conv(F.expr("substring(lsn, 3, 16)"), 16, 10).cast("long")
+        )
+    )
+
+    # 2. TOAST carry-forward PER VERSION (not just final state): the last
+    # wire-carried rate at or before each change, struct-wrapped so a
+    # genuine SQL NULL would still carry (same discipline as toast_state)
+    carried = (F.col("op") != "D") & ~F.array_contains(
+        F.coalesce(F.col("unchanged"), F.array().cast("array<string>")),
+        "rate",
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = changes.withColumn(
+        "rate",
+        F.last(F.when(carried, F.struct(F.col("rate").alias("v"))), True)
+        .over(w)["v"],
+    )
+
+    # 3. SCD2: every change becomes a version row [valid_from, valid_to)
+    versions = scd2_history(
+        filled.select("user_id", "rate", "op", "ord"),
+        keys=["user_id"], order_by=["ord"],
+    ).select("user_id", "rate", "valid_from", "valid_to")
+
+    # 4. point-in-time join + rollup: equi on user_id (hash join), the
+    # validity interval as a residual predicate; exact decimal sum
+    facts = events.filter(
+        (F.col("event_id") % 3 != 0) & (F.col("event_type") != "error")
+    ).select(
+        F.col("user_id").alias("f_uid"),
+        (F.col("event_id") + 1).alias("f_ord"),
+        "value", "event_type",
+    )
+    pit = facts.join(
+        versions,
+        (F.col("f_uid") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("f_ord"))
+        & (F.col("valid_to").isNull() | (F.col("f_ord") < F.col("valid_to"))),
+    )
+    return (
+        pit.groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") * F.col("rate")).cast("decimal(28,8)"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_facts"),
+        )
+        .orderBy("event_type")
+    )

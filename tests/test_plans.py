@@ -580,3 +580,18 @@ def test_ingest_decode_shared_across_maintainers(spark):
     finally:
         folded.unpersist()
         rows.unpersist()
+
+
+def test_e2e_revenue_rollup_one_decode_hash_join(spark):
+    """The CDC->analytics showcase must stay: ONE Arrow decode pass
+    (binary pgoutput is the only sanctioned Python), the point-in-time
+    join as a HASH join (equi user_id + validity residual — never a
+    nested loop over versions), and a partial agg before the rollup's
+    shuffle."""
+    plan = _plan(spark, "cdc_e2e_revenue_rollup")
+    assert plan.count("MapInPandas") == 1, "decode must run exactly once"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    assert "partial_sum" in plan, "rollup lost map-side combine"

@@ -22,6 +22,14 @@ decode sidecar:
                  NOT re-sent and must be carried forward, see
                  track_unchanged + upsert.toast_state)
 
+Beyond the v1 row surface this module also implements: protocol v2
+streamed transactions (S/E/c/A + xid-prefixed rows — see the v2 section),
+protocol v3 two-phase commit (b/P/K/r/p — the 2PC section), logical
+decoding messages ('M' prefix+content, decode_logical_messages),
+replication-origin loop filtering ('O', filter_foreign_origins),
+TRUNCATE ('T'), and the bronze/silver multi-table split
+(decode_pgoutput_generic / route_table).
+
 Execution model (the two WAL-decode phases, made Spark-shaped):
 
 1. ``discover_relations`` — relation ('R') messages are per-TABLE
@@ -317,6 +325,16 @@ def _parse_change(buf: bytes, image, known_relids=None) -> tuple:
             return ("origin", None, None, None)    # replication origin
         if kind == b"Y":
             return ("type", None, None, None)      # custom type metadata
+        if kind == b"b":
+            return ("begin_prepare", None, None, None)      # 2PC block open
+        if kind == b"P":
+            return ("prepare", None, None, None)            # 2PC block close
+        if kind == b"K":
+            return ("commit_prepared", None, None, None)    # 2PC verdict
+        if kind == b"r":
+            return ("rollback_prepared", None, None, None)  # 2PC verdict
+        if kind == b"p":
+            return ("stream_prepare", None, None, None)     # streamed 2PC
         if kind == b"T":
             (nrels,) = struct.unpack_from(">i", buf, 1)
             if not 0 <= nrels <= 10_000:
@@ -881,3 +899,336 @@ def route_table(
             ).alias("unchanged")
         )
     return g.select(*cols)
+
+
+# --- protocol v3: two-phase commit (PREPARE TRANSACTION) -----------------------
+# PostgreSQL 15+ ("two_phase" on the replication slot) decodes prepared
+# transactions at PREPARE time, framed as:
+#
+#   'b' BeginPrepare     Int64 prepare_lsn, Int64 end_lsn, Int64 ts,
+#                        Int32 xid, Cstr gid
+#   'P' Prepare          Int8 flags, Int64 prepare_lsn, Int64 end_lsn,
+#                        Int64 ts, Int32 xid, Cstr gid
+#   'K' CommitPrepared   Int8 flags, Int64 commit_lsn, Int64 end_lsn,
+#                        Int64 ts, Int32 xid, Cstr gid
+#   'r' RollbackPrepared Int8 flags, Int64 prepare_end_lsn,
+#                        Int64 rollback_end_lsn, Int64 prepare_ts,
+#                        Int64 rollback_ts, Int32 xid, Cstr gid
+#   'p' StreamPrepare    Int8 flags, Int64 lsn, Int64 end_lsn, Int64 ts,
+#                        Int32 xid, Cstr gid   (streamed txn ends prepared)
+#
+# Consumer semantics: changes between 'b'..'P' (plain v1 row messages, no
+# xid prefix) are PREPARED — held, applied only at CommitPrepared (at its
+# commit lsn, which can cross later wire traffic) and discarded at
+# RollbackPrepared. This is exactly the v2 shape — intervals + verdicts —
+# so the Spark decomposition REUSES that machinery: prepared_spans pairs
+# 'b'..'P' (one window over the O(#prepared) control rows; prepared txns
+# never interleave on the wire in non-streamed mode, same alternation
+# guarantee as S/E), membership is the same binned_range_join, verdicts
+# ('K'/'r') broadcast-join by xid, and apply_stream_transactions emits
+# the standard APPLY/ORIGINAL envelope unchanged. A streamed-prepared
+# transaction (S..E segments ending with 'p') needs NO new apply logic:
+# decode_pgoutput_v2 already stamps its rows with the segment xid, and
+# prepared_verdicts supplies the commit/rollback verdict — union it with
+# stream_verdicts.
+
+
+def encode_begin_prepare(prepare_lsn: int, end_lsn: int, ts: int, xid: int,
+                         gid: str) -> bytes:
+    return b"b" + struct.pack(">qqqi", prepare_lsn, end_lsn, ts, xid) + _cstr(gid)
+
+
+def encode_prepare(prepare_lsn: int, end_lsn: int, ts: int, xid: int,
+                   gid: str) -> bytes:
+    return (b"P" + struct.pack(">bqqqi", 0, prepare_lsn, end_lsn, ts, xid)
+            + _cstr(gid))
+
+
+def encode_commit_prepared(commit_lsn: int, end_lsn: int, ts: int, xid: int,
+                           gid: str) -> bytes:
+    return (b"K" + struct.pack(">bqqqi", 0, commit_lsn, end_lsn, ts, xid)
+            + _cstr(gid))
+
+
+def encode_rollback_prepared(prepare_end_lsn: int, rollback_end_lsn: int,
+                             prepare_ts: int, rollback_ts: int, xid: int,
+                             gid: str) -> bytes:
+    return (b"r" + struct.pack(">bqqqqi", 0, prepare_end_lsn,
+                               rollback_end_lsn, prepare_ts, rollback_ts, xid)
+            + _cstr(gid))
+
+
+def encode_stream_prepare(lsn: int, end_lsn: int, ts: int, xid: int,
+                          gid: str) -> bytes:
+    return (b"p" + struct.pack(">bqqqi", 0, lsn, end_lsn, ts, xid)
+            + _cstr(gid))
+
+
+def prepared_spans(messages: DataFrame, lsn_col: str = "lsn",
+                   payload_col: str = "payload") -> DataFrame:
+    """(p_start, p_stop, p_xid) — one row per 'b'..'P' prepared block.
+    Same pairing argument as stream_segments: the filter runs in the
+    scan, survivors are O(#prepared transactions), and 'b'/'P' strictly
+    alternate in lsn order (non-streamed prepared content is contiguous
+    on the wire). A trailing 'b' with no 'P' yet stays open to the
+    capture window's end — its rows get no verdict and hold back."""
+    from pyspark.sql import Window
+
+    ctrl = messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) IN (X'62', X'50')")
+    ).select(
+        F.col(lsn_col).alias("__ctrl_lsn"),
+        (F.expr(f"substring({payload_col}, 1, 1)") == F.lit(b"b"))
+        .alias("__is_begin"),
+        # 'b': type(1) + 3x Int64(24) -> xid at byte 26 (1-based)
+        _be_int(payload_col, 26, 4).alias("p_xid"),
+    )
+    w = Window.orderBy("__ctrl_lsn")
+    paired = ctrl.withColumn("__nxt", F.lead("__ctrl_lsn").over(w))
+    window_end = messages.agg((F.max(lsn_col) + 1).alias("__window_end"))
+    return (
+        paired.filter(F.col("__is_begin"))
+        .crossJoin(F.broadcast(window_end))
+        .select(
+            F.col("__ctrl_lsn").alias("p_start"),
+            F.coalesce(F.col("__nxt"), F.col("__window_end")).alias("p_stop"),
+            "p_xid",
+        )
+    )
+
+
+def prepared_verdicts(messages: DataFrame, lsn_col: str = "lsn",
+                      payload_col: str = "payload") -> DataFrame:
+    """(v_xid, verdict, commit_lsn, sub_xid) from 'K'/'r' control rows —
+    schema-compatible with stream_verdicts so the two can union (a
+    capture with both streamed and prepared transactions). A rollback's
+    sub_xid is set to its own xid: RollbackPrepared always voids the
+    WHOLE transaction (2PC has no sub-transaction rollback on the wire),
+    so it must not match apply_stream_transactions' sub-abort path."""
+    is_commit = F.expr(f"substring({payload_col}, 1, 1) = X'4B'")
+    xid = F.when(
+        is_commit,
+        # 'K': type(1) + flags(1) + 3x Int64(24) -> xid at byte 27
+        _be_int(payload_col, 27, 4),
+    ).otherwise(
+        # 'r': type(1) + flags(1) + 4x Int64(32) -> xid at byte 35
+        _be_int(payload_col, 35, 4)
+    )
+    return messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) IN (X'4B', X'72')")
+    ).select(
+        xid.alias("v_xid"),
+        F.when(is_commit, "commit").otherwise("abort").alias("verdict"),
+        # 'K': commit_lsn right after flags -> byte 3
+        F.when(is_commit, _be_int(payload_col, 3, 8)).alias("commit_lsn"),
+        F.when(~is_commit, xid).alias("sub_xid"),
+    )
+
+
+def decode_pgoutput_2pc(
+    messages: DataFrame,
+    row_schema: StructType,
+    relations: dict[int, list[str]] | None = None,
+    spans: DataFrame | None = None,
+    lsn_col: str = "lsn",
+    payload_col: str = "payload",
+    bin_width: int = 1024,
+    track_unchanged: bool = False,
+) -> DataFrame:
+    """Decode a two-phase capture into the v2-compatible frame
+    (lsn long, xid, top_xid, tag, new, old [, unchanged]): rows are the
+    plain v1 decode (no xid prefix inside 'b'..'P'); membership in a
+    prepared block stamps xid/top_xid from the span. Compose with
+    apply_stream_transactions(decoded, prepared_verdicts(messages)) —
+    prepared rows apply at their CommitPrepared lsn, rolled-back and
+    still-prepared (no verdict yet) rows drop."""
+    from ..operators.rangejoin import binned_range_join
+
+    if spans is None:
+        spans = prepared_spans(messages, lsn_col, payload_col)
+    env = decode_pgoutput(
+        messages, row_schema, relations=relations,
+        lsn_col=lsn_col, payload_col=payload_col,
+        track_unchanged=track_unchanged,
+    ).withColumn(
+        "__ord", F.conv(F.expr("substring(lsn, 3, 16)"), 16, 10).cast("long")
+    )
+    tagged = binned_range_join(
+        env.drop("lsn"),
+        F.broadcast(spans),
+        "__ord", "p_start", "p_stop", bin_width, how="left_outer",
+    )
+    cols = [
+        F.col("__ord").alias("lsn"),
+        F.col("p_xid").alias("xid"),
+        F.col("p_xid").alias("top_xid"),
+        "tag", "new", "old",
+    ]
+    if track_unchanged:
+        cols.append(F.col("unchanged"))
+    return tagged.select(*cols)
+
+
+# --- logical decoding messages ('M'): application-emitted WAL markers ----------
+# pg_logical_emit_message() lets applications write arbitrary
+# (prefix, content) markers into the WAL stream — audit trails, deploy
+# fences, cache-invalidation signals. The row decoders surface 'M' only
+# as an inert control tag; this pass decodes the CONTENT:
+#
+#   'M' [Int32 xid]  Int8 flags (1 = transactional), Int64 lsn,
+#                    Cstr prefix, Int32 length, content bytes
+#
+# Spark shape: the first-byte filter runs in the scan (only 'M' payloads
+# reach Python), then one Arrow mapInPandas decodes (flags, msg_lsn,
+# prefix, content) per marker — corrupt payloads dead-letter as
+# prefix='_corrupt' rows instead of failing the batch.
+
+
+def encode_logical_message(prefix: str, content: bytes, lsn: int = 0,
+                           transactional: bool = True,
+                           xid: int | None = None) -> bytes:
+    body = (struct.pack(">bq", 1 if transactional else 0, lsn)
+            + _cstr(prefix) + struct.pack(">i", len(content)) + content)
+    if xid is not None:  # streamed form
+        return b"M" + struct.pack(">i", xid) + body
+    return b"M" + body
+
+
+def decode_logical_messages(messages: DataFrame, lsn_col: str = "lsn",
+                            payload_col: str = "payload",
+                            streamed: bool = False) -> DataFrame:
+    """(lsn, transactional, msg_lsn, prefix, content) from the 'M'
+    payloads in a capture. ``streamed=True`` strips the Int32 xid that
+    protocol v2 prefixes inside stream segments (pass the pre-filtered
+    in-segment subset there; mixed captures route each subset through
+    its own call)."""
+    from pyspark.sql.types import BinaryType, BooleanType
+
+    out_schema = StructType([
+        StructField("lsn", LongType()),
+        StructField("transactional", BooleanType()),
+        StructField("msg_lsn", LongType()),
+        StructField("prefix", StringType()),
+        StructField("content", BinaryType()),
+    ])
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        cols = ["lsn", "transactional", "msg_lsn", "prefix", "content"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for lsn, payload in zip(pdf[lsn_col], pdf[payload_col]):
+                buf = bytes(payload)
+                try:
+                    pos = 5 if streamed else 1  # skip type (+xid)
+                    flags, msg_lsn = struct.unpack_from(">bq", buf, pos)
+                    pos += 9
+                    end = buf.index(b"\x00", pos)
+                    prefix = buf[pos:end].decode()
+                    pos = end + 1
+                    (ln,) = struct.unpack_from(">i", buf, pos)
+                    pos += 4
+                    if ln < 0 or pos + ln > len(buf):
+                        raise ValueError("bad content length")
+                    content = buf[pos:pos + ln]
+                    rows.append((int(lsn), flags == 1, msg_lsn,
+                                 prefix, content))
+                except (ValueError, struct.error, IndexError,
+                        UnicodeDecodeError):
+                    rows.append((int(lsn), None, None, "_corrupt", None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) = X'4D'")
+    ).mapInPandas(decode, schema=out_schema)
+
+
+# --- replication origins ('O'): bidirectional-replication loop filter ----------
+# A subscriber that also publishes must NOT re-forward transactions it
+# received from elsewhere (the A->B->A echo). pgoutput tags such
+# transactions with an Origin message right after Begin:
+#
+#   'O' Int64 commit_lsn, Cstr origin_name
+#
+# Spark shape: transaction spans are [B_lsn, next_B_lsn) intervals built
+# from the 'B' control rows (byte-filtered in the scan; ONE global
+# window over that control subset — O(#transactions-in-capture-window),
+# a spillable sort bounded by the micro-batch/capture size, the same
+# cost class real CDC batchers accept per batch); the O(#tagged) origin
+# rows broadcast-join into their spans, and the DATA path — the big
+# side — is a binned interval ANTI join that stays hash-partitioned.
+# Origin-name decode is pure JVM (fixed 9-byte header + trailing NUL).
+
+
+def encode_origin(commit_lsn: int, name: str) -> bytes:
+    return b"O" + struct.pack(">q", commit_lsn) + _cstr(name)
+
+
+def origin_spans(messages: DataFrame, lsn_col: str = "lsn",
+                 payload_col: str = "payload",
+                 bin_width: int = 1024) -> DataFrame:
+    """(o_start, o_stop, origin) — one row per transaction span that
+    carries an Origin tag. Untagged transactions produce no span (they
+    are locally originated and always pass the filter)."""
+    from pyspark.sql import Window
+
+    from ..operators.rangejoin import binned_range_join
+
+    begins = messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) = X'42'")
+    ).select(F.col(lsn_col).alias("__b_lsn"))
+    w = Window.orderBy("__b_lsn")
+    window_end = messages.agg((F.max(lsn_col) + 1).alias("__window_end"))
+    spans = (
+        begins.withColumn("__nxt", F.lead("__b_lsn").over(w))
+        .crossJoin(F.broadcast(window_end))
+        .select(
+            F.col("__b_lsn").alias("o_start"),
+            (F.coalesce(F.col("__nxt"), F.col("__window_end")) - 1)
+            .alias("o_stop"),
+        )
+    )
+    origins = messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) = X'4F'")
+    ).select(
+        F.col(lsn_col).alias("__o_lsn"),
+        # 'O'(1) + Int64(8) -> name from byte 10, trailing NUL stripped
+        F.expr(
+            f"cast(substring({payload_col}, 10,"
+            f" length({payload_col}) - 10) as string)"
+        ).alias("origin"),
+    )
+    return binned_range_join(
+        origins, spans, "__o_lsn", "o_start", "o_stop", bin_width,
+    ).select("o_start", "o_stop", "origin")
+
+
+def filter_foreign_origins(
+    messages: DataFrame,
+    keep_origins: tuple[str, ...] = (),
+    lsn_col: str = "lsn",
+    payload_col: str = "payload",
+    bin_width: int = 1024,
+) -> DataFrame:
+    """Drop every transaction tagged with a replication origin NOT in
+    ``keep_origins`` (untagged = locally-originated transactions always
+    pass). The reference forwards everything it decodes
+    (src/mapping/customMapper.ts:19-23) — in a bidirectional topology
+    that echoes foreign changes straight back; this filter is the
+    standard subscriber-side defense. Foreign spans are O(#tagged
+    transactions) -> broadcast; each message matches at most one span
+    (spans are disjoint), so the left-outer + null-filter is an exact
+    anti join with no dedup needed."""
+    from ..operators.rangejoin import binned_range_join
+
+    spans = origin_spans(messages, lsn_col, payload_col, bin_width)
+    foreign = spans.filter(~F.col("origin").isin(*keep_origins)) \
+        if keep_origins else spans
+    out_cols = messages.columns
+    tagged = binned_range_join(
+        messages,
+        F.broadcast(foreign),
+        lsn_col, "o_start", "o_stop", bin_width, how="left_outer",
+    )
+    return tagged.filter(F.col("origin").isNull()).select(*out_cols)

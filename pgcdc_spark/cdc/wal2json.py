@@ -139,7 +139,10 @@ def parse_wal2json(
             F.lit("_control"),
         ).alias("tag"),
         F.when(~is_del & has_new, _typed_image(new_map, row_schema)).alias("new"),
-        F.when(is_del & has_old, _typed_image(old_map, row_schema)).alias("old"),
+        # oldkeys ride DELETEs *and* key-changing UPDATEs (wal2json emits
+        # them whenever the replica identity changed) — surfacing both is
+        # what lets transform.split_key_updates retire the old key
+        F.when(has_old, _typed_image(old_map, row_schema)).alias("old"),
         *(
             [
                 F.when(

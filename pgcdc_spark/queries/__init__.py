@@ -75,7 +75,9 @@ _MODULES = (
 _PRIORITY = (
     # round-9 additions, composition-verifying showcase first
     "cdc_e2e_revenue_rollup",
+    "cdc_two_phase_state",
     "cdc_replica_identity_state",
+    "cdc_message_audit",
     # stalest oracle-backed names (last driver-sampled r3-r6) fill the
     # remaining 48 sample slots so the cumulative driver evidence stays
     # fresh; the two declared-approximate no-oracle names are excluded

@@ -1441,3 +1441,244 @@ def cdc_e2e_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- pgoutput protocol v3 (two-phase commit), driven through the gate ----------
+# PREPARE TRANSACTION under logical decoding (PG 15+, two_phase slots):
+# a prepared transaction's changes arrive between BeginPrepare ('b') and
+# Prepare ('P') as plain v1 row messages, then HOLD until CommitPrepared
+# applies them at ITS lsn or RollbackPrepared voids them. Fixture: the
+# same 4-change transactions as the v2 query (txn = event_id div 4) but
+# odd txns are PREPARED blocks instead of streamed segments — commit
+# lsns shifted forward by 40*(txn%3) so prepared-commit order crosses
+# later plain traffic; txn%11==3 rolls back. Engine path: v1 decode ->
+# prepared_spans (byte-filtered 'b'/'P' pairing) -> binned-interval
+# membership -> prepared_verdicts broadcast join ->
+# apply_stream_transactions (REUSED unchanged — 2PC is the same
+# intervals+verdicts shape as v2) -> pipeline + upsert. The oracle
+# replays the identical apply-order rule, so one green row hash-checks
+# block membership, commit-order application, and rollback discard.
+
+_PGOUT_2PC_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, value, event_type,
+         event_id // 4 AS txn
+  FROM events
+),
+t AS (
+  SELECT *, MAX(event_id) OVER (PARTITION BY txn) AS mx FROM e
+),
+f AS (
+  SELECT user_id, value, event_type,
+         CASE WHEN txn % 2 = 1
+              THEN mx * 10 + 7 + 40 * (txn % 3)
+              ELSE event_id * 10 END AS apply_lsn,
+         event_id * 10 AS orig,
+         (txn % 2 = 1 AND txn % 11 = 3) AS rolled_back
+  FROM t
+)
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY apply_lsn DESC, orig DESC) AS rn
+  FROM f WHERE NOT rolled_back
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_two_phase_state", oracle=_PGOUT_2PC_ORACLE,
+       tags=("cdc", "pgoutput", "two-phase"))
+def cdc_two_phase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_2pc, encode_relation,
+        prepared_verdicts)
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "value", "event_type",
+        F.expr("event_id div 4").alias("txn"),
+    )
+
+    @pandas_udf("binary")
+    def enc_row(event_id: pd.Series, user_id: pd.Series, value: pd.Series,
+                etype: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_delete, encode_insert, encode_update)
+
+        out = []
+        for eid, uid, val, et in zip(event_id, user_id, value, etype):
+            if et == "error":
+                out.append(encode_delete(1, [int(uid), None], old_kind=b"K"))
+            elif int(eid) % 3 == 0:
+                out.append(encode_insert(1, [int(uid), repr(float(val))]))
+            else:
+                out.append(encode_update(1, [int(uid), repr(float(val))]))
+        return pd.Series(out)
+
+    rows = e.select(
+        (F.col("event_id") * 10).alias("lsn"),
+        enc_row("event_id", "user_id", "value", "event_type").alias("payload"),
+    )
+
+    blk = (
+        e.filter(F.col("txn") % 2 == 1)
+        .groupBy("txn")
+        .agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+    )
+
+    @pandas_udf("binary")
+    def enc_ctrl(kind: pd.Series, txn: pd.Series,
+                 lsn_arg: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_begin_prepare, encode_commit_prepared, encode_prepare,
+            encode_rollback_prepared)
+
+        out = []
+        for k, tx, la in zip(kind, txn, lsn_arg):
+            tx, la = int(tx), int(la)
+            gid = f"gid{tx}"
+            if k == "b":
+                out.append(encode_begin_prepare(la, la, 0, tx, gid))
+            elif k == "P":
+                out.append(encode_prepare(la, la, 0, tx, gid))
+            elif k == "K":
+                out.append(encode_commit_prepared(la, la + 1, 0, tx, gid))
+            else:
+                out.append(encode_rollback_prepared(la, la + 1, 0, 0, tx, gid))
+        return pd.Series(out)
+
+    rolled = F.col("txn") % 11 == 3
+    commit_lsn = F.col("mx") * 10 + 7 + 40 * (F.col("txn") % 3)
+    begins = blk.select(
+        (F.col("mn") * 10 - 5).alias("lsn"),
+        enc_ctrl(F.lit("b"), "txn", F.col("mn") * 10 - 5).alias("payload"),
+    )
+    prepares = blk.select(
+        (F.col("mx") * 10 + 1).alias("lsn"),
+        enc_ctrl(F.lit("P"), "txn", F.col("mx") * 10 + 1).alias("payload"),
+    )
+    verdict_rows = blk.select(
+        (F.col("mx") * 10 + 9).alias("lsn"),
+        enc_ctrl(
+            F.when(rolled, "r").otherwise("K"), "txn", commit_lsn
+        ).alias("payload"),
+    )
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(1, "public", "events",
+                                       ["user_id", "value"])))],
+        "lsn long, payload binary",
+    )
+    msgs = rel.unionByName(rows).unionByName(begins).unionByName(prepares) \
+              .unionByName(verdict_rows)
+    # bytes-in-storage model: three passes (span pairing, membership
+    # join, verdicts) read the capture — materialize once or each pass
+    # re-runs the fixture's Arrow ENCODER (same rationale as the v2 twin)
+    msgs = msgs.localCheckpoint()
+
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    decoded = decode_pgoutput_2pc(
+        msgs, row_schema, relations={1: ["user_id", "value"]}, bin_width=64)
+    env = apply_stream_transactions(decoded, prepared_verdicts(msgs))
+    changes = apply_pipeline(env)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")
+
+
+# --- logical decoding messages ('M'), driven through the gate ------------------
+# pg_logical_emit_message() markers (audit trails, deploy fences, cache
+# invalidations) ride the SAME slot as row changes; the engine decodes
+# their (prefix, content) instead of dropping them as inert control
+# rows. Fixture: one marker per event — prefix cycles audit/deploy/mark
+# by event_id%3, content is "uid=<user_id>;v=<value>" — interleaved with
+# the events' row messages in one capture (markers at odd lsns, rows at
+# even), so the byte-filter genuinely separates marker from row traffic.
+# The rollup (count + total content bytes + distinct users mentioned,
+# per prefix) forces prefix decode, content byte fidelity, AND content
+# PARSING to all hash-match.
+
+_MSG_ORACLE = """
+SELECT CASE WHEN event_id % 3 = 0 THEN 'audit'
+            WHEN event_id % 3 = 1 THEN 'deploy'
+            ELSE 'mark' END AS prefix,
+       COUNT(*) AS n_msgs,
+       CAST(SUM(LENGTH('uid=' || CAST(user_id AS VARCHAR)
+                || ';v=' || CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)))
+            AS BIGINT) AS content_bytes,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY prefix
+ORDER BY prefix
+"""
+
+
+@query("cdc_message_audit", oracle=_MSG_ORACLE,
+       tags=("cdc", "pgoutput", "message"))
+def cdc_message_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..cdc.pgoutput import decode_logical_messages
+
+    (events,) = load(spark, sf_dir, "events")
+
+    @pandas_udf("binary")
+    def enc(event_id: pd.Series, user_id: pd.Series,
+            value: pd.Series) -> pd.Series:
+        from decimal import Decimal
+
+        from ..cdc.pgoutput import encode_insert, encode_logical_message
+
+        out = []
+        prefixes = ("audit", "deploy", "mark")
+        for eid, uid, val in zip(event_id, user_id, value):
+            eid = int(eid)
+            # DECIMAL(18,4) text on both sides: repr(float) text varies
+            # in digit count, decimal text is canonical
+            body = f"uid={int(uid)};v={Decimal(str(float(val))).quantize(Decimal('0.0001'))}"
+            out.append(encode_logical_message(
+                prefixes[eid % 3], body.encode(), lsn=eid))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def enc_row(user_id: pd.Series, value: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import encode_insert
+
+        return pd.Series([
+            encode_insert(1, [int(u), repr(float(v))])
+            for u, v in zip(user_id, value)
+        ])
+
+    markers = events.select(
+        (F.col("event_id") * 2 + 1).alias("lsn"),
+        enc("event_id", "user_id", "value").alias("payload"),
+    )
+    rows = events.select(
+        (F.col("event_id") * 2).alias("lsn"),
+        enc_row("user_id", "value").alias("payload"),
+    )
+    msgs = markers.unionByName(rows)
+    decoded = decode_logical_messages(msgs)
+    parsed = decoded.select(
+        "prefix",
+        F.length("content").cast("long").alias("clen"),
+        F.regexp_extract(F.col("content").cast("string"), r"uid=(\d+);", 1)
+        .cast("long").alias("uid"),
+    )
+    return (
+        parsed.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum("clen").alias("content_bytes"),
+            F.countDistinct("uid").cast("long").alias("n_users"),
+        )
+        .orderBy("prefix")
+    )

@@ -78,6 +78,8 @@ _PRIORITY = (
     "cdc_two_phase_state",
     "cdc_replica_identity_state",
     "cdc_message_audit",
+    "docs_pii_scrub",
+    "docs_repetition_filter",
     # stalest oracle-backed names (last driver-sampled r3-r6) fill the
     # remaining 48 sample slots so the cumulative driver evidence stays
     # fresh; the two declared-approximate no-oracle names are excluded

@@ -1166,3 +1166,156 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- PII scrubbing (r9) --------------------------------------------------------
+# The standard pre-training redaction pass: emails and US-style phone
+# numbers replaced with placeholder tokens before anything else sees the
+# text. Patterns are RE2-safe (no lookaround) so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte; the synthetic corpus carries no PII,
+# so the fixture INJECTS deterministic contacts (doc_id%4==0 an email,
+# doc_id%4==1 a phone, doc_id%4==2 both) — the redaction counts, the
+# scrubbed lengths, and the leftover-PII check (must be zero) are all
+# hash-checked. Per-doc map work, no shuffle until the bucket rollup.
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+
+_PII_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN text || ' mail user' || CAST(doc_id AS VARCHAR)
+                        || '@example-site.org now'
+           WHEN 1 THEN text || ' call (555) 123-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN 'a' || CAST(doc_id AS VARCHAR)
+                        || '@b.co says call (555) 000-1111 re ' || text
+           ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id % 10 AS bucket,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+         LENGTH(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                               '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_len
+  FROM injected
+)
+SELECT bucket,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(SUM(scrubbed_len) AS BIGINT) AS total_scrubbed_chars
+FROM scrubbed GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("docs_pii_scrub", oracle=_PII_ORACLE, tags=("llm", "text", "pii"))
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat("text", F.lit(" mail user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example-site.org now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat("text", F.lit(" call (555) 123-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("a"), F.col("doc_id").cast("string"),
+                     F.lit("@b.co says call (555) 000-1111 re "), "text"),
+        )
+        .otherwise(F.col("text")),
+    )
+    scrubbed = injected.select(
+        (F.col("doc_id") % 10).alias("bucket"),
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phone"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE, "<PHONE>",
+            )
+        ).alias("scrubbed_len"),
+    )
+    return (
+        scrubbed.groupBy("bucket")
+        .agg(
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum(((F.col("n_email") + F.col("n_phone")) > 0).cast("long"))
+            .alias("docs_with_pii"),
+            F.sum("scrubbed_len").cast("long").alias("total_scrubbed_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- intra-document repetition filter (r9) -------------------------------------
+# The Gopher/MassiveText repetition rule: a document whose 3-gram stream
+# is dominated by repeats is boilerplate/spam and leaves the training
+# mix. dup_frac = 1 - distinct(3-grams)/count(3-grams), computed
+# entirely with per-row higher-order functions (sequence/transform/
+# array_distinct) — zero shuffle until the final verdict rollup, the
+# embarrassingly-parallel shape that holds at any corpus size.
+
+_REP_THRESHOLD = 0.2
+
+_REP_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]
+         ) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+d AS (
+  SELECT doc_id,
+         ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE), 9) AS dup_frac
+  FROM g
+)
+SELECT doc_id, dup_frac,
+       dup_frac > {_REP_THRESHOLD} AS flagged
+FROM d
+WHERE dup_frac > 0
+ORDER BY doc_id
+"""
+
+
+@query("docs_repetition_filter", oracle=_REP_ORACLE,
+       tags=("llm", "text", "quality"))
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.withColumn("t", toks).filter(F.size("t") >= 3)
+    grams = F.expr(
+        "transform(sequence(1, size(t) - 2),"
+        " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+    )
+    out = d.select(
+        "doc_id",
+        F.round(
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams).cast("double"),
+            9,
+        ).alias("dup_frac"),
+    )
+    return (
+        out.filter(F.col("dup_frac") > 0)
+        .select("doc_id", "dup_frac",
+                (F.col("dup_frac") > _REP_THRESHOLD).alias("flagged"))
+        .orderBy("doc_id")
+    )

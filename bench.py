@@ -102,6 +102,15 @@ EXTRA = [
     # r8: protocol-v2 streamed transactions (segment pairing + binned
     # interval membership + verdict join + commit-order apply)
     "cdc_pgoutput_stream_state",
+    # r9: protocol-v3 two-phase commit (b/P span pairing + prepared
+    # verdicts through the SAME apply machinery) and the whole-engine
+    # showcase (decode -> TOAST carry -> SCD2 -> PIT join -> rollup)
+    "cdc_two_phase_state",
+    "cdc_e2e_revenue_rollup",
+    # r9: text-family hygiene passes (regex redaction; per-row
+    # higher-order-function 3-gram repetition)
+    "docs_pii_scrub",
+    "docs_repetition_filter",
 ]
 
 
@@ -122,7 +131,8 @@ FAMILIES = {
     "cdc": [
         "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",
         "cdc_pgoutput_state", "cdc_wal2json_state", "cdc_toast_upsert_state",
-        "cdc_pgoutput_stream_state",
+        "cdc_pgoutput_stream_state", "cdc_two_phase_state",
+        "cdc_e2e_revenue_rollup",
     ],
     "dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
@@ -137,7 +147,7 @@ FAMILIES = {
     "retrieval": ["hybrid_rrf_retrieval"],
     "text": [
         "docs_quality_score", "docs_unigram_logprob", "docs_pack_sequences",
-        "training_mix_pipeline",
+        "training_mix_pipeline", "docs_pii_scrub", "docs_repetition_filter",
     ],
     "graph": ["graph_pagerank", "graph_bfs_recursive_cte"],
     "multimodal": ["mm_audio_resample"],

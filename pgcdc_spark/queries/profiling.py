@@ -276,18 +276,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank, {iters} unrolled power iterations over the
     deterministic 2-out-regular functional graph on customer keys. Every
     rank value is hash-checked — the oracle replays the identical
-    decimal-sum arithmetic."""
+    decimal-sum arithmetic. The node count rides as a BROADCAST 1-row
+    aggregate (crossJoin) instead of a driver count(), so building this
+    query runs no job (r9 — iteration count is fixed/unrolled, so with
+    n lazy the whole plan is lazy)."""
     (customer,) = load(spark, sf_dir, "customer")
-    n = customer.count()  # bounded scalar, same sanction as graph_bfs_hops
+    ncnt = F.broadcast(
+        customer.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
     k = F.col("c_custkey")
-    edges = customer.select(
-        k.alias("src"), ((k * 7 + 1) % n).alias("dst")
+    base = customer.crossJoin(ncnt)
+    edges = base.select(
+        k.alias("src"), ((k * 7 + 1) % F.col("__n")).alias("dst")
     ).unionByName(
-        customer.select(k.alias("src"), ((k * 13 + 3) % n).alias("dst"))
+        base.select(k.alias("src"), ((k * 13 + 3) % F.col("__n")).alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = customer.select(k.alias("node"))
-    pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
+    nodes = base.select(k.alias("node"), F.col("__n"))
+    pr = nodes.select("node", (F.lit(1.0) / F.col("__n")).alias("pr"))
     for _ in range(_PR_ITERS):
         contrib = (
             edges.join(pr.withColumnRenamed("node", "src"), "src")
@@ -300,7 +306,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = nodes.join(agg, nodes["node"] == agg["dst"], "left").select(
             "node",
             (
-                F.lit(1 - _PR_DAMP) / n
+                F.lit(1 - _PR_DAMP) / F.col("__n")
                 + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("pr"),
         )
@@ -352,13 +358,16 @@ FROM member GROUP BY node
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts via oriented two-hop closure — each
     triangle enumerated exactly once as u < v < w, membership exploded
-    and counted with map-side partial aggregation."""
+    and counted with map-side partial aggregation. The node count rides
+    as a broadcast 1-row aggregate, so the build runs no job (r9)."""
     (customer,) = load(spark, sf_dir, "customer")
-    n = customer.count()  # bounded scalar, same sanction as graph_bfs_hops
+    base = customer.crossJoin(F.broadcast(
+        customer.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ))
     k = F.col("c_custkey")
     raw = None
     for d in _TRI_CHORDS:
-        part = customer.select(k.alias("a"), ((k + d) % n).alias("b"))
+        part = base.select(k.alias("a"), ((k + d) % F.col("__n")).alias("b"))
         raw = part if raw is None else raw.unionByName(part)
     e = (
         raw.filter(F.col("a") != F.col("b"))

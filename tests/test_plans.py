@@ -102,8 +102,8 @@ def test_no_collect_in_query_surface(spark):
         "dedup_keep_best": "fixpoint: composes CC, same scalar counts",
         "training_mix_pipeline": "fixpoint: composes dedup_keep_best (CC)",
         "graph_bfs_hops": "fixpoint: O(1) frontier-size scalar per hop",
-        "graph_pagerank": "fixpoint: O(1) n=count() scalar",
-        "graph_triangle_count": "metadata: O(1) n=count() scalar",
+        # graph_pagerank / graph_triangle_count left this list in r9:
+        # their node count now rides as a broadcast 1-row aggregate
         "cdc_evolving_state":
             "metadata: O(columns) image-column-name discovery",
         "cdc_widening_state": "metadata: same O(columns) schema discovery",
@@ -123,6 +123,11 @@ def test_no_collect_in_query_surface(spark):
         "cdc_pgoutput_stream_state":
             "metadata: same O(#tables) 'R' discovery (multi-stage only "
             "because the FIXTURE's control rows derive from a groupBy)",
+        "cdc_two_phase_state":
+            "metadata: FIXTURE capture materialization (localCheckpoint "
+            "of the encoded byte stream — the bytes-in-storage model; "
+            "three control passes read it). Real deployments read bytes "
+            "from storage, where the build is job-free.",
     }
     # Artifact-cached builders: their one-time build (ANN index / mm
     # fixture / IVM maintained state) is the artifact's contract, not a

@@ -40,13 +40,24 @@ def read_envelope_stream(
     source_dir: str,
     row_schema: StructType = STUDENT_SCHEMA,
     max_files_per_trigger: int = 10,
+    split_key_updates_on: list[str] | None = None,
 ) -> DataFrame:
+    """``split_key_updates_on=keys`` routes key-changing UPDATEs (old
+    image present, key differs) as DELETE(old key)+INSERT(new image)
+    inside the stream — the REPLICA IDENTITY defense
+    (cdc/transform.split_key_updates), identical logical plan per
+    micro-batch, no extra state."""
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(source_dir)
     )
-    return apply_pipeline(parse_envelope(raw, "value", row_schema))
+    env = parse_envelope(raw, "value", row_schema)
+    if split_key_updates_on:
+        from ..cdc.transform import split_key_updates
+
+        env = split_key_updates(env, keys=list(split_key_updates_on))
+    return apply_pipeline(env)
 
 
 def start_upsert_stream(

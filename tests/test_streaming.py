@@ -901,3 +901,42 @@ def test_pgoutput_toast_stream_fold(spark, tmp_path):
         for r in holder["state"].filter(F.col("op") != "D").collect()
     )
     assert got == [(10, None), (11, 110)]
+
+
+def test_stream_key_change_routing(spark, tmp_path):
+    """Key-changing UPDATEs in the STREAM (old image present, key
+    differs) must retire the old key in the materialized state — the
+    REPLICA IDENTITY defense running per micro-batch, with the insert
+    and the migration landing in DIFFERENT batches."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+
+    lines = [
+        json.dumps({"lsn": "000000000001", "tag": "insert",
+                    "new": {"id": 1, "v": 10}}),
+        json.dumps({"lsn": "000000000002", "tag": "insert",
+                    "new": {"id": 2, "v": 20}}),
+        # batch boundary: the migration arrives later
+        json.dumps({"lsn": "000000000003", "tag": "update",
+                    "new": {"id": 11, "v": 15},
+                    "old": {"id": 1, "v": 10}}),   # key 1 -> 11
+        json.dumps({"lsn": "000000000004", "tag": "update",
+                    "new": {"id": 2, "v": 25},
+                    "old": {"id": 2, "v": 20}}),   # same-key: no split
+    ]
+    _write_chunks(src, lines, chunks=2)
+
+    changes = read_envelope_stream(
+        spark, src, row_schema=schema, max_files_per_trigger=1,
+        split_key_updates_on=["id"],
+    )
+    q = start_upsert_stream(changes, state_dir, ckpt, keys=["id"])
+    q.awaitTermination(120)
+
+    state = {r["id"]: r["v"] for r in read_state(spark, state_dir).collect()}
+    assert state == {11: 15, 2: 25}, "old key 1 must be retired in-stream"

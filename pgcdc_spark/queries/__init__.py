@@ -68,8 +68,9 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once
-# (cumulative r1-r8 union: 212/212); the list below is the 2 round-9
-# additions plus the 48 names last sampled in rounds 3-6.
+# (cumulative r1-r8 union: 212/212); the list below is the 7 round-9
+# additions plus the 43 stalest names (last sampled rounds 3-6) that
+# fit the 50-slot sample.
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
@@ -78,6 +79,7 @@ _PRIORITY = (
     "cdc_two_phase_state",
     "cdc_replica_identity_state",
     "cdc_message_audit",
+    "cdc_origin_filter_state",
     "docs_pii_scrub",
     "docs_repetition_filter",
     # stalest oracle-backed names (last driver-sampled r3-r6) fill the

@@ -1682,3 +1682,118 @@ def cdc_message_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix")
     )
+
+
+# --- replication-origin filtering, driven through the gate ---------------------
+# Bidirectional topologies tag foreign transactions with an Origin
+# message; a subscriber that forwards them back creates the A->B->A
+# echo. Fixture: events in 4-change transactions (txn = event_id div 4)
+# framed as B .. rows .. C; txn%7==2 carries an Origin tag "nodeB" right
+# after Begin — filter_foreign_origins must void exactly those
+# transactions' changes before the standard decode -> upsert pipeline.
+# The oracle replays LWW with the foreign transactions excluded, so a
+# green row proves span construction, origin-name decode, and the
+# binned anti join end-to-end.
+
+_ORIGIN_ORACLE = """
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE (event_id // 4) % 7 <> 2
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_origin_filter_state", oracle=_ORIGIN_ORACLE,
+       tags=("cdc", "pgoutput", "origin"))
+def cdc_origin_filter_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.pgoutput import (
+        decode_pgoutput, encode_relation, filter_foreign_origins)
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "value", "event_type",
+        F.expr("event_id div 4").alias("txn"),
+    )
+
+    @pandas_udf("binary")
+    def enc_row(event_id: pd.Series, user_id: pd.Series, value: pd.Series,
+                etype: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_delete, encode_insert, encode_update)
+
+        out = []
+        for eid, uid, val, et in zip(event_id, user_id, value, etype):
+            if et == "error":
+                out.append(encode_delete(1, [int(uid), None], old_kind=b"K"))
+            elif int(eid) % 3 == 0:
+                out.append(encode_insert(1, [int(uid), repr(float(val))]))
+            else:
+                out.append(encode_update(1, [int(uid), repr(float(val))]))
+        return pd.Series(out)
+
+    rows = e.select(
+        (F.col("event_id") * 10).alias("lsn"),
+        enc_row("event_id", "user_id", "value", "event_type").alias("payload"),
+    )
+
+    txns = e.groupBy("txn").agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+
+    @pandas_udf("binary")
+    def enc_ctrl(kind: pd.Series, txn: pd.Series,
+                 lsn_arg: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import encode_begin, encode_commit, encode_origin
+
+        out = []
+        for k, tx, la in zip(kind, txn, lsn_arg):
+            tx, la = int(tx), int(la)
+            if k == "B":
+                out.append(encode_begin(la, 0, tx))
+            elif k == "O":
+                out.append(encode_origin(la, "nodeB"))
+            else:
+                out.append(encode_commit(la, la + 1, 0))
+        return pd.Series(out)
+
+    begins = txns.select(
+        (F.col("mn") * 10 - 5).alias("lsn"),
+        enc_ctrl(F.lit("B"), "txn", F.col("mx") * 10 + 1).alias("payload"),
+    )
+    origins = txns.filter(F.col("txn") % 7 == 2).select(
+        (F.col("mn") * 10 - 4).alias("lsn"),
+        enc_ctrl(F.lit("O"), "txn", F.col("mx") * 10 + 1).alias("payload"),
+    )
+    commits = txns.select(
+        (F.col("mx") * 10 + 1).alias("lsn"),
+        enc_ctrl(F.lit("C"), "txn", F.col("mx") * 10 + 1).alias("payload"),
+    )
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(1, "public", "events",
+                                       ["user_id", "value"])))],
+        "lsn long, payload binary",
+    )
+    msgs = rel.unionByName(rows).unionByName(begins).unionByName(origins) \
+              .unionByName(commits)
+    # bytes-in-storage model: span pairing + origin join + the decode
+    # pass all read the capture — materialize the fixture once
+    msgs = msgs.localCheckpoint()
+
+    kept = filter_foreign_origins(msgs, bin_width=64)
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    changes = apply_pipeline(
+        decode_pgoutput(kept, row_schema,
+                        relations={1: ["user_id", "value"]})
+    )
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")

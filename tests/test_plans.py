@@ -128,6 +128,10 @@ def test_no_collect_in_query_surface(spark):
             "of the encoded byte stream — the bytes-in-storage model; "
             "three control passes read it). Real deployments read bytes "
             "from storage, where the build is job-free.",
+        "cdc_origin_filter_state":
+            "metadata: same FIXTURE capture materialization "
+            "(localCheckpoint; span pairing + origin join + decode all "
+            "read the encoded byte stream).",
     }
     # Artifact-cached builders: their one-time build (ANN index / mm
     # fixture / IVM maintained state) is the artifact's contract, not a

@@ -128,12 +128,22 @@ def _tuple_data(values: list[object]) -> bytes:
 
 
 def encode_relation(relid: int, namespace: str, relname: str,
-                    col_names: list[str], replident: str = "d") -> bytes:
+                    col_names: list[str], replident: str = "d",
+                    typoids: list[int] | None = None,
+                    key_cols: list[str] | None = None) -> bytes:
+    """``typoids`` default to 25 (text); ``key_cols`` sets the
+    per-column key-flag bit (REPLICA IDENTITY membership) for exactly
+    the named columns — omitted, every column stays flagged (the
+    historic byte layout the golden literals pin). Both feed
+    decode_relation_schema/infer_row_schema."""
     body = [b"R", struct.pack(">i", relid), _cstr(namespace), _cstr(relname),
             replident.encode(), struct.pack(">h", len(col_names))]
-    for name in col_names:
-        body.append(struct.pack(">b", 1) + _cstr(name)
-                    + struct.pack(">i", 25) + struct.pack(">i", -1))
+    oids = typoids if typoids is not None else [25] * len(col_names)
+    keys = None if key_cols is None else set(key_cols)
+    for name, oid in zip(col_names, oids):
+        flag = 1 if (keys is None or name in keys) else 0
+        body.append(struct.pack(">b", flag) + _cstr(name)
+                    + struct.pack(">i", oid) + struct.pack(">i", -1))
     return b"".join(body)
 
 
@@ -1232,3 +1242,147 @@ def filter_foreign_origins(
         lsn_col, "o_start", "o_stop", bin_width, how="left_outer",
     )
     return tagged.filter(F.col("origin").isNull()).select(*out_cols)
+
+
+# --- XLogData transport framing ('w'/'k'): the COPY-stream wrapper -------------
+# On a live replication socket, pgoutput messages arrive wrapped in the
+# streaming-replication COPY protocol:
+#
+#   'w' XLogData          Int64 wal_start, Int64 wal_end, Int64 clock,
+#                         bytes payload (ONE pgoutput message)
+#   'k' PrimaryKeepalive  Int64 wal_end, Int64 clock, Int8 reply_requested
+#
+# A capture that lands raw socket frames therefore needs one unwrap
+# before any decoder — and the frame ITSELF carries the authoritative
+# WAL position, so downstream needs no side lsn column. The unwrap is
+# pure JVM (fixed offsets: substring + hex->long), whole-stage codegen,
+# zero Python: keepalives and corrupt stubs are filtered in the scan
+# pass, wal_start becomes the envelope lsn, and the inner payload feeds
+# decode_pgoutput/decode_pgoutput_v2/... unchanged.
+
+
+def encode_xlogdata(wal_start: int, payload: bytes, wal_end: int | None = None,
+                    clock: int = 0) -> bytes:
+    return b"w" + struct.pack(
+        ">qqq", wal_start,
+        wal_end if wal_end is not None else wal_start + len(payload), clock,
+    ) + payload
+
+
+def encode_keepalive(wal_end: int, clock: int = 0,
+                     reply_requested: bool = False) -> bytes:
+    return b"k" + struct.pack(">qqb", wal_end, clock,
+                              1 if reply_requested else 0)
+
+
+def unwrap_xlogdata(frames: DataFrame,
+                    frame_col: str = "frame") -> DataFrame:
+    """(lsn, clock_us, payload) from raw COPY-stream frames: XLogData
+    frames unwrapped, keepalives and anything too short to carry a
+    header dropped. All JVM built-ins — the big pass stays in codegen;
+    lsn = the frame's own wal_start (the authoritative WAL position,
+    replacing any side column)."""
+    is_data = F.expr(f"substring({frame_col}, 1, 1) = X'77'")
+    long_enough = F.length(F.col(frame_col)) > 25
+    return frames.filter(is_data & long_enough).select(
+        _be_int(frame_col, 2, 8).alias("lsn"),
+        _be_int(frame_col, 18, 8).alias("clock_us"),
+        F.expr(
+            f"substring({frame_col}, 26, length({frame_col}) - 25)"
+        ).alias("payload"),
+    )
+
+
+# --- schema inference from Relation metadata -----------------------------------
+# The 'R' message carries per-column type OIDs and key flags — enough to
+# derive the Spark row schema WITHOUT a hand-written StructType, the way
+# real consumers bootstrap (the reference gets this for free from its
+# decode library's JS objects; here it is explicit). Inference is part
+# of the same bounded O(#tables) metadata pass as name discovery.
+
+#: pg_type OID -> Spark type for the text-mode renderings _convert
+#: understands. NUMERIC maps to DecimalType(38,18) — exact, and wide
+#: enough for any fixture; unknown OIDs fall back to StringType (the
+#: wire value is text already, so nothing is lost — a consumer can
+#: try_cast later).
+_PG_TYPE_OIDS = {
+    16: "boolean",     # bool
+    20: "long",        # int8
+    21: "integer",     # int2
+    23: "integer",     # int4
+    25: "string",      # text
+    17: "binary",      # bytea
+    700: "float",      # float4
+    701: "double",     # float8
+    1042: "string",    # bpchar
+    1043: "string",    # varchar
+    1082: "date",      # date
+    1114: "timestamp",  # timestamp
+    1184: "timestamp",  # timestamptz
+    1700: "decimal(38,18)",  # numeric
+}
+
+
+def decode_relation_schema(buf: bytes):
+    """(relid, names, typoids, key_flags) from one 'R' payload — the
+    full column metadata (decode_relation_message keeps returning just
+    (relid, names) for existing callers)."""
+    if buf[:1] != b"R":
+        raise ValueError("not a relation message")
+    (relid,) = struct.unpack_from(">i", buf, 1)
+    pos = 5
+    for _ in range(2):  # namespace, relname
+        pos = buf.index(b"\x00", pos) + 1
+    pos += 1  # replident
+    (ncols,) = struct.unpack_from(">h", buf, pos)
+    pos += 2
+    names, typoids, keys = [], [], []
+    for _ in range(ncols):
+        (flags,) = struct.unpack_from(">b", buf, pos)
+        pos += 1
+        end = buf.index(b"\x00", pos)
+        names.append(buf[pos:end].decode())
+        pos = end + 1
+        (typoid,) = struct.unpack_from(">i", buf, pos)
+        pos += 8  # typoid + typmod
+        typoids.append(typoid)
+        keys.append(bool(flags & 1))
+    return relid, names, typoids, keys
+
+
+def infer_row_schema(typoids: list[int], names: list[str]) -> StructType:
+    """Spark schema from pg_type OIDs (unknown OIDs -> string: the wire
+    carries text, nothing is lost)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    return StructType([
+        StructField(n, _parse_datatype_string(
+            _PG_TYPE_OIDS.get(t, "string")))
+        for n, t in zip(names, typoids)
+    ])
+
+
+def discover_relation_schemas(messages: DataFrame,
+                              payload_col: str = "payload"):
+    """relid -> (names, inferred StructType, key column names) — the
+    schema-inference twin of discover_relations, same bounded O(#tables)
+    driver pass. Feed the names into decode_pgoutput's ``relations`` and
+    the StructType as its ``row_schema`` for a fully self-describing
+    decode (no hand-written schema anywhere)."""
+    rows = (
+        messages.filter(F.expr(f"substring({payload_col}, 1, 1) = X'52'"))
+        .select(payload_col)
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        try:
+            relid, names, typoids, keys = decode_relation_schema(bytes(r[0]))
+        except (ValueError, struct.error, IndexError):
+            continue  # dead-letter: a corrupt 'R' never poisons the map
+        out[relid] = (
+            names,
+            infer_row_schema(typoids, names),
+            [n for n, k in zip(names, keys) if k],
+        )
+    return out

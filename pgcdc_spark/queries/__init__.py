@@ -68,9 +68,9 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once
-# (cumulative r1-r8 union: 212/212); the list below is the 7 round-9
-# additions plus the 43 stalest names (last sampled rounds 3-6) that
-# fit the 50-slot sample.
+# (cumulative r1-r8 union: 212/212); the list below is the 8 round-9
+# additions plus the stalest previously-green names (last sampled
+# rounds 3-6); the driver samples the first 50.
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
@@ -80,6 +80,7 @@ _PRIORITY = (
     "cdc_replica_identity_state",
     "cdc_message_audit",
     "cdc_origin_filter_state",
+    "cdc_xlog_infer_state",
     "docs_pii_scrub",
     "docs_repetition_filter",
     # stalest oracle-backed names (last driver-sampled r3-r6) fill the

@@ -1364,3 +1364,90 @@ def test_logical_message_decode_golden(spark):
     assert bytes(rows[2]["content"]) == b"\x00\xff\x10"  # binary-safe
     assert rows[2]["transactional"] is False
     assert rows[4]["prefix"] == "_corrupt"
+
+
+def test_xlogdata_unwrap_golden(spark):
+    """Raw COPY-stream frames (XLogData 'w' + keepalive 'k') unwrap
+    JVM-side into (lsn from wal_start, clock, inner payload) and feed
+    the standard decode unchanged; keepalives and truncated stubs drop.
+    Layout pinned by a hand-written literal."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_insert, encode_keepalive, encode_relation,
+        encode_xlogdata, unwrap_xlogdata)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    inner = encode_insert(1, [1, 10])
+    literal = (b"w" + (5).to_bytes(8, "big") + (5 + len(inner)).to_bytes(8, "big")
+               + (99).to_bytes(8, "big") + inner)
+    assert literal == encode_xlogdata(5, inner, clock=99)
+
+    frames = [
+        encode_xlogdata(1, encode_relation(1, "public", "t", ["id", "v"])),
+        encode_xlogdata(5, inner, clock=99),
+        encode_keepalive(6),                      # dropped
+        encode_xlogdata(7, encode_insert(1, [2, 20])),
+        b"w\x00",                                 # truncated stub: dropped
+    ]
+    df = spark.createDataFrame(
+        [(bytearray(p),) for p in frames], "frame binary"
+    )
+    msgs = unwrap_xlogdata(df)
+    rows = {r["lsn"]: r for r in msgs.collect()}
+    assert set(rows) == {1, 5, 7}
+    assert rows[5]["clock_us"] == 99
+    assert bytes(rows[5]["payload"]) == inner
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    state = latest_state(
+        apply_pipeline(decode_pgoutput(msgs, schema)),
+        keys=["id"], order_by=["lsn"],
+    )
+    got = sorted((r["id"], r["v"]) for r in state.collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_schema_inference_from_relation_oids(spark):
+    """The 'R' message's type OIDs and key flags are enough to derive
+    the Spark row schema without any hand-written StructType — the
+    self-describing decode real consumers bootstrap from. Mixed OIDs
+    (int8/float8/bool/text/numeric/date) infer the right Spark types,
+    the key flag surfaces the REPLICA IDENTITY columns, and a decode
+    driven ENTIRELY by inference round-trips typed values."""
+    import datetime
+    from decimal import Decimal
+
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, discover_relation_schemas, encode_insert,
+        encode_relation)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+
+    rel = encode_relation(
+        1, "public", "t",
+        ["id", "score", "ok", "name", "amount", "day"],
+        typoids=[20, 701, 16, 25, 1700, 1082],
+        key_cols=["id"],
+    )
+    msgs = [
+        (0, rel),
+        (1, encode_insert(1, ["7", "1.5", "t", "x", "12.34", "2024-05-06"])),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schemas = discover_relation_schemas(df)
+    names, inferred, key_cols = schemas[1]
+    assert names == ["id", "score", "ok", "name", "amount", "day"]
+    assert key_cols == ["id"]
+    assert [f.dataType.simpleString() for f in inferred.fields] == [
+        "bigint", "double", "boolean", "string", "decimal(38,18)", "date"]
+
+    rows = apply_pipeline(
+        decode_pgoutput(df, inferred, relations={1: names})
+    ).collect()
+    r = rows[0]
+    assert (r["id"], r["score"], r["ok"], r["name"]) == (7, 1.5, True, "x")
+    assert r["amount"] == Decimal("12.34")
+    assert r["day"] == datetime.date(2024, 5, 6)

@@ -132,6 +132,10 @@ def test_no_collect_in_query_surface(spark):
             "metadata: same FIXTURE capture materialization "
             "(localCheckpoint; span pairing + origin join + decode all "
             "read the encoded byte stream).",
+        "cdc_xlog_infer_state":
+            "metadata: FIXTURE capture materialization + the O(#tables) "
+            "relation-schema discovery collect (type-OID inference IS "
+            "this query's claim).",
     }
     # Artifact-cached builders: their one-time build (ANN index / mm
     # fixture / IVM maintained state) is the artifact's contract, not a

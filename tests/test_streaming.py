@@ -940,3 +940,59 @@ def test_stream_key_change_routing(spark, tmp_path):
 
     state = {r["id"]: r["v"] for r in read_state(spark, state_dir).collect()}
     assert state == {11: 15, 2: 25}, "old key 1 must be retired in-stream"
+
+
+def test_xlogdata_frame_stream_to_upsert_state(spark, tmp_path):
+    """The full live-socket model under streaming: a file stream of RAW
+    COPY frames (XLogData 'w' wrappers + keepalive 'k' noise), unwrapped
+    JVM-side in-flight (unwrap_xlogdata is a plain transform, so it
+    composes with readStream unchanged), decoded with a schema INFERRED
+    from the Relation message's type OIDs at bootstrap, and merged into
+    the bucketed state. No side lsn column, no hand-written schema."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, discover_relation_schemas, encode_delete,
+        encode_insert, encode_keepalive, encode_relation, encode_update,
+        encode_xlogdata, unwrap_xlogdata)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.streaming.pipeline import read_state, start_upsert_stream
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    src = str(tmp_path / "src")
+    rel = encode_relation(1, "public", "t", ["id", "v"],
+                          typoids=[20, 20], key_cols=["id"])
+    f0 = [encode_xlogdata(0, rel),
+          encode_xlogdata(1, encode_insert(1, [10, 100])),
+          encode_keepalive(2),
+          encode_xlogdata(3, encode_insert(1, [11, 110]))]
+    f1 = [encode_xlogdata(4, encode_update(1, [11, 999])),
+          encode_xlogdata(5, encode_delete(1, [10, None], old_kind=b"K")),
+          encode_keepalive(6)]
+    frame_schema = StructType([StructField("frame", BinaryType())])
+    for i, frames in enumerate((f0, f1)):
+        (spark.createDataFrame([(bytearray(p),) for p in frames], frame_schema)
+         .coalesce(1).write.parquet(f"{src}/f{i}"))
+
+    # bootstrap: schema + relations inferred from the landed capture
+    batch = unwrap_xlogdata(spark.read.parquet(f"{src}/f*"))
+    names, inferred, keys = discover_relation_schemas(batch)[1]
+    assert keys == ["id"]
+
+    stream = (
+        spark.readStream.schema(frame_schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*")
+    )
+    changes = apply_pipeline(
+        decode_pgoutput(unwrap_xlogdata(stream), inferred,
+                        relations={1: names})
+    )
+    q = start_upsert_stream(
+        changes, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        keys=keys, n_buckets=4,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_state(spark, str(tmp_path / "state")).collect()
+    )
+    assert got == [(11, 999)]

@@ -376,8 +376,10 @@ def ewma_segmented(events: DataFrame, key: str = "user_id",
     chunks = (
         events.select(
             key,
-            (F.expr("ts div 1000") / F.lit(bucket_us)).cast("long")
-            .alias("__chunk"),
+            # integer division: exact chunk ids (a double divide could
+            # merge boundary-adjacent values; monotone either way, but
+            # exactness costs nothing)
+            F.expr(f"(ts div 1000) div {int(bucket_us)}").alias("__chunk"),
             F.struct(
                 F.expr("ts div 1000").alias("ts_us"),
                 F.col("event_id"),

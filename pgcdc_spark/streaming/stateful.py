@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -295,5 +296,78 @@ def streaming_running_stats(
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+# --- cross-batch EWMA: the streaming twin of queries/timeseries.ewma_segmented
+
+_EWMA_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key EWMA (alpha=0.5) maintained ACROSS micro-batches: state is
+    the (last order, current ewma, count) triple — O(1) per key, the
+    hot-key-safe serving shape the r8 verdict asked for as the streaming
+    alternative to whole-series aggregation. Each batch folds its rows
+    in (ts, id) order from the stored accumulator, so the emitted value
+    is BIT-IDENTICAL to the sequential fold over the full history
+    (multiplication by 0.5 is exact; the fold order is the same).
+
+    Exactness contract: batches must arrive in event-time order per key
+    (a replayed/late row at or below the stored order is DROPPED,
+    idempotent-replay style). For arbitrary out-of-order delivery use
+    the batch segmented fold (timeseries.ewma_segmented), which is
+    order-free."""
+    out_schema = StructType([
+        events.schema[key],
+        StructField("n_obs", LongType()),
+        _EWMA_STATE["ewma"],
+    ])
+
+    def update(
+        key_tuple: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, last_id, e, n = (
+            state.get if state.exists else (None, None, None, 0)
+        )
+        changed = False
+        for pdf in pdfs:
+            for _, r in pdf.sort_values([ts_col, id_col]).iterrows():
+                ts, eid = int(r[ts_col]), int(r[id_col])
+                if last_ts is not None and (ts, eid) <= (last_ts, last_id):
+                    continue  # replay/late: idempotent drop
+                x = float(r[val_col])
+                e = x if e is None else 0.5 * x + 0.5 * e
+                last_ts, last_id, n = ts, eid, n + 1
+                changed = True
+        if changed:
+            state.update((last_ts, last_id, e, n))
+            yield pd.DataFrame({key: [key_tuple[0]], "n_obs": [n],
+                                "ewma": [e]})
+
+    return (
+        events.groupBy(F.col(key))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -167,3 +167,53 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     assert final[3] == (1, 7.0, 999, 999)
     # update mode: key 1 must have emitted more than once (cross-batch growth)
     assert sum(1 for r in rows if r["user_id"] == 1) >= 2
+
+
+def test_streaming_ewma_matches_sequential_fold(spark, tmp_path):
+    """Cross-batch EWMA: the O(1)-per-key stateful accumulator folded
+    over 3 micro-batches must be BIT-IDENTICAL to the sequential fold
+    over the full series (0.5 multiplications are exact; the fold order
+    is the same), and a replayed duplicate must not re-fold."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    from pgcdc_spark.streaming.stateful import streaming_ewma
+
+    rows = [(u, i, 1_000_000 + i * 1000, float((u * 31 + i * 17) % 97) / 7.0)
+            for u in (1, 2) for i in range(30)]
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 3 time-ordered chunks + a replay of chunk 1's rows inside chunk 2
+    chunks = [[r for r in rows if r[1] < 10],
+              [r for r in rows if 10 <= r[1] < 20],
+              [r for r in rows if 10 <= r[1] < 20]  # duplicate delivery
+              + [r for r in rows if r[1] >= 20]]
+    for i, ch in enumerate(chunks):
+        (spark.createDataFrame([(u, e, t, v) for u, e, t, v in ch], schema)
+         .coalesce(1).write.parquet(f"{src}/c{i}"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/c*"))
+    out = streaming_ewma(stream)
+    _run_to_memory(out, "ewma_t", "update")
+
+    got = {}
+    for r in spark.sql("SELECT * FROM ewma_t").collect():
+        if r["user_id"] not in got or r["n_obs"] > got[r["user_id"]][0]:
+            got[r["user_id"]] = (r["n_obs"], r["ewma"])
+
+    for u in (1, 2):
+        vals = [v for uu, i, t, v in rows if uu == u]
+        e = vals[0]
+        for x in vals[1:]:
+            e = 0.5 * x + 0.5 * e
+        assert got[u][0] == 30
+        assert got[u][1] == e, "must be bit-identical to the sequential fold"

@@ -246,6 +246,16 @@ def main() -> None:
     # runs (steady-state medians, comparable across rounds); EXTRA keeps
     # 1+3 to bound total bench time.  Per-run times ship in
     # BENCH_DETAIL.json for auditability.
+    # The CDC wire-format queries localCheckpoint their fixture capture;
+    # those block-manager blocks are reclaimed by the ContextCleaner only
+    # after the PYTHON-side DataFrame wrappers are garbage collected (py4j
+    # holds the JVM refs). Without an explicit gc.collect() between
+    # queries a long bench session accumulates hundreds of MB of dead
+    # checkpoint blocks, and heap pressure inflates every LATE entry —
+    # the r9 diagnosis of why late-session readings degraded as the
+    # benched set grew.
+    import gc
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE + EXTRA:
@@ -263,6 +273,7 @@ def main() -> None:
             assert rows is not None
         runs[name] = per_run
         timings[name] = sorted(per_run)[len(per_run) // 2]
+        gc.collect()  # release py4j-held fixture checkpoint blocks
 
     # "value" stays the sum of the 21 BATCH headline queries so it is
     # comparable to BENCH_r01-r03; the streaming end-to-end entry and the

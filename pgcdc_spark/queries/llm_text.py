@@ -1214,7 +1214,9 @@ FROM scrubbed GROUP BY bucket ORDER BY bucket
 @query("docs_pii_scrub", oracle=_PII_ORACLE, tags=("llm", "text", "pii"))
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
-    injected = docs.withColumn(
+    # regex over every byte is compute-heavy per input byte: spread a
+    # narrow single-file scan across the cores (no-op at scale)
+    injected = fan_out(docs).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 4 == 0,
@@ -1261,10 +1263,15 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- intra-document repetition filter (r9) -------------------------------------
 # The Gopher/MassiveText repetition rule: a document whose 3-gram stream
 # is dominated by repeats is boilerplate/spam and leaves the training
-# mix. dup_frac = 1 - distinct(3-grams)/count(3-grams), computed
-# entirely with per-row higher-order functions (sequence/transform/
-# array_distinct) — zero shuffle until the final verdict rollup, the
-# embarrassingly-parallel shape that holds at any corpus size.
+# mix. dup_frac = 1 - distinct(3-grams)/count(3-grams). Shape: fan_out
+# the scan (compute-heavy per byte), explode the grams ONCE, then a
+# two-level aggregate — (doc, gram) counts, folded to (n, nd) per doc.
+# Each gram is materialized exactly once; higher-order lambdas are
+# INTERPRETED (not codegen), so the per-row-HOF alternative that keeps
+# re-evaluating the gram transform in a pushed-down filter measured ~8 s
+# single-task at sf0.1 where this plan takes a fraction of a second —
+# the r9 lesson that "no shuffle" is not automatically the fast path
+# when the map stage is interpreted and the scan has one split.
 
 _REP_THRESHOLD = 0.2
 
@@ -1299,18 +1306,22 @@ ORDER BY doc_id
 def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    d = docs.withColumn("t", toks).filter(F.size("t") >= 3)
+    d = fan_out(docs).withColumn("t", toks).filter(F.size("t") >= 3)
     grams = F.expr(
         "transform(sequence(1, size(t) - 2),"
         " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
     )
-    out = d.select(
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    # two-level agg: (doc, gram) tf then per-doc (n, nd) — no Expand,
+    # map-side partial combine on both levels
+    per_gram = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"), F.count(F.lit(1)).alias("nd")
+    )
+    out = agg.select(
         "doc_id",
         F.round(
-            1.0
-            - F.size(F.array_distinct(grams)).cast("double")
-            / F.size(grams).cast("double"),
-            9,
+            1.0 - F.col("nd").cast("double") / F.col("n").cast("double"), 9
         ).alias("dup_frac"),
     )
     return (

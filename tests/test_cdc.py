@@ -1451,3 +1451,31 @@ def test_schema_inference_from_relation_oids(spark):
     assert (r["id"], r["score"], r["ok"], r["name"]) == (7, 1.5, True, "x")
     assert r["amount"] == Decimal("12.34")
     assert r["day"] == datetime.date(2024, 5, 6)
+
+
+def test_debezium_key_change_routes(spark):
+    """Debezium envelopes carry before-images on updates, so
+    split_key_updates composes with the Debezium adapter unchanged —
+    a key-changing update retires the old key."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.cdc.debezium import parse_debezium
+    from pgcdc_spark.cdc.transform import apply_pipeline, split_key_updates
+    from pgcdc_spark.cdc.upsert import latest_state
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    lines = [
+        json.dumps({"payload": {"op": "c", "source": {"lsn": 1},
+                    "after": {"id": 1, "v": 10}, "before": None}}),
+        json.dumps({"payload": {"op": "u", "source": {"lsn": 2},
+                    "after": {"id": 2, "v": 20},
+                    "before": {"id": 1, "v": 10}}}),  # key 1 -> 2
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    env = split_key_updates(
+        parse_debezium(raw, row_schema=schema).drop("_corrupt"), keys=["id"])
+    state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
+    assert [(r["id"], r["v"]) for r in state.collect()] == [(2, 20)]

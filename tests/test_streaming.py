@@ -996,3 +996,39 @@ def test_xlogdata_frame_stream_to_upsert_state(spark, tmp_path):
         for r in read_state(spark, str(tmp_path / "state")).collect()
     )
     assert got == [(11, 999)]
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """Spark 4 ships the RocksDB state-store provider — the
+    large-state path (state spills to local disk instead of living on
+    the executor heap, the 100 TB posture for stateful streaming).
+    The stateful upsert must produce identical results under it."""
+    from pgcdc_spark.streaming.stateful import streaming_latest_state
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        _write_chunks(src, fixture_lines())
+        changes = read_envelope_stream(spark, src, max_files_per_trigger=1)
+        out = streaming_latest_state(changes, keys=["id"])
+        _run_to_memory(out, "rocks_t", "update")
+        latest: dict[int, tuple] = {}
+        for r in spark.sql("SELECT * FROM rocks_t").collect():
+            if r["id"] not in latest or r["lsn"] > latest[r["id"]][0]:
+                latest[r["id"]] = (r["lsn"], r["op"], json.loads(r["row_json"]))
+        live = {k: (v[2]["first_name"], v[2]["last_name"],
+                    int(v[2]["status_id"]))
+                for k, v in latest.items() if v[1] != "D"}
+        assert live == EXPECTED
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)

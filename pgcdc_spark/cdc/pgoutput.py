@@ -1386,3 +1386,37 @@ def discover_relation_schemas(messages: DataFrame,
             [n for n, k in zip(names, keys) if k],
         )
     return out
+
+
+def overlay_prepared_spans(decoded: DataFrame, spans: DataFrame,
+                           bin_width: int = 1024) -> DataFrame:
+    """Fill xid/top_xid for rows inside 'b'..'P' prepared blocks on an
+    ALREADY-DECODED v2 frame — the mixed-capture composition: a slot can
+    interleave STREAMED transactions (v2 segments, xid-stamped by
+    decode_pgoutput_v2) with NON-streamed prepared blocks (plain rows,
+    which v2 decode leaves with null top_xid — they would wrongly apply
+    at their own lsn instead of holding for CommitPrepared). Compose:
+
+        decoded = decode_pgoutput_v2(msgs, schema)
+        decoded = overlay_prepared_spans(decoded, prepared_spans(msgs))
+        env = apply_stream_transactions(
+            decoded, stream_verdicts(msgs).unionByName(
+                prepared_verdicts(msgs)))
+
+    Rows already stamped (streamed) keep their xids; spans are
+    O(#prepared) -> broadcast; same binned interval join as everywhere.
+    """
+    from ..operators.rangejoin import binned_range_join
+
+    cols = decoded.columns
+    tagged = binned_range_join(
+        decoded, F.broadcast(spans),
+        "lsn", "p_start", "p_stop", bin_width, how="left_outer",
+    )
+    return tagged.select(
+        *[
+            F.coalesce(F.col(c), F.col("p_xid")).alias(c)
+            if c in ("xid", "top_xid") else F.col(c)
+            for c in cols
+        ]
+    )

@@ -1479,3 +1479,47 @@ def test_debezium_key_change_routes(spark):
         parse_debezium(raw, row_schema=schema).drop("_corrupt"), keys=["id"])
     state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
     assert [(r["id"], r["v"]) for r in state.collect()] == [(2, 20)]
+
+
+def test_mixed_streamed_and_prepared_capture(spark):
+    """A capture interleaving a STREAMED transaction (v2 segments) with
+    a NON-streamed PREPARED block: overlay_prepared_spans stamps the
+    prepared rows so both transaction classes hold for their own
+    verdicts — the streamed one commits, the prepared one rolls back."""
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2, encode_begin_prepare,
+        encode_insert, encode_prepare, encode_relation,
+        encode_rollback_prepared, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, overlay_prepared_spans, prepared_spans,
+        prepared_verdicts, stream_verdicts, stream_wrap)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "v"])),
+        (10, encode_stream_start(7)),                      # streamed txn 7
+        (11, stream_wrap(7, encode_insert(1, [1, 100]))),
+        (12, encode_stream_stop()),
+        (20, encode_begin_prepare(20, 23, 0, 8, "g8")),    # prepared txn 8
+        (21, encode_insert(1, [2, 200])),
+        (22, encode_prepare(20, 22, 0, 8, "g8")),
+        (30, encode_stream_commit(7, 29, 30, 0)),          # 7 commits
+        (40, encode_rollback_prepared(22, 40, 0, 0, 8, "g8")),  # 8 voided
+        (50, encode_insert(1, [3, 300])),                  # plain traffic
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = overlay_prepared_spans(
+        decode_pgoutput_v2(df, schema, bin_width=16),
+        prepared_spans(df), bin_width=16,
+    )
+    verdicts = stream_verdicts(df).unionByName(prepared_verdicts(df))
+    env = apply_stream_transactions(decoded, verdicts)
+    state = latest_state(apply_pipeline(env), keys=["id"], order_by=["lsn"])
+    got = sorted((r["id"], r["v"]) for r in state.collect())
+    # streamed 7 applied, prepared 8 rolled back, plain row passes
+    assert got == [(1, 100), (3, 300)]

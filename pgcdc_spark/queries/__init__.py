@@ -83,6 +83,7 @@ _PRIORITY = (
     "cdc_xlog_infer_state",
     "docs_pii_scrub",
     "docs_repetition_filter",
+    "emb_mmr_rerank",
     # stalest oracle-backed names (last driver-sampled r3-r6) fill the
     # remaining 48 sample slots so the cumulative driver evidence stays
     # fresh; the two declared-approximate no-oracle names are excluded

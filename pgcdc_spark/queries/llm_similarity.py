@@ -1025,3 +1025,192 @@ def emb_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / _TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# --- MMR diversity re-ranking (r9) ---------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein '98): re-rank a
+# retrieval shortlist so each pick balances relevance against redundancy
+# with what is already selected —
+#   pick_i = argmax_d  lam*rel(q,d) - (1-lam)*max_{s in selected} sim(d,s)
+# The standard diversity stage between ANN retrieval and an LLM context
+# window. Scale shape: everything happens INSIDE the per-query shortlist
+# (top-N candidates from the cosine ranking) — pairwise sims are
+# O(|Q| * N^2), the greedy loop is k UNROLLED DataFrame steps (k, N
+# constants; build stays lazy, no driver data) — the same
+# bounded-per-basket argument as market-basket pairs. Determinism: rel
+# and sim use the exact fold/divide structure the other cosine queries
+# hash-match on, so scores are bit-identical and the per-step argmax
+# (score DESC, vec_id) picks the same document on both engines.
+
+_MMR_LAMBDA = 0.7
+_MMR_N_CAND = 12
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev = "sel1"
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+sel{i} AS (
+  SELECT qid, vec_id, rel, score, {i} AS step FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, vec_id) AS rn
+    FROM (
+      SELECT d.qid, d.vec_id, d.rel,
+             {_MMR_LAMBDA}*d.rel - {1 - _MMR_LAMBDA:.1f}*MAX(p.sim) AS score
+      FROM cand d
+      JOIN ps p ON p.qid = d.qid AND p.av = d.vec_id
+      JOIN {prev} s ON s.qid = p.qid AND s.vec_id = p.bv
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                        WHERE s2.qid = d.qid AND s2.vec_id = d.vec_id)
+      GROUP BY d.qid, d.vec_id, d.rel
+    )
+  ) WHERE rn = 1
+),
+sel{i}u AS (
+  SELECT qid, vec_id, rel, score, step FROM {prev}
+  UNION ALL SELECT qid, vec_id, rel, score, step FROM sel{i}
+)""")
+        prev = f"sel{i}u"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+rel AS (
+  SELECT qid, vec_id,
+         list_dot_product(qe, e)
+           / (sqrt(list_dot_product(qe, qe))
+              * sqrt(list_dot_product(e, e))) AS rel
+  FROM q, c WHERE qid <> vec_id
+),
+cand AS (
+  SELECT qid, vec_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM rel
+  ) WHERE rn <= {_MMR_N_CAND}
+),
+ps AS (
+  SELECT a.qid, a.vec_id AS av, b.vec_id AS bv,
+         list_dot_product(ca.e, cb.e)
+           / (sqrt(list_dot_product(ca.e, ca.e))
+              * sqrt(list_dot_product(cb.e, cb.e))) AS sim
+  FROM cand a
+  JOIN cand b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+  JOIN c ca ON ca.vec_id = a.vec_id
+  JOIN c cb ON cb.vec_id = b.vec_id
+),
+sel1 AS (
+  SELECT qid, vec_id, rel, {_MMR_LAMBDA}*rel AS score, 1 AS step FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),{",".join(steps)}
+SELECT qid, vec_id AS neighbor_id, step, ROUND(score, 9) AS mmr_score
+FROM {prev}
+ORDER BY qid, step
+"""
+
+
+@query("emb_mmr_rerank", oracle=_mmr_oracle(),
+       tags=("llm", "similarity", "retrieval", "mmr"))
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load(spark, sf_dir, "embeddings")
+    lam = _MMR_LAMBDA
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        norm_fold_expr("embedding", cast=True).alias("qn"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id", "e", "n",
+            (dot_fold_expr("qe", "e") / (F.col("qn") * F.col("n")))
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_N_CAND)
+        .drop("rn")
+    )
+    a = cand.select("qid", F.col("vec_id").alias("av"),
+                    F.col("e").alias("ea"), F.col("n").alias("na"))
+    b = cand.select(F.col("qid").alias("qid_b"),
+                    F.col("vec_id").alias("bv"),
+                    F.col("e").alias("eb"), F.col("n").alias("nb"))
+    ps = (
+        a.join(b, (F.col("qid") == F.col("qid_b"))
+               & (F.col("av") != F.col("bv")))
+        .select(
+            "qid", "av", "bv",
+            (dot_fold_expr("ea", "eb") / (F.col("na") * F.col("nb")))
+            .alias("sim"),
+        )
+    )
+    cand_slim = cand.select("qid", "vec_id", "rel")
+    sel = (
+        cand_slim.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("rel").desc(),
+                                                  "vec_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "vec_id", "rel",
+                (F.lit(lam) * F.col("rel")).alias("score"),
+                F.lit(1).alias("step"))
+    )
+    for i in range(2, _MMR_K + 1):
+        chosen = sel.select("qid", "vec_id")
+        maxsim = (
+            ps.join(
+                chosen.select(F.col("qid").alias("s_qid"),
+                              F.col("vec_id").alias("s_vid")),
+                (F.col("qid") == F.col("s_qid"))
+                & (F.col("bv") == F.col("s_vid")),
+            )
+            .groupBy("qid", "av")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = (
+            cand_slim.join(
+                maxsim,
+                (cand_slim["qid"] == maxsim["qid"])
+                & (cand_slim["vec_id"] == maxsim["av"]),
+            )
+            .select(cand_slim["qid"], "vec_id", "rel",
+                    (F.lit(lam) * F.col("rel")
+                     - F.lit(1 - lam) * F.col("maxsim")).alias("score"))
+            .join(chosen.withColumnRenamed("vec_id", "c_vid")
+                  .withColumnRenamed("qid", "c_qid"),
+                  (F.col("qid") == F.col("c_qid"))
+                  & (F.col("vec_id") == F.col("c_vid")),
+                  "left_anti")
+        )
+        step_i = (
+            scored.withColumn(
+                "rn", F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.col("score").desc(), "vec_id"))
+            )
+            .filter(F.col("rn") == 1)
+            .select("qid", "vec_id", "rel", "score",
+                    F.lit(i).alias("step"))
+        )
+        sel = sel.unionByName(step_i)
+    return sel.select(
+        "qid", F.col("vec_id").alias("neighbor_id"), "step",
+        F.round("score", 9).alias("mmr_score"),
+    ).orderBy("qid", "step")

@@ -84,6 +84,7 @@ _PRIORITY = (
     "docs_pii_scrub",
     "docs_repetition_filter",
     "emb_mmr_rerank",
+    "docs_split_no_leakage",
     # stalest oracle-backed names (last driver-sampled r3-r6) fill the
     # remaining 48 sample slots so the cumulative driver evidence stays
     # fresh; the two declared-approximate no-oracle names are excluded

@@ -1330,3 +1330,75 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dup_frac") > _REP_THRESHOLD).alias("flagged"))
         .orderBy("doc_id")
     )
+
+
+# --- leakage-free split: duplicates must co-locate (r9) ------------------------
+# Splitting by doc_id leaks: two byte-identical documents can land in
+# train AND test, inflating eval scores (the classic contamination-by-
+# split bug). The fix is to bucket on the CONTENT (all copies of a text
+# share the split), here via the same md5 convention as
+# docs_train_val_test_split but keyed on md5(text). The query proves the
+# property itself: per split, doc/group counts, plus a corpus-level
+# leak counter = number of duplicate GROUPS whose members span >1 split
+# — which must be 0 by construction and is hash-checked as such
+# (the oracle computes it the same way; a regression in the bucketing
+# would show up as a nonzero leak count on both the engine and the
+# judge's own reading). Near-duplicate (MinHash-cluster) co-location is
+# the same construction keyed on the cluster canonical id — the exact
+# variant keeps the oracle cheap at sf0.1 (no recursive CC SQL).
+
+_NOLEAK_ORACLE = """
+WITH b AS (
+  SELECT doc_id, md5(text) AS grp,
+         ('0x' || substr(md5(md5(text)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, grp,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+),
+leaks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_groups FROM (
+    SELECT grp FROM s GROUP BY grp HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+       (SELECT leaked_groups FROM leaks) AS leaked_groups
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+@query("docs_split_no_leakage", oracle=_NOLEAK_ORACLE,
+       tags=("llm", "text", "sampling", "split", "dedup"))
+def docs_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load(spark, sf_dir, "documents")
+    grp = F.md5(F.col("text").cast("binary"))
+    bucket = (
+        F.conv(F.substring(F.md5(grp.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    s = docs.select(grp.alias("grp"), split.alias("split"))
+    leaks = (
+        s.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_groups"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("grp").cast("long").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_groups", "leaked_groups")
+        .orderBy("split")
+    )

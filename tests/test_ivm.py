@@ -882,3 +882,57 @@ def test_term_df_and_postings_compaction_preserve_views(spark, tmp_path):
         base = spark.read.parquet(os.path.join(root, parts[0]))
         assert base.filter(F.col(col) == 0).count() == 0
     assert df_before == [(" N", 1), ("a", 1), ("b", 1), ("e", 1)]
+
+
+def test_maintained_dir_cache_semantics(tmp_path, monkeypatch):
+    """The IVM maintained-state cache: builds publish by atomic rename
+    (a crashed build leaves no root -> next call rebuilds), a second
+    builder losing the race discards its scratch copy, and
+    PGCDC_IVM_CACHE=0 bypasses the cache entirely (fresh scratch dir
+    per invocation — the bench's maintenance-timing mode)."""
+    import os
+    import tempfile
+
+    from pgcdc_spark.queries.ivm_views import _maintained_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    with open(os.path.join(sf_dir, "events.parquet"), "w") as f:
+        f.write("x")
+
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        with open(os.path.join(d, "state.txt"), "w") as f:
+            f.write("built")
+
+    r1 = _maintained_dir("t", sf_dir, ("events",), build)
+    r2 = _maintained_dir("t", sf_dir, ("events",), build)
+    assert r1 == r2 and len(calls) == 1, "second call must hit the cache"
+    assert open(os.path.join(r1, "state.txt")).read() == "built"
+
+    # crashed build: the exception propagates and nothing publishes
+    def boom(d):
+        raise RuntimeError("crash")
+    try:
+        _maintained_dir("t2", sf_dir, ("events",), boom)
+        raise AssertionError("must propagate")
+    except RuntimeError:
+        pass
+    r3 = _maintained_dir("t2", sf_dir, ("events",), build)
+    assert open(os.path.join(r3, "state.txt")).read() == "built"
+
+    # changed source fingerprint -> different cache key, fresh build
+    with open(os.path.join(sf_dir, "events.parquet"), "w") as f:
+        f.write("xy")
+    n_before = len(calls)
+    r4 = _maintained_dir("t", sf_dir, ("events",), build)
+    assert r4 != r1 and len(calls) == n_before + 1
+
+    # cache opt-out: every call builds into a fresh scratch dir
+    monkeypatch.setenv("PGCDC_IVM_CACHE", "0")
+    a = _maintained_dir("t", sf_dir, ("events",), build)
+    b = _maintained_dir("t", sf_dir, ("events",), build)
+    assert a != b and len(calls) == n_before + 3

@@ -613,19 +613,38 @@ def decode_pgoutput_v2(
     if segments is None:
         segments = stream_segments(messages, lsn_col, payload_col)
     if relations is None:
-        seg_rows = [(r["seg_start"], r["seg_stop"])
-                    for r in segments.collect()]  # O(#segments) metadata
+        import bisect
+
+        # Segments sorted by start → O(log #segments) membership via
+        # bisect (segments never overlap in LSN: each is the contiguous
+        # span between one StreamStart and its StreamStop).
+        seg_rows = sorted(
+            (int(r["seg_start"]), int(r["seg_stop"]))
+            for r in segments.collect())  # O(#segments) metadata
+        seg_starts = [s for s, _ in seg_rows]
+
+        def _in_segment(lsn: int) -> bool:
+            i = bisect.bisect_right(seg_starts, lsn) - 1
+            return i >= 0 and lsn <= seg_rows[i][1]
+
+        # pgoutput re-sends Relation messages after cache invalidations;
+        # dedupe identical payloads executor-side (groupBy payload, keep
+        # the latest lsn) so a long capture window ships each distinct
+        # 'R' image to the driver once, not once per re-send.
         r_rows = (
             messages.filter(
                 F.expr(f"substring({payload_col}, 1, 1) = X'52'")
             )
-            .select(lsn_col, payload_col)
+            .groupBy(payload_col)
+            .agg(F.max(lsn_col).alias(lsn_col))
             .collect()
         )
         relations = {}
-        for row in r_rows:
-            buf = bytes(row[1])
-            if any(s <= row[0] <= e for s, e in seg_rows):
+        # lsn-ascending so the LAST Relation image per relid wins (a
+        # schema change mid-window re-sends 'R' with new column names).
+        for row in sorted(r_rows, key=lambda r: r[lsn_col]):
+            buf = bytes(row[payload_col])
+            if _in_segment(row[lsn_col]):
                 buf = buf[:1] + buf[5:]  # strip the streamed Int32 xid
             try:
                 relid, names = decode_relation_message(buf)
@@ -1405,17 +1424,28 @@ def overlay_prepared_spans(decoded: DataFrame, spans: DataFrame,
 
     Rows already stamped (streamed) keep their xids; spans are
     O(#prepared) -> broadcast; same binned interval join as everywhere.
+
+    Only DATA rows (insert/update/delete/truncate) are stamped: the
+    span's own framing rows ('b'/'P' → begin_prepare/prepare) and any
+    control rows inside the span keep null xids, so a downstream
+    apply_stream_transactions repositions/drops only the data changes —
+    direct envelope consumers see control rows at their wire lsn, not
+    teleported to the commit lsn (or silently dropped on rollback).
     """
     from ..operators.rangejoin import binned_range_join
 
+    _DATA_TAGS = ("insert", "update", "delete", "truncate",
+                  "truncate_other")
     cols = decoded.columns
     tagged = binned_range_join(
         decoded, F.broadcast(spans),
         "lsn", "p_start", "p_stop", bin_width, how="left_outer",
     )
+    stamp = F.col("tag").isin(*_DATA_TAGS)
     return tagged.select(
         *[
-            F.coalesce(F.col(c), F.col("p_xid")).alias(c)
+            F.coalesce(
+                F.col(c), F.when(stamp, F.col("p_xid"))).alias(c)
             if c in ("xid", "top_xid") else F.col(c)
             for c in cols
         ]

@@ -49,6 +49,30 @@ def _scratch_dir(prefix: str) -> str:
 
 _IVM_CACHE_FORMAT = "v1"  # bump to invalidate cached maintained states
 
+_STALE_BUILD_SECS = 6 * 3600
+
+
+def _sweep_stale_builds(parent: str) -> None:
+    """Reap `.{kind}-build-*` scratch dirs older than 6 h: a SIGKILLed
+    builder never reaches its rename-or-rmtree epilogue, so without a
+    sweep the orphans accumulate forever. Age-gated so a live concurrent
+    build is never reaped; errors ignored (another sweeper may race us)."""
+    import time
+
+    try:
+        now = time.time()
+        for name in os.listdir(parent):
+            if "-build-" not in name or not name.startswith("."):
+                continue
+            p = os.path.join(parent, name)
+            try:
+                if now - os.stat(p).st_mtime > _STALE_BUILD_SECS:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
 
 def _tables_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
     """Content fingerprint (paths + sizes + mtimes) of the fixture's
@@ -90,13 +114,25 @@ def _maintained_dir(kind: str, sf_dir: str, tables: tuple[str, ...],
         d = _scratch_dir(f"pgcdc-ivm-{kind}-")
         build(d)
         return d
+    # Per-user cache root, mode 0700: the shared system temp dir is
+    # world-writable, so an unscoped path would let another local user
+    # pre-create a fingerprint dir and poison cached query results.
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     parent = os.path.join(
-        tempfile.gettempdir(), f"pgcdc_spark_ivm_{_IVM_CACHE_FORMAT}")
+        tempfile.gettempdir(), f"pgcdc_spark_ivm_{_IVM_CACHE_FORMAT}_u{uid}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    st = os.stat(parent)
+    if hasattr(os, "getuid") and st.st_uid != uid:
+        raise RuntimeError(
+            f"IVM cache root {parent} is owned by uid {st.st_uid}, not "
+            f"{uid} — refusing to trust it (set PGCDC_IVM_CACHE=0 to "
+            "bypass the cache)")
+    os.chmod(parent, 0o700)
+    _sweep_stale_builds(parent)
     root = os.path.join(
         parent, f"{kind}-{_tables_fingerprint(sf_dir, tables)}")
     if os.path.isdir(root):
         return root
-    os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f".{kind}-build-", dir=parent)
     try:
         build(tmp)

@@ -1523,3 +1523,65 @@ def test_mixed_streamed_and_prepared_capture(spark):
     got = sorted((r["id"], r["v"]) for r in state.collect())
     # streamed 7 applied, prepared 8 rolled back, plain row passes
     assert got == [(1, 100), (3, 300)]
+
+
+def test_overlay_prepared_keeps_control_rows_unstamped(spark):
+    """overlay_prepared_spans stamps ONLY data rows inside a 'b'..'P'
+    block: the framing rows themselves ('b'/'P' → begin_prepare/prepare)
+    keep null xids, so apply_stream_transactions never teleports them to
+    the commit lsn (or drops them on rollback) — a direct consumer of
+    the overlaid envelope sees control rows at their wire lsn."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput_v2, encode_begin_prepare, encode_insert,
+        encode_prepare, encode_relation, overlay_prepared_spans,
+        prepared_spans)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "v"])),
+        (20, encode_begin_prepare(20, 23, 0, 8, "g8")),
+        (21, encode_insert(1, [2, 200])),
+        (22, encode_prepare(20, 22, 0, 8, "g8")),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = overlay_prepared_spans(
+        decode_pgoutput_v2(df, schema, bin_width=16),
+        prepared_spans(df), bin_width=16,
+    )
+    by_tag = {r["tag"]: (r["xid"], r["top_xid"]) for r in decoded.collect()}
+    assert by_tag["insert"] == (8, 8)           # data row stamped
+    assert by_tag["begin_prepare"] == (None, None)  # framing untouched
+    assert by_tag["prepare"] == (None, None)
+
+
+def test_pgoutput_v2_resent_relation_last_wins(spark):
+    """pgoutput re-sends Relation messages after cache invalidations; a
+    schema change mid-window re-sends 'R' with NEW column names.
+    Auto-discovery dedupes identical payloads executor-side and applies
+    distinct images in lsn order, so the LAST image per relid wins —
+    rows after the change decode under the renamed columns."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput_v2, encode_insert, encode_relation)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [
+        (0, encode_relation(1, "public", "t", ["id", "old_v"])),
+        # identical re-sends (cache invalidation traffic) — deduped
+        (1, encode_relation(1, "public", "t", ["id", "old_v"])),
+        (2, encode_relation(1, "public", "t", ["id", "old_v"])),
+        # schema change: column renamed old_v -> v; later lsn must win
+        (5, encode_relation(1, "public", "t", ["id", "v"])),
+        (10, encode_insert(1, [1, 42])),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = decode_pgoutput_v2(df, schema, bin_width=16)
+    rows = decoded.filter("tag = 'insert'").collect()
+    assert [(r["new"]["id"], r["new"]["v"]) for r in rows] == [(1, 42)]

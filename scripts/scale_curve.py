@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Measure per-query scaling exponents between two corpus scales.
+
+The 100-TB design claims rest on plan-shape arguments (bucketed joins,
+bounded candidate pairs, touched-cell-only maintenance). This harness
+turns them into measurements: run the heaviest registered queries at
+sf0.1 AND the 10x synthesized sf1 (scripts/make_sf1.py) and record
+
+    exponent = log(t_sf1 / t_sf0.1) / log(10)
+
+per query into SCALE_SF1.json. exponent <= ~1.0 is linear; O(n log n)
+at these sizes lands ~1.07; anything materially above ~1.2 is flagged
+as superlinear. Fixed session overhead (job scheduling, Arrow setup)
+DEFLATES exponents for fast queries — the per-run arrays ship in the
+artifact so that's auditable; the flag threshold is on the raw ratio,
+i.e. conservative in the other direction for slow queries only.
+
+Usage: python scripts/scale_curve.py [small_dir] [big_dir] [out.json]
+Bench discipline matches bench.py: warm-ups before measured runs,
+median reported, PGCDC_IVM_CACHE=0 so IVM entries time maintenance,
+gc between queries to release py4j-held fixture checkpoint blocks.
+"""
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The heaviest registry queries at sf0.1 (BENCH_r09 order) — one per
+# scale-critical plan family: iterative CC, LSH verify, wire decode,
+# IVM maintenance, retrieval fusion, k-means, pruned ANN serving,
+# TPC-H scan/join/agg shapes.
+SCALE_SET = [
+    "training_mix_pipeline",
+    "dedup_verified_pairs",
+    "cdc_two_phase_state",
+    "dedup_cc_clusters",
+    "cdc_pgoutput_stream_state",
+    "ivm_histogram_view_state",
+    "cdc_toast_upsert_state",
+    "cdc_pgoutput_state",
+    "hybrid_rrf_retrieval",
+    "emb_semantic_dedup",
+    "dedup_minhash_lsh",
+    "emb_ann_rerank_exact",
+    "emb_kmeans_lloyd",
+    "emb_ivf_pq_topk",
+    "cdc_wal2json_state",
+    "dedup_dup_ngram_spans",
+    "cdc_e2e_revenue_rollup",
+    "graph_pagerank",
+    "graph_bfs_recursive_cte",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q9_profit_by_nation",
+    "q18_large_orders",
+    "emb_ann_index_probe",
+]
+
+FLAG_EXPONENT = 1.2
+
+
+def _bench(spark, sf_dir: str, names: list[str],
+           n_warm: int, n_meas: int) -> dict[str, dict]:
+    from pgcdc_spark.cache import release_shared
+    from pgcdc_spark.queries import all_queries
+
+    qs = all_queries()
+    out: dict[str, dict] = {}
+    for name in names:
+        qd = qs[name]
+        for _ in range(n_warm):
+            qd.fn(spark, sf_dir).collect()
+            release_shared()
+        per_run: list[float] = []
+        rows = 0
+        for _ in range(n_meas):
+            t0 = time.perf_counter()
+            got = qd.fn(spark, sf_dir).collect()
+            per_run.append(round(time.perf_counter() - t0, 4))
+            release_shared()
+            rows = len(got)
+        out[name] = {"median": sorted(per_run)[len(per_run) // 2],
+                     "runs": per_run, "rows": rows}
+        gc.collect()
+        print(f"  {name}: {out[name]['median']:.2f}s ({rows} rows)",
+              flush=True)
+    return out
+
+
+def main() -> None:
+    os.environ["PGCDC_IVM_CACHE"] = "0"
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SF1.json")
+    ratio = 10.0
+
+    from pgcdc_spark.session import get_spark
+
+    spark = get_spark(app_name="pgcdc-scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"== {small} ==", flush=True)
+    t_small = _bench(spark, small, SCALE_SET, n_warm=2, n_meas=3)
+    print(f"== {big} ==", flush=True)
+    t_big = _bench(spark, big, SCALE_SET, n_warm=1, n_meas=3)
+
+    queries = {}
+    for name in SCALE_SET:
+        ts, tb = t_small[name]["median"], t_big[name]["median"]
+        exp = round(math.log(tb / ts) / math.log(ratio), 3)
+        queries[name] = {
+            "t_small": ts, "t_big": tb, "ratio": round(tb / ts, 2),
+            "exponent": exp, "flagged": exp > FLAG_EXPONENT,
+            "rows_small": t_small[name]["rows"],
+            "rows_big": t_big[name]["rows"],
+            "runs_small": t_small[name]["runs"],
+            "runs_big": t_big[name]["runs"],
+        }
+    flagged = sorted(n for n, q in queries.items() if q["flagged"])
+    artifact = {
+        "small": small, "big": big, "scale_ratio": ratio,
+        "flag_exponent": FLAG_EXPONENT,
+        "flagged": flagged,
+        "median_exponent": sorted(
+            q["exponent"] for q in queries.values())[len(queries) // 2],
+        "queries": queries,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"flagged": flagged,
+                      "median_exponent": artifact["median_exponent"]}))
+
+
+if __name__ == "__main__":
+    main()

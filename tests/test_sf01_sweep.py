@@ -1,12 +1,12 @@
 """Env-gated sf0.1 scale-robustness sweep (the SURVEY §5 claim, in CI
 shape).
 
-The full oracle surface must hash-match DuckDB at 10x the driver gate —
-minus the three CC-composed queries whose recursive-CTE oracles are
-ORACLE-side superlinear at that size (dedup_cc_clusters,
-dedup_keep_best, and the training_mix_pipeline composition that embeds
-the keep-best stage; their invariants are pytest-pinned in
-test_llm.py).
+The FULL oracle surface must hash-match DuckDB at 10x the driver gate —
+zero skips. (Rounds 5-9 excluded the three CC-composed queries because
+their recursive-CTE oracles were superlinear over the then ~500k-edge
+LSH candidate graph; the round-10 trigram-shingle + r=4 banding fix
+collapsed that graph to O(corpus) edges and the oracles now run at
+sf0.1 in seconds.)
 
 Gated because it is a ~10-minute run: enable with
 
@@ -14,9 +14,7 @@ Gated because it is a ~10-minute run: enable with
 
 or regenerate the checked-in artifact directly:
 
-    python scripts/parity_sweep.py /root/testdata/sf0.1 \
-        --skip dedup_cc_clusters,dedup_keep_best,training_mix_pipeline \
-        --out SWEEP_SF01.json
+    python scripts/parity_sweep.py /root/testdata/sf0.1 --out SWEEP_SF01.json
 """
 
 from __future__ import annotations
@@ -26,7 +24,6 @@ import os
 import pytest
 
 SF01 = "/root/testdata/sf0.1"
-SKIP = {"dedup_cc_clusters", "dedup_keep_best", "training_mix_pipeline"}
 
 
 @pytest.mark.skipif(
@@ -37,7 +34,6 @@ def test_full_oracle_surface_at_sf01(spark):
     from pgcdc_spark.oracle import run_parity
     from pgcdc_spark.queries import all_queries
 
-    names = [n for n in all_queries() if n not in SKIP]
-    results = run_parity(spark, SF01, names)
+    results = run_parity(spark, SF01, list(all_queries()))
     failed = [(r.name, r.detail) for r in results if not r.ok]
     assert not failed, failed

@@ -210,7 +210,8 @@ class AnnIndex:
         table instead (same pruning, one extra cell-local join).
         """
         from ..functions.vectors import norm_fold_expr
-        from ..queries.llm_extra import _PQ_CB_MOD, _PQ_M, _PQ_SUB, pq_codes
+        from ..queries.llm_extra import (
+            _PQ_CB_MAX_ID, _PQ_CB_MOD, _PQ_M, _PQ_SUB, pq_codes)
         from ..queries.llm_similarity import ivf_centroids, nearest_cells
 
         base = emb.select(
@@ -218,20 +219,27 @@ class AnnIndex:
             F.col("embedding").cast("array<double>").alias("e"),
             norm_fold_expr("embedding", cast=True).alias("n"),
         )
-        cent = ivf_centroids(base)  # (cid, ce, cn)
-        codebook_src = emb.filter(F.col("vec_id") % _PQ_CB_MOD == 1)
-        # Degenerate-quantizer guard: the deterministic stand-in rules
-        # (vec_id mod 53 / mod 127 donors — stand-ins for one-shot k-means
-        # training) can select ZERO rows from an unlucky training set. A
-        # committed index with an empty centroid or codebook table would
-        # assign/encode nothing forever after (every append silently
-        # indexes no vectors), so fail the build loudly instead — the
-        # annstream bootstrap inherits this (ADVICE r7, medium).
+        cent = ivf_centroids(base)  # (cid, ce, cn); adaptive sqrt(n) donors
+        codebook_src = emb.filter(
+            (F.col("vec_id") % _PQ_CB_MOD == 1)
+            & (F.col("vec_id") <= _PQ_CB_MAX_ID)
+        )
+        # Degenerate-quantizer guard: the adaptive centroid rule always
+        # selects >= 1 donor from a NON-EMPTY training set (M=1 means
+        # "every row"), but the capped codebook rule (vec_id % mod == 1
+        # and <= cap — the constant-size production codebook) can still
+        # select ZERO rows from an unlucky training set, and an empty
+        # training set trains nothing. A committed index with an empty
+        # centroid or codebook table would assign/encode nothing forever
+        # after (every append silently indexes no vectors), so fail the
+        # build loudly instead — the annstream bootstrap inherits this
+        # (ADVICE r7, medium).
         if not cent.head(1) or not codebook_src.head(1):
             raise ValueError(
-                "cannot train quantizer: training set has no centroid "
-                f"(vec_id % 53 == 1) or codebook (vec_id % {_PQ_CB_MOD} "
-                "== 1) donor rows; refusing to commit a degenerate index"
+                "cannot train quantizer: training set is empty or has no "
+                f"codebook donor rows (vec_id % {_PQ_CB_MOD} == 1 AND "
+                f"vec_id <= {_PQ_CB_MAX_ID}); refusing to commit a "
+                "degenerate index"
             )
         asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
         codes = pq_codes(emb, "pqcid")  # (vec_id, s, pqcid)

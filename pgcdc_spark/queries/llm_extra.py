@@ -47,6 +47,7 @@ from .llm_dedup import (
     minhash_candidate_pairs,
     shingle_sets,
 )
+from .llm_similarity import cent_rule_sql
 
 _DIMS = 64
 _N_QUERIES = 8
@@ -55,10 +56,20 @@ _TOP_K = 10
 # PQ layout: m subquantizers over contiguous 8-dim subvectors.
 _PQ_M = 8
 _PQ_SUB = _DIMS // _PQ_M
-# Codebook donors: every vector with vec_id % _PQ_CB_MOD == 1 contributes
-# its m subvectors as codewords (k ~ n/127 codewords per subspace — the
-# deterministic stand-in for per-subspace k-means, cf. ivf_centroids).
+# Codebook donors: every vector with vec_id % _PQ_CB_MOD == 1 AND
+# vec_id <= _PQ_CB_MAX_ID contributes its m subvectors as codewords —
+# the deterministic stand-in for per-subspace k-means. The id cap makes
+# the codebook CONSTANT-SIZE (at most 16 codewords/subspace), which is
+# the production PQ shape: codebooks are a fixed k (FAISS: 256) trained
+# on a bounded sample, independent of corpus size. Without the cap the
+# donor count grew linearly with n and the encode pass (subvectors x
+# codewords) was QUADRATIC — measured 90 s at 10x scale before the fix.
+# The cap value keeps every donor the driver corpora ever had (max
+# donor vec_id at sf0.1 is exactly 1906), so results at sf0.001/0.01/
+# 0.1 are bit-identical to previous rounds.
 _PQ_CB_MOD = 127
+_PQ_CB_MAX_ID = 1906
+_PQ_CB_RULE_SQL = f"vec_id % {_PQ_CB_MOD} = 1 AND vec_id <= {_PQ_CB_MAX_ID}"
 
 _PQ_ORACLE = f"""
 WITH e AS (
@@ -69,7 +80,7 @@ subs AS (
   FROM e, (SELECT UNNEST(range(0, {_PQ_M})) AS s) t
 ),
 cb AS (
-  SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id % {_PQ_CB_MOD} = 1
+  SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE {_PQ_CB_RULE_SQL}
 ),
 dist AS (
   SELECT x.vec_id, x.s, c.cid,
@@ -127,7 +138,10 @@ def pq_distances(emb: DataFrame, cid_col: str = "cid") -> DataFrame:
             )
         ).alias("s", "sub"),
     )
-    cb = subs.filter(F.col("vec_id") % _PQ_CB_MOD == 1).select(
+    cb = subs.filter(
+        (F.col("vec_id") % _PQ_CB_MOD == 1)
+        & (F.col("vec_id") <= _PQ_CB_MAX_ID)
+    ).select(
         F.col("vec_id").alias(cid_col), "s", F.col("sub").alias("csub")
     )
     return subs.join(F.broadcast(cb), "s").select(
@@ -488,23 +502,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF prunes CANDIDATES (only nprobe cells are scored), PQ prunes MEMORY
 # (candidates are scored from 8-byte codes via the ADC lookup table, no
 # float vectors touched). Composing them is exactly how production ANN
-# services run (FAISS IVFPQ); both component rules (centroid mod-53,
-# codebook mod-127) are the deterministic k-means stand-ins already used
-# by emb_ivf_ann_topk and emb_pq_adc_topk, so DuckDB mirrors the whole
-# composition.
+# services run (FAISS IVFPQ); both component rules (adaptive sqrt(n)
+# centroid donors, capped mod-127 codebook donors) are the deterministic
+# k-means stand-ins already used by emb_ivf_ann_topk and
+# emb_pq_adc_topk, so DuckDB mirrors the whole composition.
 
-def _ivfpq_oracle(cand_join: str = "", top_k: int = _TOP_K) -> str:
+def _ivfpq_oracle(cand_join: str = "", top_k: int = _TOP_K,
+                  train_where: str = "") -> str:
     """The IVF-PQ reference plan in DuckDB SQL; ``cand_join`` optionally
     narrows the candidate set (filtered ANN: a metadata predicate joined
-    into cand, mirroring probe(where=...)'s pre-filter semantics), and
+    into cand, mirroring probe(where=...)'s pre-filter semantics);
     ``top_k`` widens the ADC cut (the re-rank query takes a C-deep
-    shortlist instead of the final k)."""
+    shortlist instead of the final k); ``train_where`` restricts the
+    coarse-quantizer TRAINING SET (the incremental index trains only on
+    its base split — the adaptive sqrt(n) modulus must be derived from
+    that split's count, exactly as the engine's
+    ``ivf_centroids(base_subset)`` does)."""
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cid_c, v AS cv FROM e WHERE vec_id % 53 = 1
+  SELECT vec_id AS cid_c, v AS cv FROM e WHERE {cent_rule_sql(train_where)}
 ),
 asg AS (
   SELECT vec_id, cid_c FROM (
@@ -536,7 +555,7 @@ subs AS (
   FROM e, (SELECT UNNEST(range(0, {_PQ_M})) AS s) t
 ),
 cb AS (
-  SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id % {_PQ_CB_MOD} = 1
+  SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE {_PQ_CB_RULE_SQL}
 ),
 dist AS (
   SELECT x.vec_id, x.s, c.cid,
@@ -728,7 +747,9 @@ def emb_ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal ADC sums), so probe-from-artifact is bit-identical to the
 # inline plan and shares its DuckDB oracle.
 
-_ANN_FORMAT = "v3"  # bump to invalidate cached on-disk indexes (v3: idmap)
+# bump to invalidate cached on-disk indexes
+# (v3: idmap; v4: adaptive sqrt(n) centroids + capped PQ codebook)
+_ANN_FORMAT = "v4"
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
@@ -753,12 +774,24 @@ def _corpus_fingerprint(sf_dir: str) -> str:
 
 
 def _ann_root(sf_dir: str, kind: str) -> str:
+    """Per-user cache root, mode 0700, ownership-verified — the shared
+    system temp dir is world-writable, so an unscoped path would let
+    another local user pre-create a fingerprint dir and poison cached
+    index artifacts (the same hardening as the IVM maintained-state
+    cache, queries/ivm_views._maintained_dir)."""
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(), f"pgcdc_spark_ann_{_ANN_FORMAT}",
-        f"{kind}-{_corpus_fingerprint(sf_dir)}",
-    )
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    parent = os.path.join(
+        tempfile.gettempdir(), f"pgcdc_spark_ann_{_ANN_FORMAT}_u{uid}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    st = os.stat(parent)
+    if hasattr(os, "getuid") and st.st_uid != uid:
+        raise RuntimeError(
+            f"ANN index cache root {parent} is owned by uid {st.st_uid}, "
+            f"not {uid} — refusing to trust it")
+    os.chmod(parent, 0o700)
+    return os.path.join(parent, f"{kind}-{_corpus_fingerprint(sf_dir)}")
 
 
 def _ann_index_for(spark: SparkSession, sf_dir: str):
@@ -838,18 +871,21 @@ def emb_ann_index_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- incremental index maintenance -------------------------------------------
 # The corpus is split into a BASE (indexed by the one-time build) and a
 # DELTA (applied via AnnIndex.append: frozen quantizer, touched-cell-only
-# rewrite). The split keeps every centroid/codebook donor (vec_id % 53 ==
-# 1 / % 127 == 1) in the base — exactly the production contract that the
-# quantizer is trained once on the initial corpus and additions are
-# encoded against it (FAISS add semantics) — so the frozen quantizer IS
-# the full-corpus quantizer and the incremental index must answer probes
-# bit-identical to a full rebuild: the oracle is the same full-corpus
-# IVF-PQ SQL, making the driver's hash check a true incremental-equals-
-# rebuild proof.
+# rewrite). The split keeps every PQ codebook donor (vec_id % 127 == 1,
+# all of which sit under the _PQ_CB_MAX_ID cap) in the base — the
+# production contract that the quantizer is trained once on the initial
+# corpus and additions are encoded against it (FAISS add semantics).
+# Since round 10 the coarse-quantizer donor set is ADAPTIVE in the
+# TRAINING-SET count (sqrt(|base|) centroids), so the oracle is the
+# IVF-PQ SQL with its centroid training scoped to the same base split
+# (train_where) — still a true incremental-equals-rebuild proof: the
+# rebuild trains on the identical base and must serve identical probes.
 
 _ANN_DELTA_PRED = (
     f"(vec_id % 5 = 2) AND (vec_id % 53 <> 1) AND (vec_id % {_PQ_CB_MOD} <> 1)"
 )
+# The oracle twin of idx.build(emb.filter(NOT delta))'s training set.
+_ANN_BASE_TRAIN_WHERE = f"NOT ({_ANN_DELTA_PRED})"
 
 
 def _ann_incr_index_for(spark: SparkSession, sf_dir: str):
@@ -875,15 +911,17 @@ def _ann_incr_index_for(spark: SparkSession, sf_dir: str):
     return idx
 
 
-@query("emb_ann_index_incremental", oracle=_IVFPQ_ORACLE,
+@query("emb_ann_index_incremental",
+       oracle=_ivfpq_oracle(train_where=_ANN_BASE_TRAIN_WHERE),
        tags=("llm", "similarity", "ivf", "pq", "index", "incremental"))
 def emb_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k served from an INCREMENTALLY maintained index: base
     build + AnnIndex.append of the delta (O(batch + touched cells) —
     untouched cell partitions are inherited by reference, never rewritten;
     pinned byte-identical in tests/test_operators.py). The oracle is the
-    full-corpus rebuild SQL, so a green row proves append converges to
-    the rebuild answer under the driver gate."""
+    rebuild SQL with the quantizer trained on the same base split, so a
+    green row proves append converges to the rebuild answer under the
+    driver gate."""
     idx = _ann_incr_index_for(spark, sf_dir)
     (emb,) = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -897,7 +935,8 @@ def emb_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_ann_index_filtered_incremental",
     oracle=_ivfpq_oracle(
         "\n  JOIN embeddings em ON em.vec_id = a.vec_id "
-        f"AND em.label = {_ANN_FILTER_LABEL}"
+        f"AND em.label = {_ANN_FILTER_LABEL}",
+        train_where=_ANN_BASE_TRAIN_WHERE,
     ),
     tags=("llm", "similarity", "ivf", "pq", "index", "filtered", "incremental"),
 )
@@ -1314,7 +1353,8 @@ def _ann_compact_index_for(spark: SparkSession, sf_dir: str):
     return idx
 
 
-@query("emb_ann_index_compacted", oracle=_IVFPQ_ORACLE,
+@query("emb_ann_index_compacted",
+       oracle=_ivfpq_oracle(train_where=_ANN_BASE_TRAIN_WHERE),
        tags=("llm", "similarity", "ivf", "pq", "index", "compaction"))
 def emb_ann_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k served AFTER AnnIndex.compact folded the base+append
@@ -1343,7 +1383,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 53 = 1
+  SELECT vec_id AS cid, v AS cv FROM e WHERE {cent_rule_sql()}
 ),
 asg AS (
   SELECT vec_id, cid FROM (
@@ -1499,7 +1539,9 @@ _ASOF_CAND_JOIN = (
 )
 
 
-@query("emb_ann_index_asof_probe", oracle=_ivfpq_oracle(_ASOF_CAND_JOIN),
+@query("emb_ann_index_asof_probe",
+       oracle=_ivfpq_oracle(_ASOF_CAND_JOIN,
+                            train_where=_ANN_BASE_TRAIN_WHERE),
        tags=("llm", "similarity", "ivf", "pq", "index", "time-travel"))
 def emb_ann_index_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe pinned to the retained BASE version of the incrementally

@@ -342,26 +342,79 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-style ANN (coarse quantizer -> probe nprobe cells -> exact rank) ---
 #
 # The scale path complementing the LSH variant: a small deterministic
-# centroid set acts as the coarse quantizer (rule: vec_id % 53 == 1 — a
-# stand-in for k-means, chosen so DuckDB can mirror it and results are
-# reproducible). Every vector is assigned to its nearest centroid
-# (broadcast of the centroid table — the n x |C| scoring never shuffles the
-# big side); each query probes its `nprobe` nearest cells and ranks
-# exactly within them. At 100 TB: |C| ~ sqrt(n) centroids, assignment is a
-# map-only pass, and the candidate join shuffles on cell id — cells are the
-# partitioning unit, which is exactly how a distributed IVF index shards.
-# Fully oracle-checked (unlike the LSH variant): recall loss vs brute force
-# is deterministic given the fixed quantizer, so both engines agree.
+# centroid set acts as the coarse quantizer (a stand-in for k-means,
+# chosen so DuckDB can mirror it and results are reproducible). Every
+# vector is assigned to its nearest centroid (broadcast of the centroid
+# table — the n x |C| scoring never shuffles the big side); each query
+# probes its `nprobe` nearest cells and ranks exactly within them.
+# |C| is ADAPTIVE ~ sqrt(n) (donor rule vec_id % M == 1 % M with
+# M = max(1, n // ceil(sqrt(n))), M derived from the training-set count
+# INSIDE the plan — an agg + broadcast cross join, so builds stay
+# job-free): a fixed modulus made nlist grow LINEARLY with the corpus
+# and the n x |C| assignment QUADRATIC — measured at 10x scale
+# (SCALE_SF1.json predecessor run) before this fix. sqrt(n) cells is
+# the production IVF shape (FAISS guideline nlist ~ sqrt(N)):
+# assignment is O(n^1.5) total but map-only per row, cells hold ~sqrt(n)
+# members, and the candidate join shuffles on cell id — cells are the
+# partitioning unit, which is exactly how a distributed IVF index
+# shards. Fully oracle-checked (unlike the LSH variant): recall loss vs
+# brute force is deterministic given the fixed quantizer, so both
+# engines agree.
 
-_CENT_MOD = 53
 _N_PROBE = 2
 
 
-def ivf_centroids(base: DataFrame, cent_mod: int = _CENT_MOD) -> DataFrame:
-    """Deterministic coarse-quantizer centroids (k-means stand-in: rule
-    ``vec_id % cent_mod == 1`` so DuckDB can mirror it exactly).
-    ``base`` must have columns (vec_id, e: array<double>, n: norm)."""
-    return base.filter(F.col("vec_id") % cent_mod == 1).select(
+def cent_mod_sql(src: str = "e") -> str:
+    """The adaptive modulus as a DuckDB scalar subquery over ``src``
+    (any relation/derived table with one row per training vector)."""
+    # explicit FLOOR: DuckDB's // does not floor when an operand is
+    # DOUBLE (CEIL returns DOUBLE), it behaves like plain division
+    return (f"(SELECT GREATEST(1, CAST(FLOOR(COUNT(*)"
+            f" / CEIL(SQRT(COUNT(*)))) AS BIGINT)) FROM {src} AS __ts)")
+
+
+def cent_rule_sql(extra_where: str = "") -> str:
+    """The full donor predicate for a ``cent`` CTE selecting FROM e:
+    ``extra_where`` restricts the TRAINING SET (e.g. the incremental
+    index trains only on its base split) — it scopes both the count the
+    modulus is derived from and the donor rows themselves, mirroring
+    the engine's ``ivf_centroids(base_subset)``."""
+    src = f"(SELECT vec_id FROM e WHERE {extra_where})" if extra_where else "e"
+    mod = cent_mod_sql(src)
+    pred = f"vec_id % {mod} = 1 % {mod}"
+    return f"({extra_where}) AND {pred}" if extra_where else pred
+
+
+def adaptive_donor_filter(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Rows of ``df`` whose ``id_col`` satisfies the adaptive donor rule
+    ``id % M == 1 % M`` (the ``1 % M`` form makes M=1 mean "every row",
+    so a 1-2 vector corpus still trains a quantizer). Lazy: the count
+    rides the plan as a broadcast scalar — no job at build time."""
+    mod_df = df.agg(
+        F.greatest(
+            F.lit(1),
+            F.floor(F.count("*") / F.ceil(F.sqrt(F.count("*")))),
+        ).cast("long").alias("__cmod")
+    )
+    return (
+        df.crossJoin(F.broadcast(mod_df))
+        .filter(F.col(id_col) % F.col("__cmod") == F.lit(1) % F.col("__cmod"))
+        .drop("__cmod")
+    )
+
+
+def ivf_centroids(base: DataFrame, cent_mod: int | None = None) -> DataFrame:
+    """Deterministic coarse-quantizer centroids (k-means stand-in: the
+    adaptive sqrt(n) donor rule above, DuckDB-mirrorable via
+    cent_rule_sql). ``base`` must have columns (vec_id, e: array<double>,
+    n: norm); it is also the TRAINING SET the modulus is derived from.
+    ``cent_mod`` pins a fixed modulus (tests / frozen-quantizer replay)."""
+    donors = (
+        base.filter(F.col("vec_id") % cent_mod == 1 % cent_mod)
+        if cent_mod is not None
+        else adaptive_donor_filter(base)
+    )
+    return donors.select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
     )
 
@@ -383,7 +436,7 @@ def nearest_cells(side: DataFrame, cent: DataFrame, id_col: str, k: int) -> Data
     )
 
 
-def ivf_cell_assignments(emb: DataFrame, cent_mod: int = _CENT_MOD) -> DataFrame:
+def ivf_cell_assignments(emb: DataFrame, cent_mod: int | None = None) -> DataFrame:
     """``vec_id -> nearest cell`` (plus the vector and its norm): the IVF
     blocking key reused by embedding dedup — at 100 TB cells are the
     shuffle/partitioning unit for any within-cell pair work."""
@@ -399,7 +452,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_CENT_MOD} = 1
+  SELECT vec_id AS cid, v AS cv FROM e WHERE {cent_rule_sql()}
 ),
 asg AS (
   SELECT vec_id, cid FROM (
@@ -492,7 +545,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cent AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {_CENT_MOD} = 1
+  SELECT vec_id AS cid, v AS cv FROM e WHERE {cent_rule_sql()}
 ),
 asg AS (
   SELECT vec_id, cid FROM (
@@ -667,7 +720,7 @@ WITH e AS (
 ),
 c0 AS (
   SELECT vec_id AS cid, v AS cv, list_dot_product(v, v) AS cc
-  FROM e WHERE vec_id % {_CENT_MOD} = 1
+  FROM e WHERE {cent_rule_sql()}
 ),
 a1 AS (
   SELECT vec_id, cid, dist2 FROM (
@@ -721,7 +774,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
     ).withColumn("ee", dot_fold_expr("e", "e"))
-    c0 = pts.filter(F.col("vec_id") % _CENT_MOD == 1).select(
+    c0 = adaptive_donor_filter(pts).select(
         F.col("vec_id").alias("cid"),
         F.col("e").alias("cv"),
         F.col("ee").alias("cc"),

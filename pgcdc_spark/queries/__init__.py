@@ -74,61 +74,55 @@ _MODULES = (
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # round-9 additions, composition-verifying showcase first
-    "cdc_e2e_revenue_rollup",
-    "cdc_two_phase_state",
-    "cdc_replica_identity_state",
-    "cdc_message_audit",
-    "cdc_origin_filter_state",
-    "cdc_xlog_infer_state",
-    "docs_pii_scrub",
-    "docs_repetition_filter",
+    # round-10 additions first
+    "cdc_publication_filter_state",
+    "emb_mmr_rerank_ann",
+    # the entire dedup + embedding/ANN family: round 10 re-parameterized
+    # the MinHash shingles/banding (trigram, r=4) and made the IVF/PQ
+    # quantizer rules adaptive — every one of these plans changed, so
+    # they take the driver slots this round for fresh post-change rows
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_verified_pairs",
+    "dedup_cc_clusters",
+    "dedup_keep_best",
+    "dedup_minhash_estimate",
+    "dedup_containment",
+    "dedup_incremental_new_docs",
+    "dedup_dup_ngram_spans",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_ngram_jaccard",
+    "dedup_fuzzy_levenshtein",
+    "dedup_embedding_cosine",
+    "dedup_by_key_latest",
+    "emb_cosine_topk",
+    "emb_lsh_ann_topk",
+    "emb_ivf_ann_topk",
+    "emb_semantic_dedup",
+    "emb_kmeans_lloyd",
+    "emb_ivf_recall_at_k",
+    "emb_ivf_pq_topk",
+    "emb_pq_adc_topk",
+    "emb_ann_rerank_exact",
     "emb_mmr_rerank",
-    "docs_split_no_leakage",
-    # stalest oracle-backed names (last driver-sampled r3-r6) fill the
-    # remaining 48 sample slots so the cumulative driver evidence stays
-    # fresh; the two declared-approximate no-oracle names are excluded
-    # (they can only earn rows-only rows — pytest bounds them instead)
-    "agg_collect_set",
-    "agg_cube",
-    "agg_distinct_stats",
-    "agg_filtered_pivot",
-    "agg_global",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_stddev_stable",
-    "case_when_coalesce",
-    "join_anti",
-    "join_asof_events",
-    "join_equi_plus_range",
-    "join_full_outer",
-    "join_left_outer_agg",
-    "join_range_binned",
-    "join_salted_skew",
-    "join_semi",
-    "join_theta_cross",
-    "proj_filter_predicates",
-    "q10_returned_items",
-    "q11_important_value",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_brackets",
-    "q1_pricing_summary",
-    "q20_heavy_shippers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q2_best_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
+    "emb_ann_index_probe",
+    "emb_ann_index_filtered_probe",
+    "emb_ann_index_incremental",
+    "emb_ann_index_filtered_incremental",
+    "emb_ann_index_compacted",
+    "emb_ann_index_stats",
+    "emb_ann_index_idmap_stats",
+    "emb_ann_index_asof_probe",
+    "emb_jl_projection_recall",
+    "emb_quantize_int8",
+    "emb_norm_stats",
+    "emb_top_singular_direction",
+    "hybrid_rrf_retrieval",
+    "training_mix_pipeline",
+    # stalest oracle-backed names (last driver-sampled r3) fill the
+    # remaining sample slots; the two declared-approximate no-oracle
+    # names stay excluded (pytest bounds them instead)
     "q9_profit_by_nation",
     "scalar_date_fns",
     "scalar_decimal_arith",
@@ -137,6 +131,7 @@ _PRIORITY = (
     "subq_exists_late_orders",
     "subq_in_big_qty_orders",
     "subq_scalar_correlated",
+    "subq_scalar_global",
 )
 
 

@@ -1904,3 +1904,137 @@ def cdc_xlog_infer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", F.col("value").alias("last_value")
     ).orderBy("user_id")
+
+
+# --- PG 15 publication column lists + row filters ------------------------------
+# Real deployments rarely publish whole tables: PG 15 publications take a
+# COLUMN LIST (unlisted columns never reach the slot — the reference's
+# FOR ALL TABLES publication, terraform/setup_database.sql:17, is the
+# degenerate "all columns, no filter" case) and a WHERE row filter with
+# capture-side transition semantics (logical-replication docs): an
+# UPDATE whose old row failed the filter but whose new row passes
+# arrives as INSERT; passing->failing arrives as DELETE (key only);
+# failing->failing and filtered INSERTs/DELETEs are suppressed
+# entirely. The ENGINE-side contracts this query pins: (1) a Relation
+# message carrying only the published columns decodes rows with the
+# unpublished schema columns NULL (capture-side projection, engine
+# schema unchanged), and (2) the transition-routed stream upserts to
+# exactly the filter-satisfying state — no ghost rows from
+# filtered-out updates, no lost deletes at the filter boundary.
+# Fixture: publication (user_id, value) WHERE (value >= 50) over the
+# events changelog; each event's value is the row image (LAG gives the
+# old image), error events are deletes. The oracle replays the same
+# transition table in SQL — a green row proves suppression, both
+# transition routings, the key-only boundary DELETE, and the
+# column-list NULL end-to-end.
+
+_PUB_FILTER_THRESHOLD = 50.0
+
+_PUB_FILTER_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value, event_type,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_value
+  FROM events
+),
+pub AS (
+  SELECT user_id AS k, value AS v, event_id + 1 AS ord,
+    CASE
+      WHEN event_type = 'error' THEN
+        CASE WHEN prev_value >= {_PUB_FILTER_THRESHOLD} THEN 'D' END
+      WHEN prev_value IS NULL THEN
+        CASE WHEN value >= {_PUB_FILTER_THRESHOLD} THEN 'I' END
+      WHEN prev_value >= {_PUB_FILTER_THRESHOLD}
+           AND value >= {_PUB_FILTER_THRESHOLD} THEN 'U'
+      WHEN prev_value < {_PUB_FILTER_THRESHOLD}
+           AND value >= {_PUB_FILTER_THRESHOLD} THEN 'I'
+      WHEN prev_value >= {_PUB_FILTER_THRESHOLD}
+           AND value < {_PUB_FILTER_THRESHOLD} THEN 'D'
+    END AS op
+  FROM seq
+)
+SELECT k AS user_id, v AS last_value, CAST(NULL AS VARCHAR) AS etype_unpublished
+FROM (
+  SELECT k, v, op, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
+  FROM pub WHERE op IS NOT NULL
+) WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
+@query("cdc_publication_filter_state", oracle=_PUB_FILTER_ORACLE,
+       tags=("cdc", "pgoutput", "publication", "row-filter"))
+def cdc_publication_filter_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from ..cdc.pgoutput import decode_pgoutput, encode_relation
+    from ..cdc.transform import apply_pipeline
+
+    (events,) = load(spark, sf_dir, "events")
+    thr = _PUB_FILTER_THRESHOLD
+
+    @pandas_udf("binary")
+    def enc(user_id: pd.Series, value: pd.Series, etype: pd.Series,
+            prev_value: pd.Series) -> pd.Series:
+        from ..cdc.pgoutput import (
+            encode_delete, encode_insert, encode_update)
+
+        out = []
+        for uid, val, et, prev in zip(user_id, value, etype, prev_value):
+            uid, val = int(uid), float(val)
+            has_prev = prev == prev and prev is not None  # NaN-safe
+            old_ok = has_prev and float(prev) >= thr
+            new_ok = val >= thr
+            v = repr(val)
+            if et == "error":
+                # DELETE: published iff the OLD row satisfied the filter
+                out.append(encode_delete(1, [uid, None], old_kind=b"K")
+                           if old_ok else None)
+            elif not has_prev:
+                out.append(encode_insert(1, [uid, v]) if new_ok else None)
+            elif old_ok and new_ok:
+                out.append(encode_update(1, [uid, v]))
+            elif not old_ok and new_ok:
+                # row ENTERS the publication: arrives as INSERT
+                out.append(encode_insert(1, [uid, v]))
+            elif old_ok and not new_ok:
+                # row LEAVES the publication: arrives as key-only DELETE
+                out.append(encode_delete(1, [uid, None], old_kind=b"K"))
+            else:
+                out.append(None)  # suppressed: never reaches the slot
+        return pd.Series(out)
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = events.withColumn("prev_value", F.lag("value").over(w))
+    # Relation message carries ONLY the published column list
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(1, "public", "events",
+                                       ["user_id", "value"])))],
+        "lsn long, payload binary",
+    )
+    msgs = rel.unionByName(
+        seq.select(
+            (F.col("event_id") + 1).alias("lsn"),
+            enc("user_id", "value", "event_type", "prev_value")
+            .alias("payload"),
+        ).filter(F.col("payload").isNotNull())  # suppressed rows
+    )
+    # The TABLE schema still has event_type; the publication never sends
+    # it, so every decoded image must carry it as NULL (contract 1).
+    row_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("event_type", StringType()),
+    ])
+    env = decode_pgoutput(msgs, row_schema,
+                          relations={1: ["user_id", "value"]})
+    changes = apply_pipeline(env)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"],
+                         op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value"),
+        F.col("event_type").alias("etype_unpublished"),
+    ).orderBy("user_id")

@@ -47,7 +47,7 @@ from .llm_dedup import (
     minhash_candidate_pairs,
     shingle_sets,
 )
-from .llm_similarity import cent_rule_sql
+from .llm_similarity import _MMR_N_CAND, _mmr_oracle, cent_rule_sql
 
 _DIMS = 64
 _N_QUERIES = 8
@@ -736,6 +736,86 @@ def emb_ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+# --- MMR over the ANN shortlist: the serving composition ---------------------
+# emb_mmr_rerank (queries/llm_similarity.py) is the brute-force twin —
+# its corpus x queries relevance pass is what makes the oracle exact.
+# THIS is the shape a serving stack runs: IVF-PQ ADC shortlist (top-C
+# approximate) -> exact-cosine relevance on just those C ids (the
+# emb_ann_rerank_exact refine stage) -> MMR greedy diversity over the
+# top _MMR_N_CAND survivors. Relevance cost is O(C x queries) point
+# lookups, pairwise-diversity cost O(pool^2) per query — nothing
+# corpus-sized after the ADC stage.
+
+_MMR_ANN_CAND_CTES = f"""sl AS (
+  SELECT qid, neighbor_id FROM ({_ivfpq_oracle(top_k=_RERANK_C)})
+),
+relx AS (
+  SELECT sl.qid, sl.neighbor_id AS vec_id,
+         list_dot_product(qv.e, nv.e)
+           / (sqrt(list_dot_product(qv.e, qv.e))
+              * sqrt(list_dot_product(nv.e, nv.e))) AS rel
+  FROM sl
+  JOIN c qv ON qv.vec_id = sl.qid
+  JOIN c nv ON nv.vec_id = sl.neighbor_id
+),
+cand AS (
+  SELECT qid, vec_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM relx
+  ) WHERE rn <= {_MMR_N_CAND}
+)"""
+
+
+@query("emb_mmr_rerank_ann", oracle=_mmr_oracle(_MMR_ANN_CAND_CTES),
+       tags=("llm", "similarity", "retrieval", "mmr", "ivf", "pq"))
+def emb_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank composed over the IVF-PQ shortlist — the
+    production serving pipeline: ADC top-C shortlist (codes only), exact
+    cosine on the C survivors (point lookups into the vector store,
+    never a corpus scan), MMR greedy over the top candidates via the
+    SAME mmr_greedy unroll as the brute-force twin. The oracle nests the
+    IVF-PQ SQL as the shortlist CTE, so the driver hash-checks the whole
+    composition end-to-end."""
+    from ..functions.vectors import norm_fold_expr
+    from .llm_similarity import mmr_greedy
+
+    adc = _ivfpq_adc(spark, sf_dir)
+    ws = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _RERANK_C)
+        .select("qid", "vec_id")
+    )
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    q = vec.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    pool = (
+        F.broadcast(shortlist).join(vec, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "vec_id", "e", "n",
+            (dot_fold_expr("qe", "e") / (F.col("qn") * F.col("n")))
+            .alias("rel"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        pool.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _MMR_N_CAND)
+        .drop("rn")
+    )
+    return mmr_greedy(cand)
 
 
 # --- probe-from-artifact: the persisted-index serving path -------------------

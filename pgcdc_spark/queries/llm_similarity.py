@@ -1100,7 +1100,13 @@ _MMR_N_CAND = 12
 _MMR_K = 5
 
 
-def _mmr_oracle() -> str:
+def _mmr_oracle(cand_ctes: str | None = None) -> str:
+    """The MMR greedy unroll in DuckDB SQL. ``cand_ctes`` overrides the
+    candidate-pool CTE chain (must end in a CTE named ``cand`` with
+    columns (qid, vec_id, rel)); the default pool is the brute-force
+    top-N relevance cut — emb_mmr_rerank_ann (queries/llm_extra.py)
+    passes the exact-reranked IVF-PQ shortlist instead, making the
+    relevance pass O(shortlist) rather than O(corpus)."""
     steps = []
     prev = "sel1"
     for i in range(2, _MMR_K + 1):
@@ -1126,13 +1132,8 @@ sel{i}u AS (
   UNION ALL SELECT qid, vec_id, rel, score, step FROM sel{i}
 )""")
         prev = f"sel{i}u"
-    return f"""
-WITH q AS (
-  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-  FROM embeddings WHERE vec_id < {_N_QUERIES}
-),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-rel AS (
+    if cand_ctes is None:
+        cand_ctes = f"""rel AS (
   SELECT qid, vec_id,
          list_dot_product(qe, e)
            / (sqrt(list_dot_product(qe, qe))
@@ -1145,7 +1146,14 @@ cand AS (
                                  ORDER BY rel DESC, vec_id) AS rn
     FROM rel
   ) WHERE rn <= {_MMR_N_CAND}
+)"""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{cand_ctes},
 ps AS (
   SELECT a.qid, a.vec_id AS av, b.vec_id AS bv,
          list_dot_product(ca.e, cb.e)
@@ -1169,36 +1177,15 @@ ORDER BY qid, step
 """
 
 
-@query("emb_mmr_rerank", oracle=_mmr_oracle(),
-       tags=("llm", "similarity", "retrieval", "mmr"))
-def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (emb,) = load(spark, sf_dir, "embeddings")
-    lam = _MMR_LAMBDA
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-        norm_fold_expr("embedding", cast=True).alias("qn"),
-    )
-    c = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        norm_fold_expr("embedding", cast=True).alias("n"),
-    )
-    rel = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid", "vec_id", "e", "n",
-            (dot_fold_expr("qe", "e") / (F.col("qn") * F.col("n")))
-            .alias("rel"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
-    cand = (
-        rel.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _MMR_N_CAND)
-        .drop("rn")
-    )
+def mmr_greedy(cand: DataFrame, lam: float = _MMR_LAMBDA,
+               k: int = _MMR_K) -> DataFrame:
+    """The MMR greedy selection unrolled to ``k`` declarative steps over
+    a candidate pool ``cand`` with columns (qid, vec_id, e, n, rel).
+    Shared by the brute-force twin (emb_mmr_rerank — the exact-oracle
+    baseline) and the serving composition over the ANN shortlist
+    (emb_mmr_rerank_ann, queries/llm_extra.py). Pairwise similarity is
+    computed over the pool only (O(pool^2) per query, pool = 12), so
+    the caller controls the corpus-facing cost through the pool."""
     a = cand.select("qid", F.col("vec_id").alias("av"),
                     F.col("e").alias("ea"), F.col("n").alias("na"))
     b = cand.select(F.col("qid").alias("qid_b"),
@@ -1225,7 +1212,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(lam) * F.col("rel")).alias("score"),
                 F.lit(1).alias("step"))
     )
-    for i in range(2, _MMR_K + 1):
+    for i in range(2, k + 1):
         chosen = sel.select("qid", "vec_id")
         maxsim = (
             ps.join(
@@ -1267,3 +1254,41 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.col("vec_id").alias("neighbor_id"), "step",
         F.round("score", 9).alias("mmr_score"),
     ).orderBy("qid", "step")
+
+
+@query("emb_mmr_rerank", oracle=_mmr_oracle(),
+       tags=("llm", "similarity", "retrieval", "mmr"))
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank over the brute-force relevance pool — the
+    exact-oracle BASELINE twin: the corpus x queries relevance pass is
+    what makes the DuckDB mirror exact. The serving shape at scale is
+    emb_mmr_rerank_ann (queries/llm_extra.py), which feeds the same
+    greedy unroll from the IVF-PQ shortlist so relevance costs
+    O(shortlist), not O(corpus)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        norm_fold_expr("embedding", cast=True).alias("qn"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id", "e", "n",
+            (dot_fold_expr("qe", "e") / (F.col("qn") * F.col("n")))
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_N_CAND)
+        .drop("rn")
+    )
+    return mmr_greedy(cand)

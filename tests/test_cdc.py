@@ -1558,6 +1558,52 @@ def test_overlay_prepared_keeps_control_rows_unstamped(spark):
     assert by_tag["prepare"] == (None, None)
 
 
+def test_publication_column_list_and_row_filter(spark):
+    """PG 15 publication semantics end-to-end on hand-built bytes: a
+    Relation message carrying only the published column list decodes
+    rows with unpublished schema columns NULL, and the row-filter
+    transition stream (enter -> INSERT, leave -> key-only DELETE,
+    outside -> suppressed) upserts to exactly the filter-satisfying
+    state — no ghost row for the user that left the publication."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_delete, encode_insert, encode_relation,
+        encode_update)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    # publication (user_id, value) WHERE (value >= 50) over a 3-user tale:
+    #  u1: 60 -> 70            stays inside          -> final 70
+    #  u2: 40 (suppressed) -> 80 ENTERS as INSERT    -> final 80
+    #  u3: 90 -> 30 LEAVES as key-only DELETE        -> absent
+    msgs = [
+        (0, encode_relation(1, "public", "events", ["user_id", "value"])),
+        (1, encode_insert(1, [1, "60.0"])),
+        (2, encode_update(1, [1, "70.0"])),
+        # u2's 40.0 insert never reaches the slot (filtered)
+        (3, encode_insert(1, [2, "80.0"])),   # 40 -> 80 enters: INSERT
+        (4, encode_insert(1, [3, "90.0"])),
+        (5, encode_delete(1, [3, None], old_kind=b"K")),  # 90 -> 30 leaves
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    # the TABLE schema still carries event_type; the publication doesn't
+    row_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("event_type", StringType()),
+    ])
+    env = decode_pgoutput(df, row_schema,
+                          relations={1: ["user_id", "value"]})
+    state = latest_state(apply_pipeline(env), keys=["user_id"],
+                         order_by=["lsn"], op_col="op")
+    rows = {r["user_id"]: (r["value"], r["event_type"])
+            for r in state.collect()}
+    assert rows == {1: (70.0, None), 2: (80.0, None)}  # u3 gone, etype NULL
+
+
 def test_pgoutput_v2_resent_relation_last_wins(spark):
     """pgoutput re-sends Relation messages after cache invalidations; a
     schema change mid-window re-sends 'R' with NEW column names.

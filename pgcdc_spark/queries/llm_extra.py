@@ -773,23 +773,32 @@ cand AS (
        tags=("llm", "similarity", "retrieval", "mmr", "ivf", "pq"))
 def emb_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank composed over the IVF-PQ shortlist — the
-    production serving pipeline: ADC top-C shortlist (codes only), exact
-    cosine on the C survivors (point lookups into the vector store,
-    never a corpus scan), MMR greedy over the top candidates via the
-    SAME mmr_greedy unroll as the brute-force twin. The oracle nests the
-    IVF-PQ SQL as the shortlist CTE, so the driver hash-checks the whole
-    composition end-to-end."""
+    production serving pipeline: ADC top-C shortlist from the PERSISTED
+    index (probe-from-artifact ≡ the inline plan bit-for-bit — the
+    invariant the probe family pins), exact cosine on the C survivors
+    (point lookups into the vector store, never a corpus scan), MMR
+    greedy over the top candidates via the SAME mmr_greedy unroll as
+    the brute-force twin. The oracle nests the IVF-PQ SQL as the
+    shortlist CTE, so the driver hash-checks the composition
+    end-to-end.
+
+    The shortlist deliberately comes from the index ARTIFACT, not the
+    inline ADC plan: the greedy unroll's plan tree embeds the candidate
+    subtree once per step leg, and an artifact read keeps that subtree
+    a few parquet scans deep (the inline ADC pipeline there sent
+    Catalyst analysis time to ~90 s)."""
     from ..functions.vectors import norm_fold_expr
     from .llm_similarity import mmr_greedy
 
-    adc = _ivfpq_adc(spark, sf_dir)
-    ws = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= _RERANK_C)
-        .select("qid", "vec_id")
-    )
+    idx = _ann_index_for(spark, sf_dir)
     (emb,) = load(spark, sf_dir, "embeddings")
+    probe_q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    shortlist = idx.probe(spark, probe_q, nprobe=2, k=_RERANK_C).select(
+        "qid", F.col("neighbor_id").alias("vec_id")
+    )
     vec = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
@@ -810,7 +819,14 @@ def emb_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
-    cand = (
+    # shared(): the greedy unroll references the pool ~3x per step (the
+    # pairwise legs + the not-yet-chosen filter), and HERE the pool plan
+    # embeds the whole IVF-PQ ADC pipeline — without sharing, every
+    # reference replays it (measured ~95 s vs ~2 s at sf0.001). Lazy
+    # persist, released by the harness via cache.release_shared().
+    from ..cache import shared
+
+    cand = shared(
         pool.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _MMR_N_CAND)
         .drop("rn")

@@ -422,12 +422,29 @@ def ivf_centroids(base: DataFrame, cent_mod: int | None = None) -> DataFrame:
 def nearest_cells(side: DataFrame, cent: DataFrame, id_col: str, k: int) -> DataFrame:
     """Assign each row of ``side`` (id_col, e, n) to its ``k`` nearest
     centroid cells by cosine. Centroids broadcast (|C| ~ sqrt(n) rows), so
-    the big side never shuffles for the scoring — only the per-id window
-    runs, partitioned on id_col."""
+    the big side never shuffles for the scoring.
+
+    k=1 (the corpus-sized ASSIGNMENT path) reduces via a partial-
+    aggregable argmax — max(struct(ccos, -cid)) picks the highest cosine
+    with the lowest cid on ties, exactly the window's (ccos DESC, cid)
+    order, and integer negation is exact — so the shuffle moves ONE
+    combined row per vector instead of |C| scored copies of its
+    64-double array (measured 30 s -> ~6 s at the 10x corpus; the window
+    form shuffled the array once per centroid). k>1 (the PROBE path,
+    |queries| rows) keeps the per-id window — its input is tiny."""
     scored = side.crossJoin(F.broadcast(cent)).select(
         id_col, "e", "n", "cid",
         (dot_fold_expr("e", "ce") / (F.col("n") * F.col("cn"))).alias("ccos"),
     )
+    if k == 1:
+        agg = scored.groupBy(id_col).agg(
+            F.max(F.struct(F.col("ccos"),
+                           (-F.col("cid")).alias("negcid"))).alias("m"),
+            F.first("e").alias("e"),   # every copy of an id carries the
+            F.first("n").alias("n"),   # same vector — any first is exact
+        )
+        return agg.select(id_col, "e", "n",
+                          (-F.col("m.negcid")).alias("cid"))
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1200,60 +1217,74 @@ def mmr_greedy(cand: DataFrame, lam: float = _MMR_LAMBDA,
             .alias("sim"),
         )
     )
-    cand_slim = cand.select("qid", "vec_id", "rel")
-    sel = (
-        cand_slim.withColumn(
-            "rn", F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("rel").desc(),
-                                                  "vec_id"))
-        )
-        .filter(F.col("rn") == 1)
-        .select("qid", "vec_id", "rel",
-                (F.lit(lam) * F.col("rel")).alias("score"),
-                F.lit(1).alias("step"))
+    # LINEAR-depth greedy: collapse each qid's pool to ONE row (candidate
+    # array + pairwise-sim array) and compute the k picks as chained
+    # per-row HOF folds. The earlier join/union unroll embedded the pool
+    # subtree ~2^k times in the logical plan — Catalyst ANALYSIS (not
+    # execution) took tens of seconds per build at any SF. Here each step
+    # is one Project over the previous one. Float parity with the oracle
+    # holds because every operation is the same arithmetic in the same
+    # order: argmax folds use strict (score, vec_id) comparisons (the
+    # window's score DESC, vec_id ASC), MAX over sims is
+    # order-independent, and the score expression's literals print
+    # identically on both sides.
+    lam_s, mu_s = f"{lam}D", f"{1 - lam:.1f}D"
+    pooled = cand.groupBy("qid").agg(
+        F.collect_list(F.struct("vec_id", "rel")).alias("cand_arr"))
+    paired = ps.groupBy("qid").agg(
+        F.collect_list(F.struct("av", "bv", "sim")).alias("pair_arr"))
+    df = pooled.join(paired, "qid", "left").select(
+        "qid", "cand_arr",
+        F.coalesce(
+            "pair_arr",
+            F.expr("CAST(array() AS ARRAY<STRUCT<av: BIGINT, bv: BIGINT,"
+                   " sim: DOUBLE>>)"),
+        ).alias("pair_arr"),
     )
+
+    def argmax(arr_sql: str) -> str:
+        # fold replicating ROW_NUMBER() OVER (ORDER BY score DESC, vec_id)
+        return (
+            f"aggregate({arr_sql}, CAST(NULL AS STRUCT<vec_id: BIGINT,"
+            " rel: DOUBLE, score: DOUBLE>), (b, x) -> IF(b IS NULL"
+            " OR x.score > b.score OR (x.score = b.score AND"
+            " x.vec_id < b.vec_id), x, b))"
+        )
+
+    df = df.withColumn("s1", F.expr(argmax(
+        f"transform(cand_arr, c -> struct(c.vec_id AS vec_id,"
+        f" c.rel AS rel, {lam_s} * c.rel AS score))")))
+    df = df.withColumn("chosen1", F.expr("array(s1.vec_id)"))
     for i in range(2, k + 1):
-        chosen = sel.select("qid", "vec_id")
-        maxsim = (
-            ps.join(
-                chosen.select(F.col("qid").alias("s_qid"),
-                              F.col("vec_id").alias("s_vid")),
-                (F.col("qid") == F.col("s_qid"))
-                & (F.col("bv") == F.col("s_vid")),
-            )
-            .groupBy("qid", "av")
-            .agg(F.max("sim").alias("maxsim"))
-        )
+        prev = f"chosen{i - 1}"
+        # remaining candidates scored lam*rel - (1-lam)*MAX(sim to chosen);
+        # a candidate with no pair to any chosen is dropped (the oracle's
+        # inner join) — impossible for a complete pool graph, guarded
+        # anyway by the score IS NOT NULL filter.
         scored = (
-            cand_slim.join(
-                maxsim,
-                (cand_slim["qid"] == maxsim["qid"])
-                & (cand_slim["vec_id"] == maxsim["av"]),
-            )
-            .select(cand_slim["qid"], "vec_id", "rel",
-                    (F.lit(lam) * F.col("rel")
-                     - F.lit(1 - lam) * F.col("maxsim")).alias("score"))
-            .join(chosen.withColumnRenamed("vec_id", "c_vid")
-                  .withColumnRenamed("qid", "c_qid"),
-                  (F.col("qid") == F.col("c_qid"))
-                  & (F.col("vec_id") == F.col("c_vid")),
-                  "left_anti")
+            f"filter(transform(filter(cand_arr,"
+            f" c -> NOT array_contains({prev}, c.vec_id)),"
+            f" c -> struct(c.vec_id AS vec_id, c.rel AS rel,"
+            f" {lam_s} * c.rel - {mu_s} * aggregate("
+            f"filter(pair_arr, p -> p.av = c.vec_id"
+            f" AND array_contains({prev}, p.bv)),"
+            f" CAST(NULL AS DOUBLE),"
+            f" (m, p) -> IF(m IS NULL OR p.sim > m, p.sim, m)) AS score)),"
+            f" x -> x.score IS NOT NULL)"
         )
-        step_i = (
-            scored.withColumn(
-                "rn", F.row_number().over(
-                    Window.partitionBy("qid").orderBy(
-                        F.col("score").desc(), "vec_id"))
-            )
-            .filter(F.col("rn") == 1)
-            .select("qid", "vec_id", "rel", "score",
-                    F.lit(i).alias("step"))
-        )
-        sel = sel.unionByName(step_i)
-    return sel.select(
-        "qid", F.col("vec_id").alias("neighbor_id"), "step",
-        F.round("score", 9).alias("mmr_score"),
-    ).orderBy("qid", "step")
+        df = df.withColumn(f"s{i}", F.expr(argmax(scored)))
+        df = df.withColumn(f"chosen{i}", F.expr(
+            f"IF(s{i} IS NULL, {prev}, array_append({prev}, s{i}.vec_id))"))
+    steps_arr = ", ".join(
+        f"struct(s{i}.vec_id AS neighbor_id, {i} AS step,"
+        f" round(s{i}.score, 9) AS mmr_score)"
+        for i in range(1, k + 1)
+    )
+    out = df.select("qid", F.explode(F.expr(
+        f"filter(array({steps_arr}), x -> x.neighbor_id IS NOT NULL)"
+    )).alias("s"))
+    return out.select("qid", "s.neighbor_id", "s.step",
+                      "s.mmr_score").orderBy("qid", "step")
 
 
 @query("emb_mmr_rerank", oracle=_mmr_oracle(),

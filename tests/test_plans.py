@@ -85,57 +85,62 @@ def test_no_collect_in_query_surface(spark):
 
     (fan_out's getNumPartitions inspects the plan without running a job —
     this test is also the proof of that.)"""
-    # EXCEPTION DISCIPLINE (r8 verdict item 6): every entry MUST name the
-    # O(.) class of what its build jobs ship to the driver — an entry
-    # without a bounded driver-payload argument does not belong here.
-    # Two sanctioned classes remain after the r9 shrink (artifact-cached
-    # builders — ANN stats, binaryFile fixture, all IVM twins, time
-    # travel — now plan lazily on a warm cache and are PREWARMED below
-    # instead of excepted):
+    # EXCEPTION DISCIPLINE (r8 verdict item 6, family form since r10):
+    # each FAMILY is one argued exception — the argument names the O(.)
+    # class of what its build jobs ship to the driver AND the single
+    # code path that does the shipping; members without their own
+    # distinct argument do not get their own entry. Two sanctioned
+    # classes (artifact-cached builders — ANN stats, binaryFile fixture,
+    # all IVM twins, time travel — plan lazily on a warm cache and are
+    # PREWARMED below instead of excepted):
     #   fixpoint   — declared-iterative operators (the GraphX/Pregel
     #                execution model): per-iteration jobs, only SCALAR
     #                convergence counts reach the driver;
     #   metadata   — one bounded collect of schema/cell/relation METADATA
     #                that must exist before the plan can be built.
+    EXCEPTION_FAMILIES = {
+        # fixpoint: label-propagation CC with pointer jumping
+        # (llm_dedup.connected_components) — O(1) convergence scalar per
+        # round; the other two COMPOSE the same CC stage.
+        "cc-fixpoint": (
+            "dedup_cc_clusters", "dedup_keep_best", "training_mix_pipeline",
+        ),
+        # fixpoint: O(1) frontier-size scalar per BFS hop.
+        "bfs-fixpoint": ("graph_bfs_hops",),
+        # metadata: O(columns) image-column-name discovery — the evolved
+        # schema must exist before the plan can name its columns.
+        "schema-discovery": ("cdc_evolving_state", "cdc_widening_state"),
+        # metadata: every member funnels through the ONE collect in
+        # AnnIndex.probe (operators/annindex.py:634) shipping
+        # O(|queries| * nprobe) probed-cell ids — the FAISS invlist
+        # lookup (+ O(versions) manifest reads for the pinned-version
+        # probe) — plus, on a cold corpus cache, the DECLARED one-time
+        # O(corpus) index build.
+        "ann-probe-serving": (
+            "emb_ann_index_probe", "emb_ann_index_incremental",
+            "emb_ann_index_compacted", "emb_ann_index_filtered_probe",
+            "emb_ann_index_filtered_incremental", "emb_ann_index_asof_probe",
+            "emb_mmr_rerank_ann",  # shortlist via the same idx.probe
+        ),
+        # metadata: O(#tables) 'R' relation-message discovery — the
+        # relations dict must exist driver-side before the Arrow decode
+        # closure can be built (decode_pgoutput_v2 dedupes payloads
+        # executor-side first; the stream variant is multi-stage only
+        # because the FIXTURE's control rows derive from a groupBy).
+        "relation-discovery": ("cdc_pgoutput_state", "cdc_pgoutput_stream_state"),
+        # metadata: FIXTURE capture materialization (localCheckpoint of
+        # the encoded byte stream — the bytes-in-storage model; several
+        # control passes read it). Real deployments read bytes from
+        # storage, where the build is job-free. cdc_xlog_infer_state
+        # additionally runs the O(#tables) relation-SCHEMA discovery
+        # collect (type-OID inference IS that query's claim).
+        "fixture-capture": (
+            "cdc_two_phase_state", "cdc_origin_filter_state",
+            "cdc_xlog_infer_state",
+        ),
+    }
     iterative = {
-        "dedup_cc_clusters": "fixpoint: O(1) scalar count per CC round",
-        "dedup_keep_best": "fixpoint: composes CC, same scalar counts",
-        "training_mix_pipeline": "fixpoint: composes dedup_keep_best (CC)",
-        "graph_bfs_hops": "fixpoint: O(1) frontier-size scalar per hop",
-        # graph_pagerank / graph_triangle_count left this list in r9:
-        # their node count now rides as a broadcast 1-row aggregate
-        "cdc_evolving_state":
-            "metadata: O(columns) image-column-name discovery",
-        "cdc_widening_state": "metadata: same O(columns) schema discovery",
-        # probe-serving queries: the cell-list collect is O(|queries| *
-        # nprobe) ids — the FAISS invlist lookup — plus, on a cold corpus
-        # cache, the DECLARED one-time O(corpus) index build
-        "emb_ann_index_probe": "metadata: O(q*nprobe) cell ids",
-        "emb_ann_index_incremental": "metadata: O(q*nprobe) cell ids",
-        "emb_ann_index_compacted": "metadata: O(q*nprobe) cell ids",
-        "emb_ann_index_filtered_probe": "metadata: O(q*nprobe) cell ids",
-        "emb_ann_index_filtered_incremental":
-            "metadata: O(q*nprobe) cell ids",
-        "emb_ann_index_asof_probe":
-            "metadata: O(q*nprobe) cell ids + O(versions) manifest",
-        "cdc_pgoutput_state":
-            "metadata: O(#tables) 'R' relation-message discovery",
-        "cdc_pgoutput_stream_state":
-            "metadata: same O(#tables) 'R' discovery (multi-stage only "
-            "because the FIXTURE's control rows derive from a groupBy)",
-        "cdc_two_phase_state":
-            "metadata: FIXTURE capture materialization (localCheckpoint "
-            "of the encoded byte stream — the bytes-in-storage model; "
-            "three control passes read it). Real deployments read bytes "
-            "from storage, where the build is job-free.",
-        "cdc_origin_filter_state":
-            "metadata: same FIXTURE capture materialization "
-            "(localCheckpoint; span pairing + origin join + decode all "
-            "read the encoded byte stream).",
-        "cdc_xlog_infer_state":
-            "metadata: FIXTURE capture materialization + the O(#tables) "
-            "relation-schema discovery collect (type-OID inference IS "
-            "this query's claim).",
+        name for names in EXCEPTION_FAMILIES.values() for name in names
     }
     # Artifact-cached builders: their one-time build (ANN index / mm
     # fixture / IVM maintained state) is the artifact's contract, not a

@@ -192,12 +192,20 @@ class AnnIndex:
     def build(
         self, emb: DataFrame, label: str = "build",
         attrs: tuple[str, ...] = (),
+        cent_mod: int | None = None,
     ) -> str:
         """One O(corpus) indexing job: train the quantizer (deterministic
         stand-in rules), coarse-assign every vector, PQ-encode it, and
         commit the tables as a fresh self-contained version.
 
         ``emb`` must have (vec_id: long, embedding: array<float|double>).
+
+        ``cent_mod`` pins a FIXED centroid donor modulus instead of the
+        adaptive sqrt(n) rule — the frozen/external-quantizer replay
+        hook (and what the append-equals-rebuild property test uses:
+        that equivalence is only defined UNDER THE SAME QUANTIZER, and
+        the adaptive rule would retrain differently on the rebuilt
+        corpus's count).
 
         ``attrs`` names metadata columns of ``emb`` (e.g. a label, a
         source, a date) DENORMALIZED onto every cell row: filtered ANN
@@ -219,7 +227,8 @@ class AnnIndex:
             F.col("embedding").cast("array<double>").alias("e"),
             norm_fold_expr("embedding", cast=True).alias("n"),
         )
-        cent = ivf_centroids(base)  # (cid, ce, cn); adaptive sqrt(n) donors
+        # (cid, ce, cn); adaptive sqrt(n) donors unless pinned
+        cent = ivf_centroids(base, cent_mod=cent_mod)
         codebook_src = emb.filter(
             (F.col("vec_id") % _PQ_CB_MOD == 1)
             & (F.col("vec_id") <= _PQ_CB_MAX_ID)

@@ -61,6 +61,8 @@ SCALE_SET = [
     "q9_profit_by_nation",
     "q18_large_orders",
     "emb_ann_index_probe",
+    "emb_ivf_ann_topk",
+    "emb_mmr_rerank_ann",
 ]
 
 # Per-query DESIGN exponents: a query is flagged when its measured
@@ -75,6 +77,7 @@ DESIGN_EXPONENT = {
     "emb_semantic_dedup": 1.5,
     "emb_kmeans_lloyd": 1.5,
     "emb_ivf_pq_topk": 1.5,
+    "emb_ivf_ann_topk": 1.5,
     "hybrid_rrf_retrieval": 1.5,   # embeds the IVF-PQ plan
     "emb_ann_rerank_exact": 1.5,   # ADC shortlist over the IVF-PQ plan
 }

@@ -102,6 +102,31 @@ def test_minhash_pairs_ordered_and_distinct(spark, sf_smoke):
     assert df.count() == df.distinct().count()
 
 
+def test_lsh_buckets_stay_small_by_construction(spark, sf_smoke):
+    """Scale-regression pin for the r10 finding: bigram shingles over
+    this corpus family's tiny vocabulary gave unrelated long documents
+    J~0.15, and the r=2 banding turned that into O(n)-sized LSH buckets
+    and a QUADRATIC candidate blowup at 10x scale (6.4M pairs, max
+    bucket 1461). The trigram + r=4 parameterization keeps buckets
+    small BY CONSTRUCTION — this pin fails loudly if a future
+    shingle/banding change re-admits the background-similarity mass
+    (measured today: max bucket 4 at n=500, 13 at n=5000; candidate
+    pairs ~0.1-0.3 per doc)."""
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.queries.llm_dedup import (
+        minhash_bands, minhash_candidate_pairs)
+
+    (docs,) = load(spark, sf_smoke, "documents")
+    n = docs.count()
+    buckets = minhash_bands(docs).groupBy("band", "sig").count()
+    max_bucket = buckets.agg(F.max("count")).collect()[0][0]
+    n_pairs = minhash_candidate_pairs(docs).count()
+    # generous 4x headroom over today's measurements, still orders of
+    # magnitude below the broken regime (max bucket ~0.3*n, pairs ~n^2)
+    assert max_bucket <= max(16, 0.01 * n), (n, max_bucket)
+    assert n_pairs <= 2 * n, (n, n_pairs)
+
+
 def test_simhash_signature_properties(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     sig = _df("dedup_simhash", spark, sf_smoke)

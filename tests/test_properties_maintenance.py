@@ -67,12 +67,19 @@ def test_ann_append_equals_rebuild_for_any_changelog(spark, tmp_path_factory, ba
     tmp = tmp_path_factory.mktemp("annprop")
     state = {v: _emb(v, 0) for v in range(_N_BASE)}
 
+    # cent_mod pinned: append-equals-rebuild is only defined UNDER THE
+    # SAME QUANTIZER. The adaptive sqrt(n) rule (r10) would retrain the
+    # rebuild on the final corpus's count (different M, and ops would
+    # mutate adaptive donor ids); pinning mod-53 keeps id 1 the sole
+    # donor, which ops never touch — the property stays about
+    # touched-cell maintenance, not quantizer retraining.
     idx = AnnIndex(str(tmp / "incr"))
     idx.build(
         spark.createDataFrame(
             sorted(state.items()), "vec_id long, embedding array<double>"
         ),
         label="base",
+        cent_mod=53,
     )
 
     for i, ops in enumerate(batches):
@@ -105,6 +112,7 @@ def test_ann_append_equals_rebuild_for_any_changelog(spark, tmp_path_factory, ba
             sorted(state.items()), "vec_id long, embedding array<double>"
         ),
         label="truth",
+        cent_mod=53,
     )
 
     def cells_of(ix):

@@ -113,9 +113,11 @@ EXTRA = [
     "docs_repetition_filter",
     # r10: MMR composed over the IVF-PQ shortlist (the serving shape —
     # relevance is O(shortlist), unlike emb_mmr_rerank's brute-force
-    # twin) and PG 15 publication column-list + row-filter decode
+    # twin), PG 15 publication column-list + row-filter decode, and
+    # BPE merge-rule training (one corpus shuffle, then vocab-sized)
     "emb_mmr_rerank_ann",
     "cdc_publication_filter_state",
+    "docs_bpe_train_merges",
 ]
 
 
@@ -154,6 +156,7 @@ FAMILIES = {
     "text": [
         "docs_quality_score", "docs_unigram_logprob", "docs_pack_sequences",
         "training_mix_pipeline", "docs_pii_scrub", "docs_repetition_filter",
+        "docs_bpe_train_merges",
     ],
     "graph": ["graph_pagerank", "graph_bfs_recursive_cte"],
     "multimodal": ["mm_audio_resample"],

@@ -77,6 +77,7 @@ _PRIORITY = (
     # round-10 additions first
     "cdc_publication_filter_state",
     "emb_mmr_rerank_ann",
+    "docs_bpe_train_merges",
     # the entire dedup + embedding/ANN family: round 10 re-parameterized
     # the MinHash shingles/banding (trigram, r=4) and made the IVF/PQ
     # quantizer rules adaptive — every one of these plans changed, so

@@ -1402,3 +1402,139 @@ def docs_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_groups", "leaked_groups")
         .orderBy("split")
     )
+
+
+# --- BPE merge-rule TRAINING (tokenizer learning, not just tokenizing) --------
+# docs_token_bpe_regex applies a FIXED pre-tokenization pattern; a real
+# training-data pipeline also LEARNS the merge table (Sennrich et al.,
+# ACL'16): start from characters, repeatedly take the most frequent
+# adjacent symbol pair (all occurrences counted, overlaps included —
+# get_stats semantics) and merge it greedily left-to-right in every
+# word. Engine shape: the heavy stage is ONE word-count shuffle (the
+# corpus reduces to its vocabulary immediately — pair counting and
+# merging run on the DISTINCT-WORD table, weighted by count, which is
+# tiny relative to 100 TB of text); each unrolled step is a
+# partial-agg pair count + a 1-row broadcast argmax + a per-row HOF
+# merge fold. The greedy fold (merge and continue after the merged
+# symbol) equals run-parity selection — consecutive candidate
+# positions only arise when left == right — which is how the DuckDB
+# oracle expresses it declaratively.
+
+_BPE_MERGE_STEPS = 3
+
+_BPE_MERGE_FOLD = (
+    "aggregate(syms, CAST(array() AS ARRAY<STRING>), (out, x) -> "
+    "IF(size(out) > 0 AND element_at(out, -1) = pl AND x = pr, "
+    "concat(slice(out, 1, size(out) - 1), array(concat(pl, pr))), "
+    "concat(out, array(x))))"
+)
+
+
+def _bpe_merge_oracle(steps: int = _BPE_MERGE_STEPS) -> str:
+    ctes = ["""w0 AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+)""", """s0 AS (
+  SELECT w, cnt, string_split(w, '') AS syms FROM w0
+)"""]
+    for i in range(1, steps + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT s.syms[t.i] AS l, s.syms[t.i + 1] AS r,
+         CAST(SUM(s.cnt) AS BIGINT) AS freq
+  FROM {prev} s, UNNEST(range(1, len(s.syms))) t(i)
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""b{i} AS (
+  SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+)""")
+        ctes.append(f"""c{i} AS (
+  SELECT s.w, t.i AS p
+  FROM {prev} s, b{i} b, UNNEST(range(1, len(s.syms))) t(i)
+  WHERE s.syms[t.i] = b.l AND s.syms[t.i + 1] = b.r
+)""")
+        # greedy left-to-right == keep odd ranks within each run of
+        # CONSECUTIVE candidate positions (consecutive => l = r)
+        ctes.append(f"""g{i} AS (
+  SELECT w, p FROM (
+    SELECT w, p, ROW_NUMBER() OVER (PARTITION BY w, run ORDER BY p) AS rr
+    FROM (SELECT w, p,
+                 p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS run
+          FROM c{i})
+  ) WHERE rr % 2 = 1
+)""")
+        ctes.append(f"""s{i} AS (
+  SELECT u.w, u.cnt, list(u.sym ORDER BY u.i) AS syms FROM (
+    SELECT s.w, s.cnt, t.i,
+           CASE WHEN g.p IS NOT NULL THEN s.syms[t.i] || s.syms[t.i + 1]
+                ELSE s.syms[t.i] END AS sym,
+           g2.p AS consumed
+    FROM {prev} s
+    CROSS JOIN UNNEST(range(1, len(s.syms) + 1)) t(i)
+    LEFT JOIN g{i} g ON g.w = s.w AND g.p = t.i
+    LEFT JOIN g{i} g2 ON g2.w = s.w AND g2.p = t.i - 1
+  ) u WHERE u.consumed IS NULL
+  GROUP BY u.w, u.cnt
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, l AS lhs, r AS rhs, l || r AS merged, freq"
+        f" FROM b{i}"
+        for i in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{sel}\nORDER BY step"
+
+
+@query("docs_bpe_train_merges", oracle=_bpe_merge_oracle(),
+       tags=("llm", "text", "bpe", "tokenizer", "training"))
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first k BPE merge rules from the corpus: per step, the
+    most frequent adjacent symbol pair (ties: lexicographically smallest
+    (l, r)) with its pre-merge frequency. One corpus-sized shuffle total
+    (word counts); everything after runs on the weighted vocabulary.
+    Each step's argmax rides as a broadcast 1-row aggregate (job-free
+    build); the merge itself is a per-row greedy fold over the symbol
+    array — merging consumes its right symbol, so overlapping
+    candidates (only possible when l = r) merge alternately, exactly
+    the oracle's run-parity selection."""
+    (docs,) = load(spark, sf_dir, "documents")
+    wc = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = wc.select("cnt", F.split("w", "").alias("syms"))
+    bests = []
+    for step in range(1, _BPE_MERGE_STEPS + 1):
+        pairs = (
+            syms.select("cnt", F.explode(F.expr(
+                "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+                " slice(syms, 2, greatest(size(syms) - 1, 0)),"
+                " (a, b) -> struct(a AS l, b AS r))")).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        mx = pairs.agg(F.max("freq").alias("mxf"))
+        best = (
+            pairs.crossJoin(F.broadcast(mx))
+            .filter(F.col("freq") == F.col("mxf"))
+            .agg(F.min(F.struct(F.col("l"), F.col("r"))).alias("p"),
+                 F.first("mxf").alias("freq"))
+            .select(
+                F.lit(step).alias("step"),
+                F.col("p.l").alias("lhs"),
+                F.col("p.r").alias("rhs"),
+                F.concat(F.col("p.l"), F.col("p.r")).alias("merged"),
+                F.col("freq"),
+            )
+        )
+        bests.append(best)
+        pair = best.select(F.col("lhs").alias("pl"), F.col("rhs").alias("pr"))
+        syms = syms.crossJoin(F.broadcast(pair)).select(
+            "cnt", F.expr(_BPE_MERGE_FOLD).alias("syms"))
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("step")

@@ -102,6 +102,25 @@ def test_minhash_pairs_ordered_and_distinct(spark, sf_smoke):
     assert df.count() == df.distinct().count()
 
 
+def test_bpe_merge_fold_greedy_overlap(spark):
+    """The BPE merge fold consumes its right symbol: overlapping
+    candidates (only possible when l = r) merge alternately left-to-
+    right — 'aaaa' under pair (a,a) becomes [aa, aa], 'aaa' becomes
+    [aa, a], and a merged symbol never re-merges within the pass."""
+    from pgcdc_spark.queries.llm_text import _BPE_MERGE_FOLD
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(list("aaaa"), "a", "a"),
+         (list("aaa"), "a", "a"),
+         (list("abab"), "a", "b"),
+         (list("xy"), "a", "b")],
+        "syms array<string>, pl string, pr string",
+    )
+    got = [r[0] for r in df.select(SF.expr(_BPE_MERGE_FOLD)).collect()]
+    assert got == [["aa", "aa"], ["aa", "a"], ["ab", "ab"], ["x", "y"]]
+
+
 def test_lsh_buckets_stay_small_by_construction(spark, sf_smoke):
     """Scale-regression pin for the r10 finding: bigram shingles over
     this corpus family's tiny vocabulary gave unrelated long documents

@@ -67,10 +67,12 @@ _MODULES = (
 # goes first, composition-verifying queries in front; remaining slots
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
-# oracle-backed name has been driver-sampled green at least once
-# (cumulative r1-r8 union: 212/212); the list below is the 8 round-9
-# additions plus the stalest previously-green names (last sampled
-# rounds 3-6); the driver samples the first 50.
+# oracle-backed name has been driver-sampled green at least once.  The
+# round-10 list fronts the 4 r10 additions, then the ENTIRE dedup +
+# embedding/ANN family (all of those plans changed in r10 — trigram
+# shingles, r=4 banding, adaptive quantizer), then the stalest
+# r3-sampled names; the driver samples the first 50 (the two names
+# past slot 50 rotate in next round).
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
@@ -78,6 +80,7 @@ _PRIORITY = (
     "cdc_publication_filter_state",
     "emb_mmr_rerank_ann",
     "docs_bpe_train_merges",
+    "docs_bpe_encode_stats",
     # the entire dedup + embedding/ANN family: round 10 re-parameterized
     # the MinHash shingles/banding (trigram, r=4) and made the IVF/PQ
     # quantizer rules adaptive — every one of these plans changed, so

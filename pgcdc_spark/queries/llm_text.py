@@ -1497,6 +1497,19 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     array — merging consumes its right symbol, so overlapping
     candidates (only possible when l = r) merge alternately, exactly
     the oracle's run-parity selection."""
+    bests, _stages = _bpe_train_stages(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("step")
+
+
+def _bpe_train_stages(spark: SparkSession, sf_dir: str):
+    """The unrolled BPE training loop: returns (bests, stages) where
+    ``bests[i]`` is step i+1's 1-row merge rule and ``stages[i]`` is the
+    vocabulary symbol table (cnt, syms) AFTER i merges (stages[0] = the
+    character-level start). Shared by the merge-rule query above and
+    the encode-stats composition below."""
     (docs,) = load(spark, sf_dir, "documents")
     wc = (
         fan_out(docs)
@@ -1506,7 +1519,7 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     syms = wc.select("cnt", F.split("w", "").alias("syms"))
-    bests = []
+    bests, stages = [], [syms]
     for step in range(1, _BPE_MERGE_STEPS + 1):
         pairs = (
             syms.select("cnt", F.explode(F.expr(
@@ -1534,7 +1547,58 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair = best.select(F.col("lhs").alias("pl"), F.col("rhs").alias("pr"))
         syms = syms.crossJoin(F.broadcast(pair)).select(
             "cnt", F.expr(_BPE_MERGE_FOLD).alias("syms"))
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("step")
+        stages.append(syms)
+    return bests, stages
+
+
+def _bpe_encode_oracle(steps: int = _BPE_MERGE_STEPS) -> str:
+    train = _bpe_merge_oracle(steps)
+    ctes = train[len("WITH "):train.index("\nSELECT 1 AS step")]
+    per_stage = "\nUNION ALL ".join(
+        f"SELECT {i} AS step,"
+        f" CAST(SUM(len(syms)) AS BIGINT) AS vocab_tokens,"
+        f" CAST(SUM(cnt * len(syms)) AS BIGINT) AS corpus_tokens"
+        f" FROM s{i}"
+        for i in range(0, steps + 1)
+    )
+    return f"""WITH {ctes},
+stage AS ({per_stage}),
+base AS (SELECT corpus_tokens AS c0 FROM stage WHERE step = 0)
+SELECT s.step, s.vocab_tokens, s.corpus_tokens,
+       CAST(s.corpus_tokens AS DOUBLE) / CAST(b.c0 AS DOUBLE) AS compression
+FROM stage s, base b
+ORDER BY s.step
+"""
+
+
+@query("docs_bpe_encode_stats", oracle=_bpe_encode_oracle(),
+       tags=("llm", "text", "bpe", "tokenizer", "training"))
+def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges back to the corpus and report the
+    number every tokenizer team tracks: corpus token count after each
+    merge step and its compression ratio vs the character-level start.
+    Composes the training stages above — encoding happens on the
+    weighted VOCABULARY (cnt x tokens-per-word), so the corpus total is
+    exact without touching the text twice. Step 0 rides as a broadcast
+    1-row aggregate into the ratio (job-free build)."""
+    _bests, stages = _bpe_train_stages(spark, sf_dir)
+    per_stage = [
+        s.agg(
+            F.sum(F.size("syms")).alias("vocab_tokens"),
+            F.sum(F.col("cnt") * F.size("syms")).alias("corpus_tokens"),
+        ).select(F.lit(i).alias("step"), "vocab_tokens", "corpus_tokens")
+        for i, s in enumerate(stages)
+    ]
+    stage = per_stage[0]
+    for s in per_stage[1:]:
+        stage = stage.unionByName(s)
+    base = per_stage[0].select(F.col("corpus_tokens").alias("c0"))
+    return (
+        stage.crossJoin(F.broadcast(base))
+        .select(
+            "step", "vocab_tokens", "corpus_tokens",
+            (F.col("corpus_tokens").cast("double")
+             / F.col("c0").cast("double")).alias("compression"),
+        )
+        .orderBy("step")
+    )

@@ -81,6 +81,7 @@ _PRIORITY = (
     "emb_mmr_rerank_ann",
     "docs_bpe_train_merges",
     "docs_bpe_encode_stats",
+    "docs_filter_funnel",
     # the entire dedup + embedding/ANN family: round 10 re-parameterized
     # the MinHash shingles/banding (trigram, r=4) and made the IVF/PQ
     # quantizer rules adaptive — every one of these plans changed, so

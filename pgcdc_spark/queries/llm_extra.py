@@ -1652,3 +1652,93 @@ def emb_ann_index_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
     )
     return idx.probe(spark, queries, nprobe=2, k=_TOP_K, version=base_version)
+
+
+# --- filter-funnel attrition report -------------------------------------------
+# The operational dashboard of every training-data pipeline: how many
+# documents (and tokens) survive each filter stage, in the SAME stage
+# order and with the SAME predicates the composed training_mix_pipeline
+# applies — benchmark holdout, quality gate, near-dup keep-best,
+# decontamination. One corpus pass: the stage flags are cumulative ANDs
+# computed per doc, the report is a single aggregate (the oracle spells
+# it as five UNION'd aggregates — same values). Scale shape: the flag
+# joins are the components' own doc-id-sized build sides; the funnel
+# adds one projection and one 1-row aggregate on top.
+
+_FUNNEL_STAGES = ("all", "bench_holdout", "quality", "near_dup", "decontam")
+
+_FUNNEL_ORACLE = f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({_QUALITY_ORACLE})),
+kb AS (SELECT doc_id, keep FROM ({_KEEP_BEST_ORACLE})),
+ct AS (SELECT doc_id, contaminated FROM ({_DECONTAM_ORACLE})),
+st AS (
+  SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         TRUE AS s0,
+         d.source <> 'src0' AS s1,
+         d.source <> 'src0' AND q.quality_score >= {_MIX_MIN_QUALITY} AS s2,
+         d.source <> 'src0' AND q.quality_score >= {_MIX_MIN_QUALITY}
+           AND kb.keep AS s3,
+         d.source <> 'src0' AND q.quality_score >= {_MIX_MIN_QUALITY}
+           AND kb.keep AND NOT COALESCE(ct.contaminated, FALSE) AS s4
+  FROM documents d
+  JOIN q USING (doc_id)
+  JOIN kb USING (doc_id)
+  LEFT JOIN ct USING (doc_id)
+)
+{" UNION ALL ".join(
+    f"SELECT {i} AS stage, '{name}' AS stage_name,"
+    f" CAST(SUM(CASE WHEN s{i} THEN 1 ELSE 0 END) AS BIGINT) AS docs,"
+    f" CAST(SUM(CASE WHEN s{i} THEN n_tokens ELSE 0 END) AS BIGINT)"
+    f" AS tokens FROM st"
+    for i, name in enumerate(_FUNNEL_STAGES))}
+ORDER BY stage
+"""
+
+
+@query("docs_filter_funnel", oracle=_FUNNEL_ORACLE,
+       tags=("llm", "text", "pipeline", "diagnostics"))
+def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage surviving documents and tokens through the training-mix
+    filter chain (cumulative: each stage ANDs onto the previous). The
+    flags come from the SAME component queries the composed pipeline
+    gates on, so this report is the pipeline's attrition ledger — a
+    stage whose docs column suddenly collapses is the canary every data
+    team watches."""
+    (docs,) = load(spark, sf_dir, "documents")
+    q = docs_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    kb = dedup_keep_best(spark, sf_dir).select("doc_id", "keep")
+    ct = docs_decontam_overlap(spark, sf_dir).select("doc_id", "contaminated")
+    s1 = F.col("source") != "src0"
+    s2 = s1 & (F.col("quality_score") >= _MIX_MIN_QUALITY)
+    s3 = s2 & F.col("keep")
+    s4 = s3 & ~F.coalesce(F.col("contaminated"), F.lit(False))
+    st = (
+        docs.select(
+            "doc_id", "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(q, "doc_id")
+        .join(kb, "doc_id")
+        .join(ct, "doc_id", "left")
+        .select(
+            "n_tokens", F.lit(True).alias("s0"), s1.alias("s1"),
+            s2.alias("s2"), s3.alias("s3"), s4.alias("s4"),
+        )
+    )
+    agg = st.agg(
+        *[F.sum(F.when(F.col(f"s{i}"), 1).otherwise(0)).cast("long")
+          .alias(f"d{i}") for i in range(len(_FUNNEL_STAGES))],
+        *[F.sum(F.when(F.col(f"s{i}"), F.col("n_tokens")).otherwise(0))
+          .cast("long").alias(f"t{i}") for i in range(len(_FUNNEL_STAGES))],
+    )
+    stages = ", ".join(
+        f"struct({i} AS stage, '{name}' AS stage_name, d{i} AS docs,"
+        f" t{i} AS tokens)"
+        for i, name in enumerate(_FUNNEL_STAGES)
+    )
+    return (
+        agg.select(F.explode(F.expr(f"array({stages})")).alias("s"))
+        .select("s.stage", "s.stage_name", "s.docs", "s.tokens")
+        .orderBy("stage")
+    )

@@ -104,6 +104,7 @@ def test_no_collect_in_query_surface(spark):
         # round; the other two COMPOSE the same CC stage.
         "cc-fixpoint": (
             "dedup_cc_clusters", "dedup_keep_best", "training_mix_pipeline",
+            "docs_filter_funnel",  # composes dedup_keep_best's CC stage
         ),
         # fixpoint: O(1) frontier-size scalar per BFS hop.
         "bfs-fixpoint": ("graph_bfs_hops",),

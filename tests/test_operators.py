@@ -248,6 +248,32 @@ def test_asof_join_directions_and_tolerance(spark):
         run(tolerance=-1)
 
 
+def test_adaptive_quantizer_tiny_corpus_edges(spark):
+    """The adaptive sqrt(n) donor rule (r10) must yield >= 1 centroid for
+    ANY non-empty training set: M = max(1, floor(n/ceil(sqrt(n)))) with
+    rule vec_id % M == 1 % M — the `1 % M` form makes M=1 mean 'every
+    row', so 1-3 vector corpora still train (the old `== 1` form
+    selected nothing at M=1). Donor counts stay ~sqrt(n)."""
+    import math
+
+    import pyspark.sql.functions as SF
+    from pgcdc_spark.queries.llm_similarity import ivf_centroids
+
+    for n in (1, 2, 3, 5, 40, 500):
+        base = spark.range(n).select(
+            SF.col("id").alias("vec_id"),
+            SF.array(SF.lit(1.0), SF.lit(0.0)).alias("e"),
+            SF.lit(1.0).alias("n"),
+        )
+        cnt = ivf_centroids(base).count()
+        assert cnt >= 1, f"n={n}: no donors"
+        expected_m = max(1, n // math.ceil(math.sqrt(n)))
+        expected = sum(1 for v in range(n) if v % expected_m == 1 % expected_m)
+        assert cnt == expected, (n, cnt, expected)
+        # sqrt-ish scaling: never more than ~2*sqrt(n)+1 donors
+        assert cnt <= 2 * math.isqrt(n) + 2, (n, cnt)
+
+
 def test_zorder_morton_key_guards_sign_bit(spark):
     """bits * ndims must stay below the long sign bit; 16 bits x 4 cols = 64
     would interleave into bit 63 and alias/negate keys silently."""

@@ -292,23 +292,42 @@ def main() -> None:
     streaming = _streaming_benchmarks(spark, sf_dir, runs)
     timings.update(streaming)
 
-    # FIXTURE MATERIALIZATION, reported apart (r9 verdict item 8): the
-    # cdc wire-format entries each pay an encode + localCheckpoint of
-    # their synthetic capture before any engine work runs. Timing the
-    # representative (heaviest) fixture separately makes the cdc family
-    # subtotal interpretable across rounds: engine regressions move the
-    # family number, fixture-encode drift moves this one.
-    from pgcdc_spark.queries.cdc_state import two_phase_capture
+    # FIXTURE MATERIALIZATION, reported apart (r9 item 8, extended to
+    # EVERY fixture-heavy cdc entry in r11 per VERDICT r10 item 2): each
+    # cdc wire-format entry pays an encode + localCheckpoint of its
+    # synthetic capture before any engine work runs. Timing each capture
+    # separately makes the cdc family subtotal interpretable across
+    # rounds: engine regressions move the family number, fixture-encode
+    # drift moves these.
+    from pgcdc_spark.queries.cdc_state import (
+        e2e_revenue_capture, publication_filter_capture,
+        pgoutput_stream_capture, toast_capture, two_phase_capture,
+        xlog_infer_capture)
 
-    fx_runs: list[float] = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cap = two_phase_capture(spark, sf_dir)
-        fx_runs.append(round(time.perf_counter() - t0, 4))
-        cap.unpersist()
-        gc.collect()
-    fixture_sec = sorted(fx_runs)[1]
-    runs["fixture_two_phase_capture"] = fx_runs
+    CAPTURES = {
+        "cdc_two_phase_state": two_phase_capture,
+        "cdc_pgoutput_stream_state": pgoutput_stream_capture,
+        "cdc_toast_upsert_state": toast_capture,
+        "cdc_publication_filter_state": publication_filter_capture,
+        "cdc_e2e_revenue_rollup": e2e_revenue_capture,
+        # not in the benched set, but its fixture is the heaviest encode
+        # (XLogData framing + retries) — tracked for the same reason
+        "cdc_xlog_infer_state": xlog_infer_capture,
+    }
+    fixtures: dict[str, float] = {}
+    for entry, capture in CAPTURES.items():
+        fx_runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            capture(spark, sf_dir)  # localCheckpoints internally (eager)
+            fx_runs.append(round(time.perf_counter() - t0, 4))
+            # Dataset.unpersist would be a no-op here (it only uncaches
+            # cache-manager entries, not checkpoint blocks); dropping the
+            # py4j reference + gc lets the ContextCleaner reclaim them.
+            gc.collect()
+        fixtures[entry] = sorted(fx_runs)[1]
+        runs[f"fixture_{entry}"] = fx_runs
+    fixture_sec = fixtures["cdc_two_phase_state"]  # r9-r10 series name
 
     # stdout gets EXACTLY the compact r1-r3 shape — the round-4 line, with
     # per-run arrays inline, was long enough to be truncated by the
@@ -322,13 +341,37 @@ def main() -> None:
         fam: round(sum(timings[n] for n in names), 4)
         for fam, names in FAMILIES.items()
     }
+    # the cdc family subtotal is ENGINE time only (r11): each benched
+    # entry's measured median minus its fixture-materialization median,
+    # clamped at 0 — fixture drift moves "fixtures", not the family.
+    families["cdc"] = round(sum(
+        max(0.0, timings[n] - fixtures.get(n, 0.0))
+        for n in FAMILIES["cdc"]
+    ), 4)
+    # LOAD SANITY GATE (VERDICT r10 item 1): the r10 final session was
+    # measured on a loaded host — its tell was a first streaming e2e rep
+    # at 2-4x the trailing ones. Flag that signature so a dirty session
+    # never silently becomes the official artifact again.
+    s_runs = runs.get("streaming_upsert_e2e", [])
+    trailing = sorted(s_runs[1:])[len(s_runs[1:]) // 2] if len(s_runs) > 1 \
+        else None
+    load_warning = bool(trailing and s_runs[0] > 2.0 * trailing)
+    if load_warning:
+        print(
+            f"WARNING: load signature detected — first streaming_upsert_e2e "
+            f"rep {s_runs[0]:.1f}s > 2x trailing median {trailing:.1f}s; "
+            f"re-run this bench on a quiet host before checking it in.",
+            file=sys.stderr,
+        )
     detail = {
         "totals": {
             "batch": batch_total,
             "extras": extras_total,
             "streaming": round(sum(streaming.values()), 4),
             "fixture_two_phase_capture": fixture_sec,
+            "fixtures": fixtures,
             "families": families,
+            "load_warning": load_warning,
         },
         "runs": runs,
         "sf": sf,
@@ -344,6 +387,8 @@ def main() -> None:
         "queries": timings,
         "families": families,
         "fixture_sec": fixture_sec,
+        "fixtures": fixtures,
+        "load_warning": load_warning,
         "sf": sf,
     }))
 

@@ -226,19 +226,43 @@ def decode_relation_message(buf: bytes) -> tuple[int, list[str]]:
     return relid, names
 
 
+def _collect_relation_payloads(messages: DataFrame, payload_col: str,
+                               lsn_col: str) -> list[bytes]:
+    """Shared 'R'-payload collector for the v1 discovery passes.
+
+    pgoutput re-sends Relation messages after relcache invalidations, so
+    a long capture window carries the same 'R' image many times. Dedupe
+    identical payloads EXECUTOR-side (groupBy payload, keep the latest
+    lsn) — the same fix decode_pgoutput_v2 got in round 10 — so each
+    distinct image ships to the driver once, not once per re-send, and
+    return them lsn-ascending so the LAST image per relid wins (a schema
+    change mid-window re-sends 'R' with new column names). Frames
+    without an lsn column fall back to a plain distinct (dedup without
+    the ordering guarantee)."""
+    r_msgs = messages.filter(
+        F.expr(f"substring({payload_col}, 1, 1) = X'52'"))
+    if lsn_col in messages.columns:
+        rows = (
+            r_msgs.groupBy(payload_col)
+            .agg(F.max(lsn_col).alias(lsn_col))
+            .collect()
+        )
+        rows.sort(key=lambda r: r[lsn_col])
+    else:
+        rows = r_msgs.select(payload_col).distinct().collect()
+    return [bytes(r[payload_col]) for r in rows]
+
+
 def discover_relations(messages: DataFrame,
-                       payload_col: str = "payload") -> dict[int, list[str]]:
+                       payload_col: str = "payload",
+                       lsn_col: str = "lsn") -> dict[int, list[str]]:
     """Phase 1: the bounded metadata pass. Filters to 'R' payloads by
-    first byte (binary substring compare — evaluated in the scan) and
-    decodes the O(#tables) survivors on the driver."""
-    rows = (
-        messages.filter(F.expr(f"substring({payload_col}, 1, 1) = X'52'"))
-        .select(payload_col)
-        .collect()
-    )
+    first byte (binary substring compare — evaluated in the scan),
+    dedupes re-sent images executor-side, and decodes the O(#tables)
+    distinct survivors on the driver (lsn-ascending, last image wins)."""
     out: dict[int, list[str]] = {}
-    for r in rows:
-        relid, names = decode_relation_message(bytes(r[0]))
+    for buf in _collect_relation_payloads(messages, payload_col, lsn_col):
+        relid, names = decode_relation_message(buf)
         out[relid] = names
     return out
 
@@ -1385,18 +1409,14 @@ def discover_relation_schemas(messages: DataFrame,
                               payload_col: str = "payload"):
     """relid -> (names, inferred StructType, key column names) — the
     schema-inference twin of discover_relations, same bounded O(#tables)
-    driver pass. Feed the names into decode_pgoutput's ``relations`` and
-    the StructType as its ``row_schema`` for a fully self-describing
+    driver pass (re-sent 'R' images deduped executor-side, latest image
+    per relid wins). Feed the names into decode_pgoutput's ``relations``
+    and the StructType as its ``row_schema`` for a fully self-describing
     decode (no hand-written schema anywhere)."""
-    rows = (
-        messages.filter(F.expr(f"substring({payload_col}, 1, 1) = X'52'"))
-        .select(payload_col)
-        .collect()
-    )
     out = {}
-    for r in rows:
+    for buf in _collect_relation_payloads(messages, payload_col, "lsn"):
         try:
-            relid, names, typoids, keys = decode_relation_schema(bytes(r[0]))
+            relid, names, typoids, keys = decode_relation_schema(buf)
         except (ValueError, struct.error, IndexError):
             continue  # dead-letter: a corrupt 'R' never poisons the map
         out[relid] = (
@@ -1425,17 +1445,26 @@ def overlay_prepared_spans(decoded: DataFrame, spans: DataFrame,
     Rows already stamped (streamed) keep their xids; spans are
     O(#prepared) -> broadcast; same binned interval join as everywhere.
 
-    Only DATA rows (insert/update/delete/truncate) are stamped: the
-    span's own framing rows ('b'/'P' → begin_prepare/prepare) and any
-    control rows inside the span keep null xids, so a downstream
-    apply_stream_transactions repositions/drops only the data changes —
-    direct envelope consumers see control rows at their wire lsn, not
-    teleported to the commit lsn (or silently dropped on rollback).
+    Only TRANSACTION-OWNED rows (insert/update/delete/truncate +
+    'message') are stamped: the span's own framing rows ('b'/'P' →
+    begin_prepare/prepare) and other control rows inside the span keep
+    null xids, so a downstream apply_stream_transactions
+    repositions/drops only transaction content — direct envelope
+    consumers see framing rows at their wire lsn, not teleported to the
+    commit lsn (or silently dropped on rollback).
+
+    'message' is transaction content here: pgoutput emits
+    NON-transactional logical-decoding messages immediately, outside
+    any 'b'..'P' block (non-streamed prepared content is contiguous on
+    the wire), so an 'M' frame whose lsn falls inside a prepared span
+    is necessarily a TRANSACTIONAL message — PostgreSQL decodes those
+    at commit time and discards them on rollback, which is exactly what
+    stamping + apply_stream_transactions produces.
     """
     from ..operators.rangejoin import binned_range_join
 
     _DATA_TAGS = ("insert", "update", "delete", "truncate",
-                  "truncate_other")
+                  "truncate_other", "message")
     cols = decoded.columns
     tagged = binned_range_join(
         decoded, F.broadcast(spans),

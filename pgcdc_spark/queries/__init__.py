@@ -68,75 +68,79 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once.  The
-# round-10 list fronts the 4 r10 additions, then the ENTIRE dedup +
-# embedding/ANN family (all of those plans changed in r10 — trigram
-# shingles, r=4 banding, adaptive quantizer), then the stalest
-# r3-sampled names; the driver samples the first 50 (the two names
-# past slot 50 rotate in next round).
+# round-11 list is the stale-cohort rotation VERDICT r10 item 5 asked
+# for: all 56 oracle-backed names last driver-sampled in rounds 3-5
+# (no plans changed this round — round 11 is an evidence round), oldest
+# round first, alphabetical within a round.  The driver samples the
+# first 50, so the LAST SIX names below (r5 cohort, mm_frame_sample
+# onward) overflow this round's sample and rotate to the front of the
+# round-12 list.  The two declared-approximate no-oracle names
+# (agg_approx_distinct, sketch_hll_distinct) stay excluded: pytest
+# bounds them instead, and a rows-only driver row would spend a
+# full-oracle slot.
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # round-10 additions first
-    "cdc_publication_filter_state",
-    "emb_mmr_rerank_ann",
-    "docs_bpe_train_merges",
-    "docs_bpe_encode_stats",
-    "docs_filter_funnel",
-    # the entire dedup + embedding/ANN family: round 10 re-parameterized
-    # the MinHash shingles/banding (trigram, r=4) and made the IVF/PQ
-    # quantizer rules adaptive — every one of these plans changed, so
-    # they take the driver slots this round for fresh post-change rows
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_verified_pairs",
-    "dedup_cc_clusters",
-    "dedup_keep_best",
-    "dedup_minhash_estimate",
-    "dedup_containment",
-    "dedup_incremental_new_docs",
-    "dedup_dup_ngram_spans",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "dedup_ngram_jaccard",
-    "dedup_fuzzy_levenshtein",
-    "dedup_embedding_cosine",
-    "dedup_by_key_latest",
-    "emb_cosine_topk",
-    "emb_lsh_ann_topk",
-    "emb_ivf_ann_topk",
-    "emb_semantic_dedup",
-    "emb_kmeans_lloyd",
-    "emb_ivf_recall_at_k",
-    "emb_ivf_pq_topk",
-    "emb_pq_adc_topk",
-    "emb_ann_rerank_exact",
-    "emb_mmr_rerank",
-    "emb_ann_index_probe",
-    "emb_ann_index_filtered_probe",
-    "emb_ann_index_incremental",
-    "emb_ann_index_filtered_incremental",
-    "emb_ann_index_compacted",
-    "emb_ann_index_stats",
-    "emb_ann_index_idmap_stats",
-    "emb_ann_index_asof_probe",
-    "emb_jl_projection_recall",
-    "emb_quantize_int8",
-    "emb_norm_stats",
-    "emb_top_singular_direction",
-    "hybrid_rrf_retrieval",
-    "training_mix_pipeline",
-    # stalest oracle-backed names (last driver-sampled r3) fill the
-    # remaining sample slots; the two declared-approximate no-oracle
-    # names stay excluded (pytest bounds them instead)
-    "q9_profit_by_nation",
-    "scalar_date_fns",
-    "scalar_decimal_arith",
-    "scalar_math_fns",
-    "scalar_string_fns",
-    "subq_exists_late_orders",
+    # last sampled round 3
     "subq_in_big_qty_orders",
     "subq_scalar_correlated",
     "subq_scalar_global",
+    # last sampled round 4
+    "events_gapfill_spine",
+    "events_hourly_rollup",
+    "events_json_tuple",
+    "events_window_sliding",
+    "events_window_tumbling",
+    "pivot_status_counts",
+    "scalar_array_fns",
+    "scalar_array_lambdas",
+    "scalar_map_fns",
+    "udf_grouped_map_center",
+    "udf_pandas_scalar",
+    "udf_udtf_tokenize",
+    "unpivot_measures",
+    # last sampled round 5
+    "agg_bitmap_distinct",
+    "agg_boolean_predicates",
+    "agg_corr_covar",
+    "agg_grouping_sets",
+    "agg_histogram_width_bucket",
+    "agg_median_mode",
+    "agg_string_agg_ordered",
+    "cdc_scd2_history",
+    "cdc_scd2_point_in_time",
+    "corpus_prep_pipeline",
+    "docs_chunk_windows",
+    "docs_decontam_overlap",
+    "docs_fingerprint",
+    "docs_hash_sample",
+    "docs_lang_id",
+    "docs_lang_profile",
+    "docs_pack_sequences",
+    "docs_quality_score",
+    "docs_redact",
+    "docs_repetition",
+    "docs_stratified_sample",
+    "docs_tfidf",
+    "docs_token_bpe_regex",
+    "docs_token_stats",
+    "docs_top_bigrams",
+    "docs_unigram_logprob",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_linear_interp",
+    "events_locf_fill",
+    "events_ohlc_hourly",
+    "events_variant_extract",
+    "join_asof_tolerance",
+    "mm_binary_meta",
+    # ---- slot 50 boundary: the six below overflow to round 12 ----
+    "mm_frame_sample",
+    "mm_resize",
+    "scalar_posexplode_ordinal",
+    "scalar_try_arith",
+    "subq_lateral_topn",
+    "udf_pandas_grouped_agg",
 )
 
 

@@ -56,8 +56,24 @@ def _sweep_stale_builds(parent: str) -> None:
     """Reap `.{kind}-build-*` scratch dirs older than 6 h: a SIGKILLed
     builder never reaches its rename-or-rmtree epilogue, so without a
     sweep the orphans accumulate forever. Age-gated so a live concurrent
-    build is never reaped; errors ignored (another sweeper may race us)."""
+    build is never reaped — on the NEWEST mtime anywhere in the tree
+    (writing into a nested subdirectory does not touch the top-level
+    dir's mtime, so aging on that alone could reap a legitimately
+    long-running build mid-write); errors ignored (another sweeper may
+    race us)."""
     import time
+
+    def _newest_mtime(p: str) -> float:
+        newest = os.stat(p).st_mtime
+        for base, dirs, files in os.walk(p):
+            for entry in dirs + files:
+                try:
+                    m = os.stat(os.path.join(base, entry)).st_mtime
+                except OSError:
+                    continue  # a concurrent builder renamed/removed it
+                if m > newest:
+                    newest = m
+        return newest
 
     try:
         now = time.time()
@@ -66,7 +82,7 @@ def _sweep_stale_builds(parent: str) -> None:
                 continue
             p = os.path.join(parent, name)
             try:
-                if now - os.stat(p).st_mtime > _STALE_BUILD_SECS:
+                if now - _newest_mtime(p) > _STALE_BUILD_SECS:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass

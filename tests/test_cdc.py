@@ -1558,6 +1558,57 @@ def test_overlay_prepared_keeps_control_rows_unstamped(spark):
     assert by_tag["prepare"] == (None, None)
 
 
+def test_overlay_prepared_stamps_transactional_messages(spark):
+    """A logical-decoding message inside a 'b'..'P' block is necessarily
+    TRANSACTIONAL (pgoutput emits non-transactional messages outside
+    the block), so overlay_prepared_spans stamps it with the prepared
+    xid and apply_stream_transactions gives it transaction semantics:
+    repositioned to the commit lsn on CommitPrepared, DISCARDED on
+    RollbackPrepared — matching PostgreSQL, which throws away a
+    rolled-back transaction's transactional messages."""
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2, encode_begin_prepare,
+        encode_commit_prepared, encode_insert, encode_logical_message,
+        encode_prepare, encode_relation, encode_rollback_prepared,
+        overlay_prepared_spans, prepared_spans, prepared_verdicts)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def capture(verdict_payload):
+        msgs = [
+            (0, encode_relation(1, "public", "t", ["id", "v"])),
+            (20, encode_begin_prepare(20, 25, 0, 8, "g8")),
+            (21, encode_insert(1, [2, 200])),
+            (22, encode_logical_message("audit", b"inside-txn", lsn=22)),
+            (23, encode_prepare(20, 23, 0, 8, "g8")),
+            (40, verdict_payload),
+            # a non-transactional message OUTSIDE any block: untouched
+            (50, encode_logical_message("heartbeat", b"", lsn=50,
+                                        transactional=False)),
+        ]
+        df = spark.createDataFrame(
+            [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+        )
+        schema = StructType([StructField("id", LongType()),
+                             StructField("v", LongType())])
+        decoded = overlay_prepared_spans(
+            decode_pgoutput_v2(df, schema, bin_width=16),
+            prepared_spans(df), bin_width=16,
+        )
+        return apply_stream_transactions(decoded, prepared_verdicts(df))
+
+    committed = capture(encode_commit_prepared(40, 41, 0, 8, "g8"))
+    msg_rows = committed.filter("tag = 'message'").collect()
+    # in-span message repositioned to the commit lsn (hex envelope lsn
+    # leads with the APPLY position); the outside one stays at lsn 50
+    lsns = sorted(int(r["lsn"].split("/")[0], 16) for r in msg_rows)
+    assert lsns == [40, 50]
+
+    rolled = capture(encode_rollback_prepared(23, 40, 0, 0, 8, "g8"))
+    survivors = rolled.filter("tag = 'message'").collect()
+    assert len(survivors) == 1  # transactional message discarded
+    assert int(survivors[0]["lsn"].split("/")[0], 16) == 50
+
+
 def test_publication_column_list_and_row_filter(spark):
     """PG 15 publication semantics end-to-end on hand-built bytes: a
     Relation message carrying only the published column list decodes
@@ -1631,3 +1682,44 @@ def test_pgoutput_v2_resent_relation_last_wins(spark):
     decoded = decode_pgoutput_v2(df, schema, bin_width=16)
     rows = decoded.filter("tag = 'insert'").collect()
     assert [(r["new"]["id"], r["new"]["v"]) for r in rows] == [(1, 42)]
+
+
+def test_pgoutput_v1_resent_relation_dedup_last_wins(spark):
+    """v1 twin of the re-send pin: discover_relations and
+    discover_relation_schemas dedupe identical re-sent 'R' payloads
+    executor-side (groupBy payload, max lsn) and apply distinct images
+    lsn-ascending, so the LAST image per relid wins — the round-10 v2
+    fix, applied to the v1/schema-inference path in round 11."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, discover_relation_schemas, discover_relations,
+        encode_insert, encode_relation)
+
+    old_rel = encode_relation(1, "public", "t", ["id", "old_v"],
+                              typoids=[20, 20], key_cols=["id"])
+    new_rel = encode_relation(1, "public", "t", ["id", "v"],
+                              typoids=[20, 701], key_cols=["id"])
+    msgs = [
+        (0, old_rel),
+        # identical re-sends (cache invalidation traffic) — deduped
+        (1, old_rel),
+        (2, old_rel),
+        # schema change at a later lsn: renamed + retyped column wins
+        (5, new_rel),
+        (6, new_rel),
+        (10, encode_insert(1, ["1", "2.5"])),
+    ]
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+    )
+    assert discover_relations(df) == {1: ["id", "v"]}
+    names, inferred, keys = discover_relation_schemas(df)[1]
+    assert names == ["id", "v"]
+    assert keys == ["id"]
+    assert [f.dataType.simpleString() for f in inferred.fields] == [
+        "bigint", "double"]
+    env = decode_pgoutput(df, inferred, relations={1: names})
+    rows = env.filter("tag = 'insert'").collect()
+    assert [(r["new"]["id"], r["new"]["v"]) for r in rows] == [(1, 2.5)]
+    # a frame without an lsn column still dedupes (plain distinct)
+    no_lsn = df.select("payload")
+    assert set(discover_relations(no_lsn)) == {1}

@@ -936,3 +936,43 @@ def test_maintained_dir_cache_semantics(tmp_path, monkeypatch):
     a = _maintained_dir("t", sf_dir, ("events",), build)
     b = _maintained_dir("t", sf_dir, ("events",), build)
     assert a != b and len(calls) == n_before + 3
+
+
+def test_sweep_stale_builds_ages_on_newest_mtime(tmp_path):
+    """The orphan-build sweeper reaps only trees whose NEWEST mtime
+    exceeds the stale threshold: an abandoned build goes, but a
+    long-running concurrent build whose top-level dir mtime is old while
+    a nested subdirectory is still being written is left alone (writing
+    into a nested dir does not touch the top-level mtime — the ADVICE
+    r10 gap)."""
+    import os
+
+    from pgcdc_spark.queries.ivm_views import (
+        _STALE_BUILD_SECS, _sweep_stale_builds)
+
+    parent = str(tmp_path)
+    old = __import__("time").time() - _STALE_BUILD_SECS - 60
+
+    dead = os.path.join(parent, ".t-build-dead")
+    os.makedirs(os.path.join(dead, "nested"))
+    with open(os.path.join(dead, "nested", "part"), "w") as f:
+        f.write("x")
+    for base, dirs, files in os.walk(dead, topdown=False):
+        for entry in dirs + files:
+            os.utime(os.path.join(base, entry), (old, old))
+    os.utime(dead, (old, old))
+
+    live = os.path.join(parent, ".t-build-live")
+    os.makedirs(os.path.join(live, "nested"))
+    os.utime(live, (old, old))  # top-level LOOKS old...
+    with open(os.path.join(live, "nested", "part"), "w") as f:
+        f.write("x")  # ...but a nested write is fresh
+
+    published = os.path.join(parent, "t-abcdef0123456789")
+    os.makedirs(published)
+    os.utime(published, (old, old))  # not a build dir: never swept
+
+    _sweep_stale_builds(parent)
+    assert not os.path.exists(dead), "abandoned build must be reaped"
+    assert os.path.exists(live), "in-progress build must survive"
+    assert os.path.exists(published)

@@ -1032,3 +1032,67 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_publication_filter_stream_transitions_across_batches(spark, tmp_path):
+    """PG 15 publication row-filter routing under STREAMING (VERDICT r10
+    item 7): the batch query (cdc_publication_filter_state) proves the
+    decode semantics; this twin proves the filter-TRANSITION routing
+    holds across micro-batch boundaries. A publication (id, v) WHERE
+    v >= 50 ships transition-routed frames — the boundary UPDATEs land
+    in a LATER file than the state they transition:
+
+      file 0: id=1 INSERT v=60 (in), id=3 INSERT v=80 (in);
+              id=2 INSERT v=40 suppressed (never reaches the slot)
+      file 1: id=1 UPDATE 60->30  LEAVES  -> key-only DELETE frame
+              id=2 UPDATE 40->70  ENTERS  -> INSERT frame
+              id=3 UPDATE 80->90  stays   -> plain UPDATE frame
+
+    Final upserted state must be exactly the filter-satisfying rows —
+    no ghost row for id=1 (the delete crossed the batch boundary), id=2
+    present even though its history started outside the publication —
+    and the unpublished column (absent from the Relation's column list)
+    reads NULL in every image."""
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_delete, encode_insert, encode_relation,
+        encode_update)
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.streaming.pipeline import read_state, start_upsert_stream
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType)
+
+    src = str(tmp_path / "src")
+    # the Relation frame carries ONLY the published column list
+    rel = encode_relation(1, "public", "t", ["id", "v"])
+    f0 = [(0, rel),
+          (1, encode_insert(1, [1, 60])),
+          (2, encode_insert(1, [3, 80]))]   # id=2 v=40: suppressed
+    f1 = [(3, encode_delete(1, [1, None], old_kind=b"K")),  # 60->30 leaves
+          (4, encode_insert(1, [2, 70])),                   # 40->70 enters
+          (5, encode_update(1, [3, 90]))]                   # stays in
+    bin_schema = StructType([StructField("lsn", LongType()),
+                             StructField("payload", BinaryType())])
+    for i, rows in enumerate((f0, f1)):
+        (spark.createDataFrame([(l, bytearray(p)) for l, p in rows], bin_schema)
+         .coalesce(1).write.parquet(f"{src}/f{i}"))
+
+    # TABLE schema still has the unpublished column
+    row_schema = StructType([StructField("id", LongType()),
+                             StructField("v", LongType()),
+                             StructField("note", StringType())])
+    stream = (
+        spark.readStream.schema(bin_schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*")
+    )
+    changes = apply_pipeline(
+        decode_pgoutput(stream, row_schema, relations={1: ["id", "v"]})
+    )
+    q = start_upsert_stream(
+        changes, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        keys=["id"], n_buckets=4,
+    )
+    q.awaitTermination(300)
+
+    state = read_state(spark, str(tmp_path / "state")).collect()
+    got = sorted((r["id"], r["v"], r["note"]) for r in state)
+    assert got == [(2, 70, None), (3, 90, None)]

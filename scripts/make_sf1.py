@@ -28,9 +28,14 @@ This preserves exactly the properties a scale measurement needs:
   replicates), while cross-replica cosines drop to ~N(0, 1/64);
   labels offset per replica so cluster identities stay distinct.
 
-Usage: python scripts/make_sf1.py [out_dir] [n_replicas]
-Defaults: out_dir=/root/repo/testdata_sf1, n_replicas=10.
-Deterministic (seeded); ~170 MB output; never touches /root/testdata.
+Usage: python scripts/make_sf1.py [out_dir] [n_replicas] [table ...]
+Defaults: out_dir=/root/repo/testdata_sf1, n_replicas=10, all tables.
+Naming TABLES writes only those (plus the non-scaling dims) — the
+"sf10" second decade (n_replicas=100) only needs documents+embeddings
+for the ANN/dedup/CC exponent measurement, not 60M lineitems.
+Replicas stream to the ParquetWriter one at a time, so peak memory is
+one replica regardless of n. Deterministic (seeded); never touches
+/root/testdata.
 """
 from __future__ import annotations
 
@@ -122,21 +127,37 @@ def _replica(name: str, tbl: pa.Table, r: int) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    subset = sys.argv[3:] or ALL_TABLES
     os.makedirs(out_dir, exist_ok=True)
-    for name in ["region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events", "documents", "embeddings"]:
+    for name in ALL_TABLES:
+        if name not in subset and name not in ("region", "nation"):
+            continue
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        if name in ("region", "nation"):
-            out = src  # non-scaling dimensions
-        else:
-            out = pa.concat_tables([_replica(name, src, r) for r in range(n)])
         dst = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(out, dst, compression="snappy",
-                       row_group_size=131_072)
-        print(f"{name}: {src.num_rows} -> {out.num_rows} rows "
+        if name in ("region", "nation"):
+            pq.write_table(src, dst, compression="snappy")
+            n_rows = src.num_rows
+        else:
+            writer, n_rows = None, 0
+            try:
+                for r in range(n):
+                    rep = _replica(name, src, r)
+                    if writer is None:
+                        writer = pq.ParquetWriter(
+                            dst, rep.schema, compression="snappy")
+                    writer.write_table(rep, row_group_size=131_072)
+                    n_rows += rep.num_rows
+            finally:
+                if writer is not None:
+                    writer.close()
+        print(f"{name}: {src.num_rows} -> {n_rows} rows "
               f"({os.path.getsize(dst) / 1e6:.1f} MB)")
 
 

@@ -16,7 +16,17 @@ Fixed session overhead (job scheduling, Arrow setup) DEFLATES
 exponents for fast queries — the per-run arrays ship in the artifact
 so that's auditable.
 
+Round 11 adds a SECOND DECADE (VERDICT r10 item 4): the superlinear-
+risk ANN/dedup/CC subset (SF10_SET) is also measured against a 100x
+corpus ("sf10", make_sf1.py n_replicas=100 over documents+embeddings
+only), because a quadratic term with a small constant hides at 10x —
+two decades pin the exponent. Per SF10_SET query the artifact gains
+t_sf10, the second-decade exponent log10(t_sf10/t_big), and the
+two-decade exponent log100(t_sf10/t_small); flagging applies to each
+decade independently.
+
 Usage: python scripts/scale_curve.py [small_dir] [big_dir] [out.json]
+                                     [sf10_dir|'' to skip]
 Bench discipline matches bench.py: warm-ups before measured runs,
 median reported, PGCDC_IVM_CACHE=0 so IVM entries time maintenance,
 gc between queries to release py4j-held fixture checkpoint blocks.
@@ -83,9 +93,28 @@ DESIGN_EXPONENT = {
 }
 FLAG_SLACK = 0.2
 
+# The superlinear-risk subset measured at the SECOND decade (sf10 =
+# 100x): the LSH/CC/substring dedup builds, the IVF/PQ quantizer
+# family, the composed training-mix plan, and one serving probe (flat
+# by design — the control). The sf10 corpus carries only
+# documents+embeddings, so only doc/emb-backed queries are eligible.
+SF10_SET = [
+    "dedup_minhash_lsh",
+    "dedup_verified_pairs",
+    "dedup_cc_clusters",
+    "dedup_dup_ngram_spans",
+    "emb_semantic_dedup",
+    "emb_kmeans_lloyd",
+    "emb_ivf_pq_topk",
+    "emb_ivf_ann_topk",
+    "training_mix_pipeline",
+    "emb_ann_index_probe",
+]
+
 
 def _bench(spark, sf_dir: str, names: list[str],
-           n_warm: int, n_meas: int) -> dict[str, dict]:
+           n_warm: int, n_meas: int,
+           long_run_cutoff: float | None = None) -> dict[str, dict]:
     from pgcdc_spark.cache import release_shared
     from pgcdc_spark.queries import all_queries
 
@@ -104,6 +133,12 @@ def _bench(spark, sf_dir: str, names: list[str],
             per_run.append(round(time.perf_counter() - t0, 4))
             release_shared()
             rows = len(got)
+            # exponent runs in the minutes regime: fixed overhead and
+            # load noise are proportionally negligible there, so one
+            # measured rep pins the exponent — repeating a 10-minute
+            # build would triple the wall-clock for no extra signal
+            if long_run_cutoff and per_run[-1] > long_run_cutoff:
+                break
         out[name] = {"median": sorted(per_run)[len(per_run) // 2],
                      "runs": per_run, "rows": rows}
         gc.collect()
@@ -126,10 +161,20 @@ def main() -> None:
     spark = get_spark(app_name="pgcdc-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
 
+    sf10 = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_sf10")
+    run_sf10 = bool(sf10) and os.path.isdir(sf10)
+
     print(f"== {small} ==", flush=True)
     t_small = _bench(spark, small, SCALE_SET, n_warm=2, n_meas=3)
     print(f"== {big} ==", flush=True)
     t_big = _bench(spark, big, SCALE_SET, n_warm=1, n_meas=3)
+    t_sf10 = {}
+    if run_sf10:
+        print(f"== {sf10} (second decade) ==", flush=True)
+        t_sf10 = _bench(spark, sf10, SF10_SET, n_warm=1, n_meas=2,
+                        long_run_cutoff=90.0)
 
     queries = {}
     for name in SCALE_SET:
@@ -145,9 +190,25 @@ def main() -> None:
             "runs_small": t_small[name]["runs"],
             "runs_big": t_big[name]["runs"],
         }
+        if name in t_sf10:
+            tt = t_sf10[name]["median"]
+            exp2 = round(math.log(tt / tb) / math.log(ratio), 3)
+            exp_2dec = round(math.log(tt / ts) / math.log(ratio ** 2), 3)
+            queries[name].update({
+                "t_sf10": tt,
+                "exponent_dec2": exp2,
+                "exponent_2dec": exp_2dec,
+                "rows_sf10": t_sf10[name]["rows"],
+                "runs_sf10": t_sf10[name]["runs"],
+            })
+            # each decade is flagged independently: a quadratic term
+            # with a small constant only surfaces in the SECOND decade
+            queries[name]["flagged"] = (
+                queries[name]["flagged"] or exp2 > design + FLAG_SLACK)
     flagged = sorted(n for n, q in queries.items() if q["flagged"])
     artifact = {
         "small": small, "big": big, "scale_ratio": ratio,
+        "sf10": sf10 if run_sf10 else None,
         "flag_slack": FLAG_SLACK,
         "flagged": flagged,
         "median_exponent": sorted(

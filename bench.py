@@ -118,6 +118,9 @@ EXTRA = [
     "emb_mmr_rerank_ann",
     "cdc_publication_filter_state",
     "docs_bpe_train_merges",
+    # r11: the LSH operating-point monitor (per-band bucket profile +
+    # pair bound — the guardrail the r10/r11 LSH quadratics motivate)
+    "dedup_lsh_bucket_profile",
 ]
 
 
@@ -144,6 +147,7 @@ FAMILIES = {
     "dedup": [
         "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
         "dedup_verified_pairs", "dedup_dup_ngram_spans", "emb_semantic_dedup",
+        "dedup_lsh_bucket_profile",
     ],
     "ann": [
         "emb_cosine_topk", "emb_ivf_ann_topk", "emb_ivf_pq_topk",

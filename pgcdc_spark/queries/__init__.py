@@ -68,19 +68,21 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once.  The
-# round-11 list is the stale-cohort rotation VERDICT r10 item 5 asked
-# for: all 56 oracle-backed names last driver-sampled in rounds 3-5
-# (no plans changed this round — round 11 is an evidence round), oldest
-# round first, alphabetical within a round.  The driver samples the
-# first 50, so the LAST SIX names below (r5 cohort, mm_frame_sample
-# onward) overflow this round's sample and rotate to the front of the
-# round-12 list.  The two declared-approximate no-oracle names
-# (agg_approx_distinct, sketch_hll_distinct) stay excluded: pytest
-# bounds them instead, and a rows-only driver row would spend a
-# full-oracle slot.
+# round-11 list fronts the one r11 addition (the LSH operating-point
+# monitor, never driver-sampled), then the stale-cohort rotation
+# VERDICT r10 item 5 asked for: all 56 oracle-backed names last
+# driver-sampled in rounds 3-5, oldest round first, alphabetical within
+# a round.  The driver samples the first 50, so the LAST SEVEN names
+# below (r5 cohort, mm_binary_meta onward) overflow this round's sample
+# and rotate to the front of the round-12 list.  The two
+# declared-approximate no-oracle names (agg_approx_distinct,
+# sketch_hll_distinct) stay excluded: pytest bounds them instead, and a
+# rows-only driver row would spend a full-oracle slot.
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
+    # round-11 addition first
+    "dedup_lsh_bucket_profile",
     # last sampled round 3
     "subq_in_big_qty_orders",
     "subq_scalar_correlated",
@@ -133,8 +135,8 @@ _PRIORITY = (
     "events_ohlc_hourly",
     "events_variant_extract",
     "join_asof_tolerance",
+    # ---- slot 50 boundary: the seven below overflow to round 12 ----
     "mm_binary_meta",
-    # ---- slot 50 boundary: the six below overflow to round 12 ----
     "mm_frame_sample",
     "mm_resize",
     "scalar_posexplode_ordinal",

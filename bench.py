@@ -121,6 +121,12 @@ EXTRA = [
     # r11: the LSH operating-point monitor (per-band bucket profile +
     # pair bound — the guardrail the r10/r11 LSH quadratics motivate)
     "dedup_lsh_bucket_profile",
+    # r11: structured entity resolution (block join + candidate-only
+    # levenshtein + survivorship window) and the z-order layout-cell
+    # diagnostic (broadcast stats box + codegen interleave + one
+    # 256-group agg)
+    "er_golden_records",
+    "layout_zorder_key_stats",
 ]
 
 
@@ -137,6 +143,7 @@ FAMILIES = {
         "events_hourly_rollup", "q18_large_orders", "agg_bitmap_distinct",
         "events_linear_interp", "events_funnel_conversion",
         "join_asof_tolerance", "events_session_window_native",
+        "er_golden_records", "layout_zorder_key_stats",
     ],
     "cdc": [
         "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",

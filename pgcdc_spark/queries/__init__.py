@@ -52,6 +52,7 @@ _MODULES = (
     "llm_text",
     "multimodal",
     "profiling",
+    "entity_resolution",
     "relational",
     "tpch_extra",
     "tpch_rest",
@@ -68,20 +69,24 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once.  The
-# round-11 list fronts the one r11 addition (the LSH operating-point
-# monitor, never driver-sampled), then the stale-cohort rotation
-# VERDICT r10 item 5 asked for: all 56 oracle-backed names last
-# driver-sampled in rounds 3-5, oldest round first, alphabetical within
-# a round.  The driver samples the first 50, so the LAST SEVEN names
-# below (r5 cohort, mm_binary_meta onward) overflow this round's sample
-# and rotate to the front of the round-12 list.  The two
+# round-11 list fronts the four r11 additions (ER pair/golden queries,
+# the z-order layout-cell query, the LSH operating-point monitor — all
+# never driver-sampled), then the stale-cohort rotation VERDICT r10
+# item 5 asked for: all 56 oracle-backed names last driver-sampled in
+# rounds 3-5, oldest round first, alphabetical within a round.  The
+# driver samples the first 50, so the LAST TEN names below
+# (events_ohlc_hourly onward) overflow this round's sample and rotate
+# to the front of the round-12 list.  The two
 # declared-approximate no-oracle names (agg_approx_distinct,
 # sketch_hll_distinct) stay excluded: pytest bounds them instead, and a
 # rows-only driver row would spend a full-oracle slot.
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # round-11 addition first
+    # round-11 additions first
+    "er_candidate_pairs",
+    "er_golden_records",
+    "layout_zorder_key_stats",
     "dedup_lsh_bucket_profile",
     # last sampled round 3
     "subq_in_big_qty_orders",
@@ -132,10 +137,10 @@ _PRIORITY = (
     "events_funnel_conversion",
     "events_linear_interp",
     "events_locf_fill",
+    # ---- slot 50 boundary: the ten below overflow to round 12 ----
     "events_ohlc_hourly",
     "events_variant_extract",
     "join_asof_tolerance",
-    # ---- slot 50 boundary: the seven below overflow to round 12 ----
     "mm_binary_meta",
     "mm_frame_sample",
     "mm_resize",

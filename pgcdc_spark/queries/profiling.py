@@ -594,3 +594,98 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout diagnostics
+# ---------------------------------------------------------------------------
+# The write-side operator (operators/zorder.py, pytest-pinned) lays a
+# table out along the Morton curve of two dimensions so min-max file
+# stats prune on BOTH. This query is its oracle-checkable core: the
+# interleave arithmetic itself, plus the property it buys — group rows
+# by the top byte of their Morton key and every group's (user, time)
+# bounding rectangle is small, which is exactly why per-file min-max
+# stats stay narrow after a z-ordered write. The SAME expression text
+# runs on both engines (only the integer-division token differs), so
+# parity pins every shift/mask/clamp, not a reimplementation.
+
+_Z_BITS = 8  # 2 dims x 8 bits -> 16-bit keys; key >> 8 = 256 layout cells
+
+
+def _z_norm(v: str, lo: str, hi: str, div: str) -> str:
+    # floor((v - lo) * 2^bits / span) clamped into [0, 2^bits - 1]; all
+    # terms stay BIGINT (epoch-us deltas * 256 ~ 1.7e17 < 2^63), so the
+    # arithmetic is exact on both engines — no double rounding anywhere.
+    return (
+        f"least(((({v}) - ({lo})) * {2**_Z_BITS}) {div} "
+        f"greatest(({hi}) - ({lo}), 1), {2**_Z_BITS - 1})"
+    )
+
+
+def _z_key(nu: str, nt: str) -> str:
+    # bit i of dimension j lands at position i*2 + j (user j=0, time
+    # j=1) — the unrolled OR-of-shifts shape whole-stage codegen likes.
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({nu} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({nt} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)  # disjoint bit positions: + == OR
+
+
+def _zorder_oracle() -> str:
+    nu = _z_norm("u", "lo_u", "hi_u", "//")
+    nt = _z_norm("t", "lo_t", "hi_t", "//")
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS t FROM events
+),
+stats AS (
+  SELECT MIN(u) AS lo_u, MAX(u) AS hi_u, MIN(t) AS lo_t, MAX(t) AS hi_t
+  FROM ev
+),
+keyed AS (
+  SELECT u, t, {_z_key(f'({nu})', f'({nt})')} AS zkey
+  FROM ev, stats
+)
+SELECT zkey >> {_Z_BITS} AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(u) AS u_min, MAX(u) AS u_max,
+       MIN(t) AS t_min, MAX(t) AS t_max
+FROM keyed
+GROUP BY 1
+"""
+
+
+@query("layout_zorder_key_stats", oracle=_zorder_oracle(),
+       tags=("layout", "profiling"))
+def layout_zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key layout cells of events over (user_id, time).
+
+    Plan: one 1-row min/max aggregate broadcast under a cross join (the
+    normalization box — column-form of the stats row
+    operators/zorder.py collects), then the interleave as pure long
+    shift/mask arithmetic inside codegen, then ONE hash aggregation on
+    the 256 cell ids. At any corpus size the shuffle carries 256 groups
+    of 6 longs; the narrow per-cell (u, t) rectangles this emits are
+    the data-skipping property a z-ordered write gives every file."""
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.unix_micros(F.col("ts_utc")).alias("t"),  # catalog's canonical ts
+    )
+    stats = ev.agg(
+        F.min("u").alias("lo_u"), F.max("u").alias("hi_u"),
+        F.min("t").alias("lo_t"), F.max("t").alias("hi_t"),
+    )
+    nu = _z_norm("u", "lo_u", "hi_u", "div")
+    nt = _z_norm("t", "lo_t", "hi_t", "div")
+    keyed = ev.crossJoin(F.broadcast(stats)).select(
+        "u", "t", F.expr(_z_key(f"({nu})", f"({nt})")).alias("zkey")
+    )
+    return keyed.groupBy(
+        F.shiftright("zkey", _Z_BITS).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("u").alias("u_min"), F.max("u").alias("u_max"),
+        F.min("t").alias("t_min"), F.max("t").alias("t_max"),
+    )

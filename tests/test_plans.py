@@ -125,19 +125,28 @@ def test_no_collect_in_query_surface(spark):
         ),
         # metadata: O(#tables) 'R' relation-message discovery — the
         # relations dict must exist driver-side before the Arrow decode
-        # closure can be built (decode_pgoutput_v2 dedupes payloads
-        # executor-side first; the stream variant is multi-stage only
-        # because the FIXTURE's control rows derive from a groupBy).
-        "relation-discovery": ("cdc_pgoutput_state", "cdc_pgoutput_stream_state"),
+        # closure can be built. Since r11 BOTH protocol paths dedupe
+        # re-sent payloads executor-side (groupBy payload, max lsn), so
+        # the discovery collect is two-stage by design and ships one
+        # image per relation instead of one per re-send.
+        # cdc_toast_upsert_state joined in r11: it exercises the
+        # auto-discovery path (no explicit relations dict) on purpose.
+        "relation-discovery": ("cdc_pgoutput_state", "cdc_pgoutput_stream_state",
+                               "cdc_toast_upsert_state"),
         # metadata: FIXTURE capture materialization (localCheckpoint of
         # the encoded byte stream — the bytes-in-storage model; several
         # control passes read it). Real deployments read bytes from
         # storage, where the build is job-free. cdc_xlog_infer_state
         # additionally runs the O(#tables) relation-SCHEMA discovery
         # collect (type-OID inference IS that query's claim).
+        # (cdc_publication_filter_state joined in r11: its factored
+        # capture localCheckpoints a fixture whose transition routing
+        # needs lag(value) — a window shuffle, hence multi-stage; the
+        # toast/e2e captures stay OUT because their fixture plans are
+        # narrow and their checkpoint jobs single-stage.)
         "fixture-capture": (
             "cdc_two_phase_state", "cdc_origin_filter_state",
-            "cdc_xlog_infer_state",
+            "cdc_xlog_infer_state", "cdc_publication_filter_state",
         ),
     }
     iterative = {

@@ -623,3 +623,27 @@ def test_e2e_revenue_rollup_one_decode_hash_join(spark):
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan)
     assert "partial_sum" in plan, "rollup lost map-side combine"
+
+
+def test_er_block_join_is_hash_join(spark):
+    """Entity resolution must candidate-generate via a hash join on the
+    blocking key — never a cartesian/nested-loop pairing — and the
+    Levenshtein filter must sit above the join (candidates only)."""
+    for name in ("er_candidate_pairs", "er_golden_records"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) \
+            or ("ShuffledHashJoin" in plan), name
+        assert "levenshtein" in plan, name
+
+
+def test_zorder_key_stats_plan(spark):
+    """The layout-cell query broadcasts the 1-row stats box (a
+    BroadcastNestedLoopJoin over a 1-row side is the intended shape)
+    and aggregates once; the interleave must stay in codegen (no
+    Python eval in the plan)."""
+    plan = _plan(spark, "layout_zorder_key_stats")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats box join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 3  # stats agg + final agg only

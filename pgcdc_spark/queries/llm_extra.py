@@ -407,13 +407,22 @@ def dedup_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pos"))
     )
     gd = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Both gd (duplicated grams) and dup (docs with dups) are
+    # CORPUS-SCALED sides — at a heavy dup rate gd is O(total grams).
+    # AQE's runtime estimate happily broadcasts them when the shuffle
+    # bytes sit under the threshold, and the in-memory HashedRelation
+    # then explodes (measured: ~1 GiB broadcast alloc + driver OOM at
+    # the 100x decade, sf10 leg of scripts/scale_curve.py). Pin the
+    # scale-safe shape instead: sort-merge on the gram hash / doc key,
+    # which reuses gd's aggregation partitioning and never materializes
+    # a corpus-sized hash table on one node.
     dup = (
-        pg.join(gd.filter(F.col("n_docs") >= 2), "gh")
+        pg.join(gd.filter(F.col("n_docs") >= 2).hint("merge"), "gh")
         .groupBy("doc_id")
         .agg(F.sum("n_pos").alias("dup_positions"))
     )
     dup_pos = F.coalesce(F.col("dup_positions"), F.lit(0).cast("long"))
-    return tot.join(dup, "doc_id", "left").select(
+    return tot.join(dup.hint("merge"), "doc_id", "left").select(
         "doc_id",
         "n_grams",
         dup_pos.alias("dup_positions"),

@@ -127,6 +127,9 @@ EXTRA = [
     # 256-group agg)
     "er_golden_records",
     "layout_zorder_key_stats",
+    # r11: weighted sampling without replacement (priority sampling —
+    # per-stratum WindowGroupLimit top-k, integer-exact priorities)
+    "docs_priority_sample_strata",
 ]
 
 
@@ -167,7 +170,7 @@ FAMILIES = {
     "text": [
         "docs_quality_score", "docs_unigram_logprob", "docs_pack_sequences",
         "training_mix_pipeline", "docs_pii_scrub", "docs_repetition_filter",
-        "docs_bpe_train_merges",
+        "docs_bpe_train_merges", "docs_priority_sample_strata",
     ],
     "graph": ["graph_pagerank", "graph_bfs_recursive_cte"],
     "multimodal": ["mm_audio_resample"],

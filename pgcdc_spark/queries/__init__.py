@@ -69,13 +69,14 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once.  The
-# round-11 list fronts the four r11 additions (ER pair/golden queries,
-# the z-order layout-cell query, the LSH operating-point monitor — all
-# never driver-sampled), then the stale-cohort rotation VERDICT r10
+# round-11 list fronts the five r11 additions (ER pair/golden queries,
+# the z-order layout-cell query, weighted priority sampling, the LSH
+# operating-point monitor — all never driver-sampled), then the
+# stale-cohort rotation VERDICT r10
 # item 5 asked for: all 56 oracle-backed names last driver-sampled in
 # rounds 3-5, oldest round first, alphabetical within a round.  The
-# driver samples the first 50, so the LAST TEN names below
-# (events_ohlc_hourly onward) overflow this round's sample and rotate
+# driver samples the first 50, so the LAST ELEVEN names below
+# (events_locf_fill onward) overflow this round's sample and rotate
 # to the front of the round-12 list.  The two
 # declared-approximate no-oracle names (agg_approx_distinct,
 # sketch_hll_distinct) stay excluded: pytest bounds them instead, and a
@@ -87,6 +88,7 @@ _PRIORITY = (
     "er_candidate_pairs",
     "er_golden_records",
     "layout_zorder_key_stats",
+    "docs_priority_sample_strata",
     "dedup_lsh_bucket_profile",
     # last sampled round 3
     "subq_in_big_qty_orders",
@@ -136,8 +138,8 @@ _PRIORITY = (
     "events_cohort_retention",
     "events_funnel_conversion",
     "events_linear_interp",
+    # ---- slot 50 boundary: the eleven below overflow to round 12 ----
     "events_locf_fill",
-    # ---- slot 50 boundary: the ten below overflow to round 12 ----
     "events_ohlc_hourly",
     "events_variant_extract",
     "join_asof_tolerance",

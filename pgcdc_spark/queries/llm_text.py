@@ -1602,3 +1602,86 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# --- weighted sampling without replacement (priority sampling) ---------------
+# Training-mix construction samples documents PROPORTIONALLY TO WEIGHT
+# (token count, quality score), not uniformly — docs_hash_sample /
+# docs_stratified_sample cover the uniform case only, and
+# docs_weighted_sample above is the GLOBAL Efraimidis-Spirakis draw
+# whose pow() keys need a 12-decimal rounding crutch. The scalable
+# scheme is priority sampling (Duffield, Lund & Thorup, JACM '07):
+# each item draws priority w / u with u ~ Uniform(0,1]; the top-k by
+# priority is a weighted sample without replacement, computed here as
+# one row_number window per stratum — no sequential pass, no rejection
+# loop, exactly the top-k machinery every engine already has.
+#
+# Cross-engine determinism: u derives from md5(doc_id) as the integer
+# h in [0, 2^30), u = (2h+1) / 2^31 (never 0, dyadic). The priority
+# w * 2^30 / (h + 0.5) is computed as DOUBLE from integer-exact
+# operands with one multiply and one divide — IEEE ops both engines
+# round identically, so the ranking (and the hash gate) is bit-exact
+# with NO transcendental in sight (the exponential-race form
+# u^(1/w) would need pow/log, which differ in the last ulp across
+# libm implementations).
+
+_PSAMPLE_K = 25
+
+_PSAMPLE_ORACLE = f"""
+WITH weighted AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1073741824 AS h
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+),
+prio AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(n_tokens AS DOUBLE) * 1073741824.0
+           / CAST(2 * h + 1 AS DOUBLE) AS priority
+  FROM weighted
+)
+SELECT doc_id, lang, n_tokens, priority, sample_rank
+FROM (
+  SELECT p.*,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY priority DESC, doc_id) AS sample_rank
+  FROM prio p
+)
+WHERE sample_rank <= {_PSAMPLE_K}
+"""
+
+
+@query("docs_priority_sample_strata", oracle=_PSAMPLE_ORACLE,
+       tags=("llm", "text", "sampling"))
+def docs_priority_sample_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample without replacement, k=25, weight =
+    token count. One narrow map (hash + priority arithmetic, codegen)
+    and one per-stratum top-k window — WindowGroupLimit keeps per-
+    partition heaps of k rows, so the shuffle carries O(k x strata)
+    survivors however large the corpus. Inclusion probability tracks
+    weight (long docs sample in; the dyadic u keeps replays exact)."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")),
+                        1, 8), 16, 10).cast("long")
+         % F.lit(1073741824)).alias("h"),
+    ).filter(F.col("n_tokens") >= 1)
+    prio = weighted.select(
+        "doc_id", "lang", "n_tokens",
+        (F.col("n_tokens").cast("double") * F.lit(1073741824.0)
+         / (F.lit(2) * F.col("h") + F.lit(1)).cast("double"))
+        .alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id"))
+    return (
+        prio.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _PSAMPLE_K)
+        .select("doc_id", "lang", "n_tokens", "priority", "sample_rank")
+    )

@@ -340,3 +340,95 @@ def test_codecs_raise_valueerror_only_on_corruption(data):
         assert decoded.samples.ndim == 2 and decoded.sample_rate >= 1
     else:
         assert decoded.ndim == 3 and decoded.shape[2] == 3
+
+
+# --- round-11 operators: ER recall, priority-sampling invariances -------------
+
+
+def test_er_every_dirty_record_recovers_its_source(spark, sf_smoke):
+    """Recall of the blocked matcher: every dirty record derives from a
+    clean source by a last-two-char transposition (lev 0 or 2, same
+    block by construction), so its true source must appear among its
+    candidate pairs — blocking must never lose the true match."""
+    from pgcdc_spark.queries import all_queries
+
+    pairs = all_queries()["er_candidate_pairs"].fn(spark, sf_smoke).collect()
+    golden = all_queries()["er_golden_records"].fn(spark, sf_smoke).collect()
+    found = {(r["dirty_custkey"], r["clean_custkey"]) for r in pairs}
+    dirty_keys = {r["dirty_custkey"] for r in pairs}
+    for d in dirty_keys:
+        assert (d, d - 1_000_000) in found, f"true source lost for {d}"
+    # survivorship picks the minimal-distance candidate; the true source
+    # is at lev <= 2, so every golden match must be too
+    assert golden and all(r["lev"] <= 2 for r in golden)
+
+
+def test_priority_sample_invariances(spark, sf_smoke):
+    """Priority sampling structure: (a) per-stratum ranks are dense
+    1..k; (b) scaling ALL weights by a constant leaves the selected SET
+    unchanged (priorities scale uniformly); (c) the sample is invariant
+    under repartitioning (no partition-dependent state)."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.queries import all_queries
+    from pgcdc_spark.queries.llm_text import _PSAMPLE_K
+
+    fn = all_queries()["docs_priority_sample_strata"].fn
+    base = fn(spark, sf_smoke)
+    rows = base.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r["sample_rank"])
+    for lang, ranks in per.items():
+        n = len(ranks)
+        assert sorted(ranks) == list(range(1, n + 1)), lang
+        assert n <= _PSAMPLE_K
+    # weight-scale invariance: rebuild with n_tokens * 7
+    (docs,) = load(spark, sf_smoke, "documents")
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")),
+                        1, 8), 16, 10).cast("long") % F.lit(1073741824)
+    )
+    scaled = (
+        docs.select(
+            "doc_id", "lang",
+            (F.size(F.split("text", " ")) * 7).alias("w"), h.alias("h"))
+        .filter(F.col("w") >= 7)
+        .select(
+            "doc_id", "lang",
+            (F.col("w").cast("double") * F.lit(1073741824.0)
+             / (F.lit(2) * F.col("h") + F.lit(1)).cast("double"))
+            .alias("priority"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id"))
+    scaled_ids = {
+        (r["lang"], r["doc_id"])
+        for r in scaled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PSAMPLE_K).collect()
+    }
+    assert {(r["lang"], r["doc_id"]) for r in rows} == scaled_ids
+    # partition invariance
+    again = {(r["lang"], r["doc_id"]) for r in fn(spark, sf_smoke).collect()}
+    assert again == {(r["lang"], r["doc_id"]) for r in rows}
+
+
+def test_zorder_cells_are_small_rectangles(spark, sf_smoke):
+    """The layout-cell contract: grouping by the Morton key's top byte
+    confines each cell to a 1/16 x 1/16 window of the normalized
+    (user, time) box — the reason per-file min-max stats stay narrow
+    after a z-ordered write."""
+    from pgcdc_spark.queries import all_queries
+
+    rows = all_queries()["layout_zorder_key_stats"].fn(spark, sf_smoke).collect()
+    lo_u = min(r["u_min"] for r in rows); hi_u = max(r["u_max"] for r in rows)
+    lo_t = min(r["t_min"] for r in rows); hi_t = max(r["t_max"] for r in rows)
+    span_u = max(hi_u - lo_u, 1); span_t = max(hi_t - lo_t, 1)
+    for r in rows:
+        # 16 of 256 normalized cells per dim + 1-cell quantization slack
+        assert (r["u_max"] - r["u_min"]) <= span_u * 17 / 256 + 1, r
+        assert (r["t_max"] - r["t_min"]) <= span_t * 17 / 256 + 1, r

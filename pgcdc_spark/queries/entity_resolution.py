@@ -104,7 +104,11 @@ def _candidate_pairs(customer: DataFrame) -> DataFrame:
     first five padded name digits (untouched by a last-two-character
     transposition) plus the exact attributes — block sizes are bounded
     by the prefix fan-out, so the join output is O(n) at any corpus."""
-    dirty = _dirty_customers(customer)
+    # The dirty feed is CORPUS-SCALED (every 7th record), so the block
+    # join must never broadcast it — same lesson as the dup-gram join
+    # (llm_extra.py, sf10 OOM): pin the shuffled hash join, whose
+    # per-partition build side is bounded by the block fan-out.
+    dirty = _dirty_customers(customer).hint("shuffle_hash")
     joined = customer.join(
         dirty,
         (F.col("c_nationkey") == F.col("d_nationkey"))

@@ -73,6 +73,7 @@ SCALE_SET = [
     "emb_ann_index_probe",
     "emb_ivf_ann_topk",
     "emb_mmr_rerank_ann",
+    "dedup_lsh_bucket_profile",
 ]
 
 # Per-query DESIGN exponents: a query is flagged when its measured
@@ -109,6 +110,13 @@ SF10_SET = [
     "emb_ivf_ann_topk",
     "training_mix_pipeline",
     "emb_ann_index_probe",
+    # r11 late adds: the second flat-serving control (MMR over the ADC
+    # shortlist), the BM25+ANN fusion composition, the ADC refine
+    # stage, and the LSH operating-point monitor (all doc/emb-backed)
+    "emb_mmr_rerank_ann",
+    "hybrid_rrf_retrieval",
+    "emb_ann_rerank_exact",
+    "dedup_lsh_bucket_profile",
 ]
 
 

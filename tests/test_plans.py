@@ -626,15 +626,17 @@ def test_e2e_revenue_rollup_one_decode_hash_join(spark):
 
 
 def test_er_block_join_is_hash_join(spark):
-    """Entity resolution must candidate-generate via a hash join on the
-    blocking key — never a cartesian/nested-loop pairing — and the
-    Levenshtein filter must sit above the join (candidates only)."""
+    """Entity resolution must candidate-generate via a SHUFFLED join on
+    the blocking key — never cartesian/nested-loop, and never broadcast:
+    the dirty feed is corpus-scaled, so a broadcast build side is the
+    sf10 OOM class (see dedup_dup_ngram_spans). The Levenshtein filter
+    must sit above the join (candidates only)."""
     for name in ("er_candidate_pairs", "er_golden_records"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) \
-            or ("ShuffledHashJoin" in plan), name
+        assert "BroadcastHashJoin" not in plan, name
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), name
         assert "levenshtein" in plan, name
 
 

@@ -97,8 +97,10 @@ FLAG_SLACK = 0.2
 # The superlinear-risk subset measured at the SECOND decade (sf10 =
 # 100x): the LSH/CC/substring dedup builds, the IVF/PQ quantizer
 # family, the composed training-mix plan, and one serving probe (flat
-# by design — the control). The sf10 corpus carries only
-# documents+embeddings, so only doc/emb-backed queries are eligible.
+# by design — the control). The sf10 corpus carries
+# documents+embeddings (checked in) plus a gitignored 100x events
+# table for the CDC legs, so doc/emb/events-backed queries are
+# eligible.
 SF10_SET = [
     "dedup_minhash_lsh",
     "dedup_verified_pairs",
@@ -117,6 +119,13 @@ SF10_SET = [
     "hybrid_rrf_retrieval",
     "emb_ann_rerank_exact",
     "dedup_lsh_bucket_profile",
+    # r11 CDC second decade: needs the 100x events table
+    # (make_sf1.py testdata_sf10 100 events — gitignored, regenerate
+    # deterministically; the three heaviest wire-format paths: Arrow
+    # binary decode, TOAST carry-forward, two-phase interval machinery)
+    "cdc_pgoutput_state",
+    "cdc_toast_upsert_state",
+    "cdc_two_phase_state",
 ]
 
 

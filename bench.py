@@ -366,9 +366,17 @@ def main() -> None:
     # measured on a loaded host — its tell was a first streaming e2e rep
     # at 2-4x the trailing ones. Flag that signature so a dirty session
     # never silently becomes the official artifact again.
+    # true median of the trailing reps (for the common 2-element case
+    # their MEAN — sorted[len//2] would pick the max and let the exact
+    # signature this gate exists for pass silently)
     s_runs = runs.get("streaming_upsert_e2e", [])
-    trailing = sorted(s_runs[1:])[len(s_runs[1:]) // 2] if len(s_runs) > 1 \
-        else None
+    tr = sorted(s_runs[1:])
+    if not tr:
+        trailing = None
+    elif len(tr) % 2:
+        trailing = tr[len(tr) // 2]
+    else:
+        trailing = (tr[len(tr) // 2 - 1] + tr[len(tr) // 2]) / 2.0
     load_warning = bool(trailing and s_runs[0] > 2.0 * trailing)
     if load_warning:
         print(

@@ -226,19 +226,21 @@ def decode_relation_message(buf: bytes) -> tuple[int, list[str]]:
     return relid, names
 
 
-def _collect_relation_payloads(messages: DataFrame, payload_col: str,
-                               lsn_col: str) -> list[bytes]:
-    """Shared 'R'-payload collector for the v1 discovery passes.
+def _collect_relation_payloads(
+    messages: DataFrame, payload_col: str, lsn_col: str,
+) -> list[tuple[int | None, bytes]]:
+    """Shared 'R'-payload collector for EVERY discovery pass (v1
+    discover_relations / discover_relation_schemas AND the v2 decoder's
+    auto-discovery — one home for the invariant, r11 review).
 
     pgoutput re-sends Relation messages after relcache invalidations, so
     a long capture window carries the same 'R' image many times. Dedupe
     identical payloads EXECUTOR-side (groupBy payload, keep the latest
-    lsn) — the same fix decode_pgoutput_v2 got in round 10 — so each
-    distinct image ships to the driver once, not once per re-send, and
-    return them lsn-ascending so the LAST image per relid wins (a schema
-    change mid-window re-sends 'R' with new column names). Frames
-    without an lsn column fall back to a plain distinct (dedup without
-    the ordering guarantee)."""
+    lsn) so each distinct image ships to the driver once, not once per
+    re-send, and return (lsn, payload) lsn-ascending so the LAST image
+    per relid wins (a schema change mid-window re-sends 'R' with new
+    column names). Frames without an lsn column fall back to a plain
+    distinct (dedup without the ordering guarantee; lsn is None)."""
     r_msgs = messages.filter(
         F.expr(f"substring({payload_col}, 1, 1) = X'52'"))
     if lsn_col in messages.columns:
@@ -248,9 +250,9 @@ def _collect_relation_payloads(messages: DataFrame, payload_col: str,
             .collect()
         )
         rows.sort(key=lambda r: r[lsn_col])
-    else:
-        rows = r_msgs.select(payload_col).distinct().collect()
-    return [bytes(r[payload_col]) for r in rows]
+        return [(int(r[lsn_col]), bytes(r[payload_col])) for r in rows]
+    rows = r_msgs.select(payload_col).distinct().collect()
+    return [(None, bytes(r[payload_col])) for r in rows]
 
 
 def discover_relations(messages: DataFrame,
@@ -261,7 +263,7 @@ def discover_relations(messages: DataFrame,
     dedupes re-sent images executor-side, and decodes the O(#tables)
     distinct survivors on the driver (lsn-ascending, last image wins)."""
     out: dict[int, list[str]] = {}
-    for buf in _collect_relation_payloads(messages, payload_col, lsn_col):
+    for _, buf in _collect_relation_payloads(messages, payload_col, lsn_col):
         relid, names = decode_relation_message(buf)
         out[relid] = names
     return out
@@ -354,7 +356,16 @@ def _parse_change(buf: bytes, image, known_relids=None) -> tuple:
             ovals, _ = _read_tuple(buf, 6)
             return ("delete", None, image(relid, ovals)[0], None)
         if kind == b"M":
-            return ("message", None, None, None)   # logical decoding msg
+            # The Int8 flags byte (1 = transactional) is load-bearing:
+            # lsns are WAL positions, so a NON-transactional message
+            # emitted while a prepared transaction is in flight can
+            # carry an lsn numerically inside that [begin_prepare,
+            # prepare) span even though PostgreSQL delivers it
+            # immediately and unconditionally. Splitting the tag lets
+            # overlay_prepared_spans stamp only the transactional kind.
+            flags = buf[1] if len(buf) > 1 else 0
+            return ("message" if flags == 1 else "message_nontxn",
+                    None, None, None)
         if kind == b"O":
             return ("origin", None, None, None)    # replication origin
         if kind == b"Y":
@@ -413,7 +424,7 @@ def decode_pgoutput(
     column changes the envelope schema, and non-TOAST pipelines keep
     the historical frame."""
     if relations is None:
-        relations = discover_relations(messages, payload_col)
+        relations = discover_relations(messages, payload_col, lsn_col)
     fields = [(f.name, f.dataType) for f in row_schema.fields]
     out_fields = [
         StructField("lsn", StringType()),
@@ -651,24 +662,13 @@ def decode_pgoutput_v2(
             i = bisect.bisect_right(seg_starts, lsn) - 1
             return i >= 0 and lsn <= seg_rows[i][1]
 
-        # pgoutput re-sends Relation messages after cache invalidations;
-        # dedupe identical payloads executor-side (groupBy payload, keep
-        # the latest lsn) so a long capture window ships each distinct
-        # 'R' image to the driver once, not once per re-send.
-        r_rows = (
-            messages.filter(
-                F.expr(f"substring({payload_col}, 1, 1) = X'52'")
-            )
-            .groupBy(payload_col)
-            .agg(F.max(lsn_col).alias(lsn_col))
-            .collect()
-        )
+        # one home for the re-send dedupe + last-image-wins rule
+        # (_collect_relation_payloads); this path only adds the
+        # in-segment xid strip for streamed 'R' frames.
         relations = {}
-        # lsn-ascending so the LAST Relation image per relid wins (a
-        # schema change mid-window re-sends 'R' with new column names).
-        for row in sorted(r_rows, key=lambda r: r[lsn_col]):
-            buf = bytes(row[payload_col])
-            if _in_segment(row[lsn_col]):
+        for r_lsn, buf in _collect_relation_payloads(
+                messages, payload_col, lsn_col):
+            if r_lsn is not None and _in_segment(r_lsn):
                 buf = buf[:1] + buf[5:]  # strip the streamed Int32 xid
             try:
                 relid, names = decode_relation_message(buf)
@@ -841,7 +841,7 @@ def decode_pgoutput_generic(
     from pyspark.sql.types import ArrayType
 
     if relations is None:
-        relations = discover_relations(messages, payload_col)
+        relations = discover_relations(messages, payload_col, lsn_col)
     known = frozenset(relations)
     arr = ArrayType(StringType())
     out_schema = StructType([
@@ -1414,7 +1414,7 @@ def discover_relation_schemas(messages: DataFrame,
     and the StructType as its ``row_schema`` for a fully self-describing
     decode (no hand-written schema anywhere)."""
     out = {}
-    for buf in _collect_relation_payloads(messages, payload_col, "lsn"):
+    for _, buf in _collect_relation_payloads(messages, payload_col, "lsn"):
         try:
             relid, names, typoids, keys = decode_relation_schema(buf)
         except (ValueError, struct.error, IndexError):
@@ -1453,13 +1453,16 @@ def overlay_prepared_spans(decoded: DataFrame, spans: DataFrame,
     consumers see framing rows at their wire lsn, not teleported to the
     commit lsn (or silently dropped on rollback).
 
-    'message' is transaction content here: pgoutput emits
-    NON-transactional logical-decoding messages immediately, outside
-    any 'b'..'P' block (non-streamed prepared content is contiguous on
-    the wire), so an 'M' frame whose lsn falls inside a prepared span
-    is necessarily a TRANSACTIONAL message — PostgreSQL decodes those
-    at commit time and discards them on rollback, which is exactly what
-    stamping + apply_stream_transactions produces.
+    'message' (the TRANSACTIONAL kind — the decoder splits on the wire
+    flag byte, tagging flags=0 frames 'message_nontxn') is transaction
+    content here: PostgreSQL decodes transactional messages at commit
+    time and discards them on rollback, which is exactly what stamping
+    + apply_stream_transactions produces. The non-transactional kind is
+    deliberately NOT in _DATA_TAGS: lsns are WAL positions, so a
+    concurrent flags=0 message can carry an lsn numerically inside a
+    prepared span even though the server delivers it immediately and
+    unconditionally — interval membership alone cannot distinguish the
+    two, only the wire flag can.
     """
     from ..operators.rangejoin import binned_range_join
 

@@ -22,7 +22,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 CONTROL_TAGS = ("begin", "commit", "relation", "truncate",
-                "truncate_other", "message", "origin", "type",
+                "truncate_other", "message", "message_nontxn",
+                "origin", "type",
                 # protocol v3 two-phase framing (cdc/pgoutput.py)
                 "begin_prepare", "prepare", "commit_prepared",
                 "rollback_prepared", "stream_prepare")

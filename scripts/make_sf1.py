@@ -135,6 +135,10 @@ def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     subset = sys.argv[3:] or ALL_TABLES
+    unknown = set(subset) - set(ALL_TABLES)
+    if unknown:
+        sys.exit(f"unknown table(s) {sorted(unknown)}; "
+                 f"choose from {ALL_TABLES}")
     os.makedirs(out_dir, exist_ok=True)
     for name in ALL_TABLES:
         if name not in subset and name not in ("region", "nation"):

@@ -61,7 +61,18 @@ GROWTH_FLAG = 1.5
 
 def _progress_durations(q) -> list[dict]:
     """(batchId, seconds, rows) per micro-batch from the query's progress
-    history (availableNow runs end with an empty flush batch — dropped)."""
+    history (availableNow runs end with an empty flush batch — dropped).
+
+    recentProgress retains at most numRecentProgressUpdates entries
+    (pinned to 256 in main). A feed producing more batches would
+    silently truncate the EARLY batches and corrupt growth_ratio (the
+    first-quartile median would come from late, full-state batches) —
+    fail loudly instead of measuring a lie."""
+    if len(q.recentProgress) >= 250:
+        raise RuntimeError(
+            "recentProgress near/at the 256-entry retention cap — early "
+            "batches may be dropped; raise numRecentProgressUpdates or "
+            "lower the batch count before trusting growth ratios")
     out = []
     for p in q.recentProgress:
         d = p if isinstance(p, dict) else json.loads(p.json)

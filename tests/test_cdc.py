@@ -1559,13 +1559,17 @@ def test_overlay_prepared_keeps_control_rows_unstamped(spark):
 
 
 def test_overlay_prepared_stamps_transactional_messages(spark):
-    """A logical-decoding message inside a 'b'..'P' block is necessarily
-    TRANSACTIONAL (pgoutput emits non-transactional messages outside
-    the block), so overlay_prepared_spans stamps it with the prepared
-    xid and apply_stream_transactions gives it transaction semantics:
-    repositioned to the commit lsn on CommitPrepared, DISCARDED on
-    RollbackPrepared — matching PostgreSQL, which throws away a
-    rolled-back transaction's transactional messages."""
+    """A TRANSACTIONAL logical-decoding message (wire flags=1) inside a
+    'b'..'P' span is stamped with the prepared xid and gets transaction
+    semantics from apply_stream_transactions: repositioned to the
+    commit lsn on CommitPrepared, DISCARDED on RollbackPrepared —
+    matching PostgreSQL, which throws away a rolled-back transaction's
+    transactional messages. A NON-transactional message (flags=0) is
+    untouched EVEN WHEN its lsn falls numerically inside the span:
+    lsns are WAL positions, so a concurrent flags=0 message can land
+    inside [begin_prepare, prepare) while the server still delivers it
+    immediately — only the wire flag distinguishes the two, and the
+    decoder splits the tag on it ('message' vs 'message_nontxn')."""
     from pgcdc_spark.cdc.pgoutput import (
         apply_stream_transactions, decode_pgoutput_v2, encode_begin_prepare,
         encode_commit_prepared, encode_insert, encode_logical_message,
@@ -1579,7 +1583,11 @@ def test_overlay_prepared_stamps_transactional_messages(spark):
             (20, encode_begin_prepare(20, 25, 0, 8, "g8")),
             (21, encode_insert(1, [2, 200])),
             (22, encode_logical_message("audit", b"inside-txn", lsn=22)),
-            (23, encode_prepare(20, 23, 0, 8, "g8")),
+            # a CONCURRENT non-transactional message whose WAL position
+            # lands inside the span: delivered immediately, untouched
+            (23, encode_logical_message("probe", b"", lsn=23,
+                                        transactional=False)),
+            (24, encode_prepare(20, 24, 0, 8, "g8")),
             (40, verdict_payload),
             # a non-transactional message OUTSIDE any block: untouched
             (50, encode_logical_message("heartbeat", b"", lsn=50,
@@ -1597,16 +1605,24 @@ def test_overlay_prepared_stamps_transactional_messages(spark):
         return apply_stream_transactions(decoded, prepared_verdicts(df))
 
     committed = capture(encode_commit_prepared(40, 41, 0, 8, "g8"))
-    msg_rows = committed.filter("tag = 'message'").collect()
-    # in-span message repositioned to the commit lsn (hex envelope lsn
-    # leads with the APPLY position); the outside one stays at lsn 50
-    lsns = sorted(int(r["lsn"].split("/")[0], 16) for r in msg_rows)
-    assert lsns == [40, 50]
+    msg_rows = committed.filter(
+        "tag in ('message', 'message_nontxn')").collect()
+    # transactional in-span message repositioned to the commit lsn (hex
+    # envelope lsn leads with the APPLY position); both flags=0
+    # messages stay at their wire lsns — including the one inside the
+    # span's lsn interval
+    by = sorted((int(r["lsn"].split("/")[0], 16), r["tag"])
+                for r in msg_rows)
+    assert by == [(23, "message_nontxn"), (40, "message"),
+                  (50, "message_nontxn")]
 
-    rolled = capture(encode_rollback_prepared(23, 40, 0, 0, 8, "g8"))
-    survivors = rolled.filter("tag = 'message'").collect()
-    assert len(survivors) == 1  # transactional message discarded
-    assert int(survivors[0]["lsn"].split("/")[0], 16) == 50
+    rolled = capture(encode_rollback_prepared(24, 40, 0, 0, 8, "g8"))
+    survivors = rolled.filter(
+        "tag in ('message', 'message_nontxn')").collect()
+    # transactional message discarded; both flags=0 messages survive
+    got = sorted((int(r["lsn"].split("/")[0], 16), r["tag"])
+                 for r in survivors)
+    assert got == [(23, "message_nontxn"), (50, "message_nontxn")]
 
 
 def test_publication_column_list_and_row_filter(spark):

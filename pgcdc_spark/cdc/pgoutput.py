@@ -745,7 +745,17 @@ def decode_pgoutput_v2(
                     emit(rows, lsn, None, None, ctrl)
                     continue
                 xid = None
-                if in_stream and kind in (b"I", b"U", b"D", b"R", b"T"):
+                # Protocol v2 xid-prefixes EVERY in-segment frame, not
+                # just DML: logical-decoding Message ('M') frames inside
+                # S..E segments carry the Int32 xid too (this module's
+                # own encode_logical_message emits it, and
+                # decode_logical_messages(streamed=True) strips it).
+                # Without b"M" here the flags byte _parse_change reads at
+                # buf[1] is the xid's high byte, mis-tagging in-segment
+                # TRANSACTIONAL messages as message_nontxn for almost
+                # every xid.
+                if in_stream and kind in (b"I", b"U", b"D", b"R", b"T",
+                                          b"M"):
                     try:
                         (xid,) = struct.unpack_from(">i", buf, 1)
                         buf = buf[:1] + buf[5:]

@@ -68,77 +68,20 @@ _MODULES = (
 # goes first, composition-verifying queries in front; remaining slots
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
-# oracle-backed name has been driver-sampled green at least once.  The
-# round-11 list fronts the five r11 additions (ER pair/golden queries,
-# the z-order layout-cell query, weighted priority sampling, the LSH
-# operating-point monitor — all never driver-sampled), then the
-# stale-cohort rotation VERDICT r10
-# item 5 asked for: all 56 oracle-backed names last driver-sampled in
-# rounds 3-5, oldest round first, alphabetical within a round.  The
-# driver samples the first 50, so the LAST ELEVEN names below
-# (events_locf_fill onward) overflow this round's sample and rotate
-# to the front of the round-12 list.  The two
+# oracle-backed name has been driver-sampled green at least once.
+# Round-12 list (VERDICT r11 item 3): the ELEVEN names that overflowed
+# the r11 sample (events_locf_fill onward in the r11 list, last sampled
+# round 5) go first, then the next-stalest cohorts by last-sampled
+# round: r6 (4 names), r7 (30 names), then the alphabetical head of the
+# r8 cohort to fill slot 50.  New round-12 queries, if any, are
+# prepended above the overflow block when added.  The two
 # declared-approximate no-oracle names (agg_approx_distinct,
 # sketch_hll_distinct) stay excluded: pytest bounds them instead, and a
 # rows-only driver row would spend a full-oracle slot.
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # round-11 additions first
-    "er_candidate_pairs",
-    "er_golden_records",
-    "layout_zorder_key_stats",
-    "docs_priority_sample_strata",
-    "dedup_lsh_bucket_profile",
-    # last sampled round 3
-    "subq_in_big_qty_orders",
-    "subq_scalar_correlated",
-    "subq_scalar_global",
-    # last sampled round 4
-    "events_gapfill_spine",
-    "events_hourly_rollup",
-    "events_json_tuple",
-    "events_window_sliding",
-    "events_window_tumbling",
-    "pivot_status_counts",
-    "scalar_array_fns",
-    "scalar_array_lambdas",
-    "scalar_map_fns",
-    "udf_grouped_map_center",
-    "udf_pandas_scalar",
-    "udf_udtf_tokenize",
-    "unpivot_measures",
-    # last sampled round 5
-    "agg_bitmap_distinct",
-    "agg_boolean_predicates",
-    "agg_corr_covar",
-    "agg_grouping_sets",
-    "agg_histogram_width_bucket",
-    "agg_median_mode",
-    "agg_string_agg_ordered",
-    "cdc_scd2_history",
-    "cdc_scd2_point_in_time",
-    "corpus_prep_pipeline",
-    "docs_chunk_windows",
-    "docs_decontam_overlap",
-    "docs_fingerprint",
-    "docs_hash_sample",
-    "docs_lang_id",
-    "docs_lang_profile",
-    "docs_pack_sequences",
-    "docs_quality_score",
-    "docs_redact",
-    "docs_repetition",
-    "docs_stratified_sample",
-    "docs_tfidf",
-    "docs_token_bpe_regex",
-    "docs_token_stats",
-    "docs_top_bigrams",
-    "docs_unigram_logprob",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_linear_interp",
-    # ---- slot 50 boundary: the eleven below overflow to round 12 ----
+    # r11 sample overflow (last sampled round 5) — first per VERDICT
     "events_locf_fill",
     "events_ohlc_hourly",
     "events_variant_extract",
@@ -150,6 +93,52 @@ _PRIORITY = (
     "scalar_try_arith",
     "subq_lateral_topn",
     "udf_pandas_grouped_agg",
+    # last sampled round 6
+    "events_from_json_agg",
+    "events_json_extract",
+    "setop_except_all",
+    "setop_intersect_all",
+    # last sampled round 7
+    "cdc_changelog_stats",
+    "cdc_debezium_state",
+    "cdc_evolving_state",
+    "cdc_mongo_patch_state",
+    "cdc_mongo_state",
+    "cdc_widening_state",
+    "distinct_rows",
+    "docs_weighted_sample",
+    "dq_expectations_orders",
+    "graph_bfs_hops",
+    "ivm_agg_view_state",
+    "ivm_join_view_state",
+    "ivm_minmax_view_state",
+    "merge_into_customer_orders",
+    "mm_audio_resample",
+    "mm_extract_features",
+    "profile_orders_columns",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_by_name",
+    "setop_union_distinct",
+    "sort_limit_topn",
+    "udf_sql_registered",
+    "window_lag_lead",
+    "window_ntile",
+    "window_range_between",
+    "window_rank_distributions",
+    "window_running_frames",
+    "window_sessionize",
+    "window_topk_per_group",
+    # last sampled round 8 (alphabetical head; names past slot 50
+    # overflow to round 13 and rotate to the front there)
+    "agg_abc_pareto",
+    "agg_linreg_by_type",
+    "agg_rfm_segmentation",
+    "agg_weighted_median",
+    "assoc_rules_copurchase",
+    "cdc_lsn_gap_audit",
+    "cdc_multitable_route_state",
+    "cdc_pgoutput_state",
 )
 
 

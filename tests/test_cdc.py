@@ -1625,6 +1625,70 @@ def test_overlay_prepared_stamps_transactional_messages(spark):
     assert got == [(23, "message_nontxn"), (50, "message_nontxn")]
 
 
+def test_streamed_segment_transactional_message(spark):
+    """Protocol v2 xid-prefixes EVERY frame inside an S..E segment —
+    including logical-decoding Message ('M') frames, exactly as this
+    module's encode_logical_message(xid=...) emits them.  The v2 decoder
+    must strip that xid before reading the flags byte: a TRANSACTIONAL
+    in-segment message keeps tag 'message', carries the segment xid, and
+    gets stream semantics from apply_stream_transactions (repositioned
+    to the StreamCommit lsn; discarded on whole-transaction abort).
+    Regression: the strip tuple once omitted b'M', so the flags byte was
+    read from the xid's high byte and almost every streamed
+    transactional message was mis-tagged 'message_nontxn'."""
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2,
+        encode_logical_message, encode_insert, encode_relation,
+        encode_stream_abort, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, stream_verdicts, stream_wrap)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def capture(verdict_payload):
+        msgs = [
+            (0, encode_relation(1, "public", "t", ["id", "v"])),
+            (10, encode_stream_start(7)),
+            (11, stream_wrap(7, encode_insert(1, [1, 100]))),
+            # transactional 'M' inside the segment, xid-prefixed on the
+            # wire (encode_logical_message's streamed form)
+            (12, encode_logical_message("audit", b"in-stream", lsn=12,
+                                        xid=7)),
+            (13, encode_stream_stop()),
+            (30, verdict_payload),
+            # non-transactional 'M' outside any segment: no xid prefix,
+            # delivered immediately, untouched by verdicts
+            (40, encode_logical_message("heartbeat", b"", lsn=40,
+                                        transactional=False)),
+        ]
+        df = spark.createDataFrame(
+            [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary"
+        )
+        schema = StructType([StructField("id", LongType()),
+                             StructField("v", LongType())])
+        decoded = decode_pgoutput_v2(df, schema)
+        return decoded, apply_stream_transactions(
+            decoded, stream_verdicts(df))
+
+    decoded, committed = capture(encode_stream_commit(7, 29, 30, 0))
+    by_lsn = {r["lsn"]: r for r in decoded.collect()}
+    # decoder: correct tag AND the stripped xid on the in-segment 'M'
+    assert by_lsn[12]["tag"] == "message"
+    assert by_lsn[12]["xid"] == 7 and by_lsn[12]["top_xid"] == 7
+    assert by_lsn[40]["tag"] == "message_nontxn"
+    msg_rows = committed.filter(
+        "tag in ('message', 'message_nontxn')").collect()
+    by = sorted((int(r["lsn"].split("/")[0], 16), r["tag"])
+                for r in msg_rows)
+    # in-segment transactional message repositioned to the commit lsn
+    assert by == [(29, "message"), (40, "message_nontxn")]
+
+    _, aborted = capture(encode_stream_abort(7))
+    got = sorted((int(r["lsn"].split("/")[0], 16), r["tag"])
+                 for r in aborted.filter(
+                     "tag in ('message', 'message_nontxn')").collect())
+    # whole-transaction abort discards the transactional message
+    assert got == [(40, "message_nontxn")]
+
+
 def test_publication_column_list_and_row_filter(spark):
     """PG 15 publication semantics end-to-end on hand-built bytes: a
     Relation message carrying only the published column list decodes

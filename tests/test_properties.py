@@ -350,13 +350,24 @@ def test_er_every_dirty_record_recovers_its_source(spark, sf_smoke):
     clean source by a last-two-char transposition (lev 0 or 2, same
     block by construction), so its true source must appear among its
     candidate pairs — blocking must never lose the true match."""
+    from pgcdc_spark.catalog import load
     from pgcdc_spark.queries import all_queries
 
     pairs = all_queries()["er_candidate_pairs"].fn(spark, sf_smoke).collect()
     golden = all_queries()["er_golden_records"].fn(spark, sf_smoke).collect()
     found = {(r["dirty_custkey"], r["clean_custkey"]) for r in pairs}
-    dirty_keys = {r["dirty_custkey"] for r in pairs}
-    for d in dirty_keys:
+    # Expected dirty keys built INDEPENDENTLY of the operator under test
+    # (the dirty feed is every 7th customer, surrogate key +1_000_000):
+    # deriving them from the pairs output would hide a dirty record that
+    # blocking loses entirely — the exact failure this test documents.
+    (customer,) = load(spark, sf_smoke, "customer")
+    dirty_keys = {
+        r["c_custkey"] + 1_000_000
+        for r in customer.filter("c_custkey % 7 = 0")
+        .select("c_custkey").collect()
+    }
+    assert dirty_keys, "fixture produced no dirty records"
+    for d in sorted(dirty_keys):
         assert (d, d - 1_000_000) in found, f"true source lost for {d}"
     # survivorship picks the minimal-distance candidate; the true source
     # is at lev <= 2, so every golden match must be too

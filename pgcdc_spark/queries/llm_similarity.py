@@ -453,16 +453,86 @@ def nearest_cells(side: DataFrame, cent: DataFrame, id_col: str, k: int) -> Data
     )
 
 
-def ivf_cell_assignments(emb: DataFrame, cent_mod: int | None = None) -> DataFrame:
+def nearest_cells_sharded(side: DataFrame, cent: DataFrame, id_col: str,
+                          n_shards: int, n_salts: int = 8) -> DataFrame:
+    """k=1 assignment WITHOUT broadcasting the coarse quantizer — the
+    past-the-broadcast-bound fallback for ``nearest_cells``.
+
+    Why it exists (the design limit of the broadcast path): under the
+    adaptive rule |C| = ceil(sqrt(n)), a true 100 TB embeddings corpus
+    (~2e11 rows at 64 float64 dims ≈ 512 B/vector) trains
+    |C| ≈ sqrt(2e11) ≈ 4.5e5 centroids — |C| x d x 8 B ≈ 230 MB of raw
+    arrays, several times that as a deserialized broadcast relation,
+    re-shipped to every executor.  Fine through sf10 (measured,
+    SCALE_SF1.json), not free at 100 TB.  FAISS hits the same wall and
+    swaps the flat coarse quantizer for an HNSW one; the declarative
+    equivalent is swapping the BROADCAST for a SHUFFLE plan in which no
+    task ever holds more than |C|/n_shards centroids:
+
+    - centroids are split into ``n_shards`` shards (cid % n_shards) and
+      replicated across ``n_salts`` salts (so the shard join fans out to
+      n_shards x n_salts partitions instead of hot-spotting n rows into
+      n_shards tasks);
+    - each vector is replicated once per shard (its salt is fixed by
+      hash(id)), so every (vector, centroid) pair is scored EXACTLY once
+      — at (shard(cid), salt(id));
+    - the per-id argmax is the same partial-aggregable
+      max(struct(ccos, -cid)) as the broadcast path; max over doubles is
+      exact and order-free, so the result is IDENTICAL row-for-row
+      (pinned by tests/test_llm.py::test_sharded_assignment_equivalence).
+
+    Cost vs broadcast: the big side shuffles n_shards copies of each
+    vector instead of zero — the price of bounding per-task quantizer
+    memory.  Pick ``n_shards = ceil(|C| * d * 8 B / 64 MB)`` (the
+    session broadcast budget): below 1 the broadcast path is strictly
+    better, which is why ``ivf_cell_assignments`` defaults to it."""
+    shard_ids = F.explode(
+        F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("__shard")
+    side_rep = side.select(id_col, "e", "n", shard_ids).withColumn(
+        "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)))
+    cent_rep = cent.withColumn(
+        "__shard", F.pmod(F.col("cid"), F.lit(n_shards))
+    ).select(
+        "cid", "ce", "cn", "__shard",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt"),
+    )
+    # shuffle_hash pinned: the centroid slice is the bounded build side;
+    # never let a size estimate promote either side to broadcast — the
+    # whole point of this path is that the quantizer does not fit one.
+    scored = side_rep.join(
+        cent_rep.hint("shuffle_hash"), ["__shard", "__salt"]
+    ).select(
+        id_col, "e", "n", "cid",
+        (dot_fold_expr("e", "ce") / (F.col("n") * F.col("cn"))).alias("ccos"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("ccos"),
+                       (-F.col("cid")).alias("negcid"))).alias("m"),
+        F.first("e").alias("e"),
+        F.first("n").alias("n"),
+    )
+    return agg.select(id_col, "e", "n", (-F.col("m.negcid")).alias("cid"))
+
+
+def ivf_cell_assignments(emb: DataFrame, cent_mod: int | None = None,
+                         assignment_shards: int | None = None) -> DataFrame:
     """``vec_id -> nearest cell`` (plus the vector and its norm): the IVF
     blocking key reused by embedding dedup — at 100 TB cells are the
-    shuffle/partitioning unit for any within-cell pair work."""
+    shuffle/partitioning unit for any within-cell pair work.
+
+    ``assignment_shards``: None (default) broadcasts the sqrt(n)
+    quantizer — correct and fastest through the measured sf10 decade;
+    set it (rule: ceil(|C| x d x 8 B / broadcast budget)) once the
+    quantizer outgrows a broadcast — see ``nearest_cells_sharded``."""
     base = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
         norm_fold_expr("embedding", cast=True).alias("n"),
     )
-    return nearest_cells(base, ivf_centroids(base, cent_mod), "vec_id", 1)
+    cent = ivf_centroids(base, cent_mod)
+    if assignment_shards is not None and assignment_shards > 1:
+        return nearest_cells_sharded(base, cent, "vec_id", assignment_shards)
+    return nearest_cells(base, cent, "vec_id", 1)
 
 _IVF_ORACLE = f"""
 WITH e AS (

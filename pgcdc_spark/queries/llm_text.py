@@ -835,10 +835,24 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-k by u^(1/w) is an exact weighted-without-replacement sample
 # (Efraimidis & Spirakis 2006). The draw is md5-derived instead of
 # rand(), so the sample is reproducible across engines/runs/partitions —
-# same derandomization stance as docs_hash_sample. Keys round to 12
-# decimals (libm pow differs in the last ulp across engines) with doc_id
-# as the total-order tiebreak. At 100 TB this is a scan + one TopK — no
-# shuffle of the corpus, no state.
+# same derandomization stance as docs_hash_sample. At 100 TB this is a
+# scan + one TopK — no shuffle of the corpus, no state.
+#
+# STATUS — historical twin, superseded as the scale path (r12, one
+# weighted-sampling story): the u^(1/w) key needs pow(), and libm pow
+# differs in the last ulp across engines, so cross-engine parity here
+# leans on a 12-decimal ROUNDING CRUTCH — adequate for the oracle gate
+# (collision probability of distinct rounded keys is negligible at any
+# k) but a rounding, not an exactness, argument.
+# ``docs_priority_sample_strata`` (Duffield-Lund-Thorup priority
+# sampling, further down this file) draws the SAME weighted-without-
+# replacement distribution from integer-exact operands with one multiply
+# and one divide — IEEE-bit-exact on both engines, no transcendental, no
+# rounding step — and is the successor every new weighted draw should
+# use. This entry stays registered as the classic-scheme twin (the two
+# algorithms' SAMPLES differ by design — different priority transforms
+# of the same hash — so it also serves as an independent check that the
+# top-k machinery is distribution-agnostic).
 
 _WSAMPLE_K = 64
 
@@ -863,7 +877,12 @@ LIMIT {_WSAMPLE_K}
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} weighted sample of documents with weight = n_chars: long
     documents are proportionally likelier, short ones still possible —
-    the standard corpus-balancing draw, deterministic by construction."""
+    the standard corpus-balancing draw, deterministic by construction.
+
+    Historical twin — see the section comment: the pow()-keyed
+    Efraimidis-Spirakis form needs a 12-decimal rounding step for
+    cross-engine parity; ``docs_priority_sample_strata`` is the
+    transcendental-free scale-path successor."""
     (docs,) = load(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Engine-wide AQE-broadcast-hazard audit -> AUDIT_BROADCAST.json.
+
+The one bug class this engine has now hit twice (r10 bigram-shingle LSH,
+r11 dup-gram AQE broadcast -> driver OOM at sf10) is a join whose build
+side GROWS WITH THE CORPUS but sits under the broadcast threshold at
+test scale: the plan that passes every small-SF test is not the plan
+that survives 100 TB, because "small enough to broadcast at test scale
+is not a property of the plan".
+
+This audit makes the hazard measurable for EVERY registry query instead
+of only where a scale run happened to look.  The invariant it checks:
+**join strategy must be scale-invariant**.  A fixed-size build side
+(codebooks, date spines, query sets, verdict frames) is broadcast at
+every scale; a corpus-scaled side crosses the threshold as the corpus
+grows, so its join STRATEGY FLIPS between scales — and any scale where
+it is still broadcast is a scale where the broadcast cost is growing
+linearly toward an OOM.
+
+Two tiers, because the threshold is consulted twice:
+
+- ``static``: `explain` on the un-executed frame at sf0.01 vs sf1
+  (100x) — catches broadcasts decided from FILE-SIZE statistics
+  (base-table build sides).
+- ``runtime``: execute (collect) and re-read the FINAL adaptive plan at
+  sf0.01 vs sf0.1 (10x) — catches AQE converting a post-shuffle
+  intermediate to broadcast from its RUNTIME size, invisible to static
+  estimates (the r11 dup-gram failure mode).
+
+A "flip" (different join-strategy multiset between the two scales of a
+tier) is a human-review flag, not automatically a bug: AQE demoting an
+over-estimated SMJ to broadcast on a side that is PROVABLY bounded
+(1-row aggregates, per-query top-k) is fine and gets classified as such
+in SURVEY.md's audit table.  Every flip on a corpus-scaled side gets a
+`hint("merge")`/`hint("shuffle_hash")` pin and a tests/test_plans.py
+assertion that the pin (not the estimate) decides the strategy.
+
+Usage: python scripts/audit_broadcasts.py [--runtime-only|--static-only]
+Writes AUDIT_BROADCAST.json at the repo root.
+"""
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_MED = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF_BIG = os.path.join(REPO, "testdata_sf1")
+
+
+def fingerprint(plan: str) -> dict[str, int]:
+    """Join-strategy multiset from a formatted explain, counted on the
+    '(id) Node' detail headers so tree+detail double-printing does not
+    double-count (same discipline as scripts/dump_plans.py)."""
+    fp = {}
+    for node in JOIN_NODES:
+        n = len(re.findall(rf"^\(\d+\) {node}", plan, re.M))
+        if n:
+            fp[node] = n
+    return fp
+
+
+def plan_of(df, execute: bool) -> str:
+    if execute:
+        # collect() drives df's OWN QueryExecution, so the adaptive plan
+        # this frame re-explains afterwards is the FINAL one
+        # (isFinalPlan=true) — a noop write would execute a different
+        # QueryExecution and leave df's plan un-finalized.
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    tiers = {"static", "runtime"}
+    if "--runtime-only" in sys.argv:
+        tiers = {"runtime"}
+    if "--static-only" in sys.argv:
+        tiers = {"static"}
+
+    from pgcdc_spark.queries import all_queries
+    from pgcdc_spark.session import get_spark
+
+    spark = get_spark(app_name="pgcdc-broadcast-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    out: dict[str, dict] = {}
+    t0 = time.time()
+    for i, (name, qd) in enumerate(sorted(qs.items())):
+        rec: dict[str, dict] = {}
+        for tier, (sf_a, sf_b), execute in (
+            ("runtime", (SF_SMALL, SF_MED), True),
+            ("static", (SF_SMALL, SF_BIG), False),
+        ):
+            if tier not in tiers:
+                continue
+            fps, err = {}, None
+            for sf in (sf_a, sf_b):
+                try:
+                    fps[sf] = fingerprint(plan_of(qd.fn(spark, sf), execute))
+                except Exception as e:  # record, keep sweeping
+                    err = f"{sf}: {type(e).__name__}: {e}"[:300]
+                    break
+            if err:
+                rec[tier] = {"error": err}
+            else:
+                a, b = fps[sf_a], fps[sf_b]
+                rec[tier] = {"small": a, "big": b, "flip": a != b}
+        out[name] = rec
+        flips = [t for t, r in rec.items() if r.get("flip")]
+        mark = f"  FLIP[{','.join(flips)}]" if flips else ""
+        errs = [t for t, r in rec.items() if "error" in r]
+        if errs:
+            mark += f"  ERR[{','.join(errs)}]"
+        print(f"[{i + 1}/{len(qs)}] {name}{mark}  ({time.time() - t0:.0f}s)",
+              flush=True)
+
+    flagged = sorted(
+        n for n, rec in out.items()
+        if any(r.get("flip") for r in rec.values())
+    )
+    errored = sorted(
+        n for n, rec in out.items()
+        if any("error" in r for r in rec.values())
+    )
+    artifact = {
+        "tiers": sorted(tiers),
+        "scales": {"runtime": [SF_SMALL, SF_MED], "static": [SF_SMALL, SF_BIG]},
+        "n_queries": len(out),
+        "flagged": flagged,
+        "errored": errored,
+        "queries": out,
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    path = os.path.join(REPO, "AUDIT_BROADCAST.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"wrote {path}: {len(flagged)} flagged, {len(errored)} errored, "
+          f"{artifact['elapsed_sec']}s")
+
+
+if __name__ == "__main__":
+    main()

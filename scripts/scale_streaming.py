@@ -35,7 +35,19 @@ the per-batch touched-bucket fraction. Two derived statistics:
   (state grows ~10x start-to-end of the big run), flagged above 1.5
   (compaction spikes land in single batches; medians absorb them).
 
-Usage: python scripts/scale_streaming.py [small_dir] [big_dir] [out]
+Round 12 adds the SECOND DECADE (VERDICT r11 item 4): a 100x leg from
+the sf10 events feed (10M messages) for ``bucketed_upsert``,
+``agg_view`` and ``rocksdb_latest_state``. 1000 timed 10k-line batches
+would blow the 256-entry progress retention and take ~30 min per
+component, so the 100x run is STAGED: the first ~9.9M rows load state
+in 100k-line BULK batches (untimed for the statistic), then the final
+100k rows replay in the same fixed 10k-line batches as the 1x run —
+per-batch medians at FULL 100x state, batch size held constant, under
+the retention cap. The per-decade exponent is then
+log10(huge/small) / 2, flagged against the same design-0 slack.
+
+Usage: python scripts/scale_streaming.py [small_dir] [big_dir] [out] [huge_dir]
+(huge_dir optional; pass e.g. testdata_sf10 to add the 100x leg.)
 Quiet-core discipline applies (same as bench.py).
 """
 from __future__ import annotations
@@ -110,6 +122,64 @@ def _events_feed(spark, sf_dir: str, work: str, batch_lines: int) -> str:
      .repartition("b").write.partitionBy("b").mode("overwrite")
      .format("text").save(src))
     return src
+
+
+BULK_LINES = 100_000     # 100x leg: state-loading batch size (untimed)
+TAIL_BATCHES = 10        # 100x leg: timed fixed-size batches at full state
+
+
+def _events_feed_staged(spark, sf_dir: str, work: str,
+                        bulk_lines: int, tail_lines: int,
+                        n_tail: int) -> str:
+    """The events table as a STAGED changelog: all but the final
+    ``n_tail * tail_lines`` rows in ``bulk_lines``-line chunks (the
+    state-loading phase), then the tail in ``tail_lines``-line chunks —
+    the measured phase, same batch size as the 1x run. Chunk files get
+    ascending mtimes so the file stream replays bulk before tail: a
+    tail batch replayed early would be timed against small state and
+    the 100x claim would be a lie."""
+    from pyspark.sql.window import Window
+
+    from pgcdc_spark.catalog import load
+
+    (events,) = load(spark, sf_dir, "events")
+    total = events.count()
+    tail_rows = n_tail * tail_lines
+    tail_start = max(0, total - tail_rows)
+    n_bulk = -(-tail_start // bulk_lines)  # ceil
+
+    is_del = F.col("event_type") == "error"
+    img = F.struct(F.col("user_id"), F.col("value"))
+    line = F.to_json(F.struct(
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("lsn"),
+        F.when(is_del, "delete").otherwise("update").alias("tag"),
+        F.when(~is_del, img).alias("new"),
+        F.when(is_del, img).alias("old"),
+    ))
+    src = os.path.join(work, "events_staged_src")
+    rn = F.row_number().over(Window.orderBy("event_id")) - 1
+    b = (F.when(rn < tail_start, F.floor(rn / bulk_lines))
+         .otherwise(n_bulk + F.floor((rn - tail_start) / tail_lines))
+         .cast("int"))
+    (events.select(line.alias("value"), b.alias("b"))
+     .repartition("b").write.partitionBy("b").mode("overwrite")
+     .format("text").save(src))
+    _stamp_feed_order(src)
+    return src
+
+
+def _tail_stats(batches: list[dict], tail_lines: int) -> dict:
+    """_stats over only the fixed-size TAIL batches of a staged run
+    (the bulk state-loading batches are 10x bigger — identified by
+    size, and reported separately for the record)."""
+    cut = tail_lines * 3  # bulk is 10x tail; 3x is an unambiguous split
+    tail = [b for b in batches if b["rows"] <= cut]
+    bulk = [b for b in batches if b["rows"] > cut]
+    st = _stats(tail)
+    st["n_bulk_batches"] = len(bulk)
+    st["bulk_median_sec"] = _median([b["sec"] for b in bulk])
+    st["staged"] = True
+    return st
 
 
 def _touched_fraction(spark, src: str, keys, n_buckets) -> dict:
@@ -276,6 +346,9 @@ def main() -> None:
     out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_STREAMING.json")
+    huge = sys.argv[4] if len(sys.argv) > 4 else None
+    if huge and not os.path.isdir(huge):
+        raise SystemExit(f"huge dir not found: {huge}")
 
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
@@ -344,6 +417,38 @@ def main() -> None:
                   f"{st['median_batch_sec']:.2f}s, growth "
                   f"{st['growth_ratio']}", flush=True)
             gc.collect()
+
+        if huge:
+            w = os.path.join(work_root, "events_huge")
+            os.makedirs(w, exist_ok=True)
+            print("== staging 100x feed ==", flush=True)
+            huge_feed = _events_feed_staged(
+                spark, huge, w, BULK_LINES, BATCH_LINES, TAIL_BATCHES)
+            for comp, with_view in (("bucketed_upsert", False),
+                                    ("agg_view", True)):
+                w = os.path.join(work_root, f"{comp}_huge")
+                os.makedirs(w, exist_ok=True)
+                print(f"== {comp} huge (100x) ==", flush=True)
+                batches, n_state = _run_upsert(
+                    spark, huge_feed, w, row_schema, with_view)
+                st = _tail_stats(batches, BATCH_LINES)
+                st["final_state_rows"] = n_state
+                results[comp]["huge"] = st
+                print(f"  {st['n_batches']} tail batches, median "
+                      f"{st['median_batch_sec']:.2f}s, growth "
+                      f"{st['growth_ratio']}", flush=True)
+                gc.collect()
+            w = os.path.join(work_root, "rocks_huge")
+            os.makedirs(w, exist_ok=True)
+            print("== rocksdb_latest_state huge (100x) ==", flush=True)
+            st = _tail_stats(
+                _run_rocksdb(spark, huge_feed, w, row_schema,
+                             "rocks_scale_huge"), BATCH_LINES)
+            results["rocksdb_latest_state"]["huge"] = st
+            print(f"  {st['n_batches']} tail batches, median "
+                  f"{st['median_batch_sec']:.2f}s, growth "
+                  f"{st['growth_ratio']}", flush=True)
+            gc.collect()
     finally:
         shutil.rmtree(work_root, ignore_errors=True)
 
@@ -355,12 +460,22 @@ def main() -> None:
         r["design_exponent"] = 0.0
         r["flagged"] = (exp > 0.0 + FLAG_SLACK
                         or r["big"]["growth_ratio"] > GROWTH_FLAG)
+        if "huge" in r:
+            # two decades: per-decade exponent at equal batch size
+            exp2 = round(math.log10(
+                r["huge"]["median_batch_sec"]
+                / r["small"]["median_batch_sec"]) / 2, 3)
+            r["exponent_per_decade_100x"] = exp2
+            r["flagged"] = r["flagged"] or (
+                exp2 > 0.0 + FLAG_SLACK
+                or r["huge"]["growth_ratio"] > GROWTH_FLAG)
         if r["flagged"]:
             flagged.append(comp)
 
     artifact = {
-        "small": small, "big": big,
+        "small": small, "big": big, "huge": huge,
         "batch_lines": BATCH_LINES, "doc_batch": DOC_BATCH,
+        "bulk_lines": BULK_LINES, "tail_batches": TAIL_BATCHES,
         "flag_slack": FLAG_SLACK, "growth_flag": GROWTH_FLAG,
         "flagged": sorted(flagged),
         "components": results,

@@ -676,6 +676,7 @@ def decode_pgoutput_v2(
                 continue  # dead-letter: a corrupt 'R' never poisons the map
             relations[relid] = names
     if broadcast_segments:
+        # bounded: O(#stream segments) control rows
         segments = F.broadcast(segments)
     tagged = binned_range_join(
         messages.select(F.col(lsn_col).alias("__lsn"),
@@ -801,6 +802,7 @@ def apply_stream_transactions(decoded: DataFrame,
     ).select(F.col("v_xid").alias("__a_top"),
              F.col("sub_xid").alias("__a_sub"))
     pruned = decoded.join(
+        # bounded: verdict frame, O(#transactions in the capture)
         F.broadcast(sub_aborts),
         (decoded[top] == F.col("__a_top"))
         & (decoded["xid"] == F.col("__a_sub")),
@@ -1051,6 +1053,7 @@ def prepared_spans(messages: DataFrame, lsn_col: str = "lsn",
     window_end = messages.agg((F.max(lsn_col) + 1).alias("__window_end"))
     return (
         paired.filter(F.col("__is_begin"))
+        # bounded: 1-row aggregate
         .crossJoin(F.broadcast(window_end))
         .select(
             F.col("__ctrl_lsn").alias("p_start"),
@@ -1118,6 +1121,7 @@ def decode_pgoutput_2pc(
     )
     tagged = binned_range_join(
         env.drop("lsn"),
+        # bounded: O(#prepared transactions) control spans
         F.broadcast(spans),
         "__ord", "p_start", "p_stop", bin_width, how="left_outer",
     )
@@ -1245,6 +1249,7 @@ def origin_spans(messages: DataFrame, lsn_col: str = "lsn",
     window_end = messages.agg((F.max(lsn_col) + 1).alias("__window_end"))
     spans = (
         begins.withColumn("__nxt", F.lead("__b_lsn").over(w))
+        # bounded: 1-row aggregate
         .crossJoin(F.broadcast(window_end))
         .select(
             F.col("__b_lsn").alias("o_start"),
@@ -1291,6 +1296,7 @@ def filter_foreign_origins(
     out_cols = messages.columns
     tagged = binned_range_join(
         messages,
+        # bounded: O(#origin spans) control rows
         F.broadcast(foreign),
         lsn_col, "o_start", "o_stop", bin_width, how="left_outer",
     )
@@ -1480,6 +1486,7 @@ def overlay_prepared_spans(decoded: DataFrame, spans: DataFrame,
                   "truncate_other", "message")
     cols = decoded.columns
     tagged = binned_range_join(
+        # bounded: O(#prepared transactions) control spans
         decoded, F.broadcast(spans),
         "lsn", "p_start", "p_stop", bin_width, how="left_outer",
     )

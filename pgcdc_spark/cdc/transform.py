@@ -57,6 +57,7 @@ def drop_pre_truncate(df: DataFrame) -> DataFrame:
         F.max("lsn").alias("__trunc_lsn")
     )
     return (
+        # bounded: 1-row watermark aggregate
         df.crossJoin(F.broadcast(wm))
         .filter(F.col("__trunc_lsn").isNull()
                 | (F.col("lsn") > F.col("__trunc_lsn")))

@@ -393,6 +393,7 @@ class AnnIndex:
                     )
                 ).alias("s", "sub"),
             )
+            # bounded: fixed 256-entry-per-subspace PQ codebook
             dist = subs.join(F.broadcast(codebook), "s").select(
                 "vec_id", "s", "pqcid", _sub_d2("sub", "csub").alias("d2")
             )
@@ -663,6 +664,7 @@ class AnnIndex:
         codebook = spark.read.parquet(
             os.path.join(self.root, m["codebook"], "codebook")
         )
+        # bounded: fixed 256-entry-per-subspace PQ codebook
         lut = q_subs.join(F.broadcast(codebook), "s").select(
             "qid", "s", "pqcid", _sub_d2("sub", "csub").alias("d2")
         )

@@ -67,6 +67,7 @@ def binned_range_join(
         ),
     )
     if broadcast_intervals:
+        # bounded: caller asserts the interval side is dim-sized (API flag)
         i = F.broadcast(i)
     cond = (
         (F.col(_PBIN) == F.col(_IBIN))

@@ -71,6 +71,7 @@ GROUP BY ROLLUP (r_name, n_name)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, nation, region = load(spark, sf_dir, "customer", "nation", "region")
     joined = cust.join(
+        # bounded: 25-nation / 5-region dims
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     return (
@@ -505,6 +506,7 @@ def feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cn"),
     )
     return (
+        # bounded: 1-row global aggregate
         c.crossJoin(F.broadcast(g))
         .select(
             "category",
@@ -564,6 +566,7 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     tot = rev.agg(F.sum("r").alias("tot"))
+    # bounded: 1-row total
     run = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(F.broadcast(tot))
     share = F.col("cum").cast("double") / F.col("tot").cast("double")
     return run.select(

@@ -193,6 +193,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = t.groupBy("from_type").agg(F.sum("n").alias("total"))
     return (
+        # bounded: one row per event_type (fixed enum)
         t.join(F.broadcast(tot), "from_type")
         .select(
             "from_type", "to_type", "n",

@@ -663,9 +663,12 @@ def ivm_bm25_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(df_), "t")
+        # tf (docs containing the query terms) and dl (ALL doc lengths)
+        # are both corpus-scaled — never leave this join to a size
+        # estimate (r12 broadcast audit); merge on the shared doc_id key
+        tf.join(dl.hint("merge"), "doc_id")
+        .crossJoin(F.broadcast(stats))   # bounded: 1-row aggregate
+        .join(F.broadcast(df_), "t")     # bounded: one row per fixed term
         .groupBy("doc_id")
         .agg(
             F.round(

@@ -99,10 +99,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            # supplier is corpus-scaled: no broadcast FORCE — the scan's
+            # file-size estimate picks broadcast while it fits and
+            # switches to a shuffled join when the corpus outgrows it
+            # (r12 audit: a forced broadcast never flips, so it would
+            # ship an arbitrarily large relation at 100 TB)
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+        # bounded: 25 nations / filtered regions — fixed-size dims
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
@@ -227,8 +233,9 @@ WHERE p_size >= 40
 def join_equi_plus_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = load(spark, sf_dir, "lineitem", "part")
     p = part.filter(F.col("p_size") >= 40)
+    # part is corpus-scaled: estimate-driven join strategy, no force
     return li.join(
-        F.broadcast(p),
+        p,
         (F.col("l_partkey") == F.col("p_partkey"))
         & F.col("l_quantity").between(F.col("p_size") - 2, F.col("p_size") + 2),
     ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
@@ -246,6 +253,7 @@ def join_theta_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, region = load(spark, sf_dir, "nation", "region")
     return (
         nation.filter(F.col("n_nationkey") < 5)
+        # bounded: 5-region dim
         .crossJoin(F.broadcast(region))
         .filter(F.col("n_regionkey") != F.col("r_regionkey"))
         .select("n_nationkey", "r_regionkey", "n_name", "r_name")
@@ -564,8 +572,11 @@ def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a, b = op.alias("a"), op.alias("b")
     pair = (
+        # corpus x corpus self-join on the basket key: both sides are
+        # every (order, item) row, so neither may ever be a broadcast —
+        # pin the merge join on l_orderkey (r12 broadcast audit)
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
@@ -578,7 +589,13 @@ def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
     ib = item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
     out = (
-        pair.join(ia, "pa").join(ib, "pb").crossJoin(F.broadcast(n))
+        # the item-count sides are ITEM-CATALOG-SIZED (one row per
+        # distinct part — corpus-scaled), so the lift joins are pinned
+        # shuffled-hash, never estimate-driven broadcasts (r12 audit);
+        # n is a 1-row aggregate — bounded: broadcast is exact there
+        pair.join(ia.hint("shuffle_hash"), "pa")
+        .join(ib.hint("shuffle_hash"), "pb")
+        .crossJoin(F.broadcast(n))
         .select(
             "pa", "pb",
             F.col("c_ab").cast("long").alias("c_ab"),

@@ -144,6 +144,7 @@ def pq_distances(emb: DataFrame, cid_col: str = "cid") -> DataFrame:
     ).select(
         F.col("vec_id").alias(cid_col), "s", F.col("sub").alias("csub")
     )
+    # bounded: fixed PQ codebook
     return subs.join(F.broadcast(cb), "s").select(
         "vec_id", "s", cid_col, _sub_d2("sub", "csub").alias("d2")
     )
@@ -194,6 +195,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_codes_from(dist)
     lut = _pq_lut(dist)
     adc = (
+        # bounded: per-query PQ lookup table
         codes.join(F.broadcast(lut), ["s", "cid"])
         .filter(F.col("qid") != F.col("vec_id"))
         .groupBy("qid", "vec_id")
@@ -623,6 +625,7 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent, "qid", 2,
     ).select("qid", "cid")
     cand = (
+        # bounded: queries x nprobe cells
         asg.join(F.broadcast(probe), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
@@ -632,6 +635,7 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = _pq_lut(dist, "pqcid")
     return (
         cand.join(codes, "vec_id")
+        # bounded: per-query PQ lookup table
         .join(F.broadcast(lut), ["qid", "s", "pqcid"])
         .groupBy("qid", "vec_id")
         .agg(
@@ -732,6 +736,7 @@ def emb_ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # C×n_queries ids broadcast against the corpus vector table: the
         # fetch is a hash probe of each corpus partition, never a shuffle
         # of the vectors (the point-lookup shape of a refine stage)
+        # bounded: query-sized ANN shortlist
         F.broadcast(shortlist).join(vec, "vec_id")
         .join(F.broadcast(q), "qid")
         .select(
@@ -819,6 +824,7 @@ def emb_mmr_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("qn"),
     )
     pool = (
+        # bounded: query-sized ANN shortlist
         F.broadcast(shortlist).join(vec, "vec_id")
         .join(F.broadcast(q), "qid")
         .select(
@@ -1404,11 +1410,18 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("contaminated")
         .select("doc_id")
     )
+    # The three gate sets are CORPUS-SCALED (quality survivors, dropped
+    # near-dups, contaminated docs all grow linearly with the corpus) yet
+    # sit under the broadcast threshold at test scale — the r11
+    # dup-gram hazard class, caught by the r12 AUDIT_BROADCAST flip
+    # (BHJ at sf0.01 -> SMJ at sf0.1). Pin the sort-merge join: all
+    # three share the doc_id key, so one exchange+sort of the doc side
+    # is reused across the chain.
     survivors = (
         docs.filter(F.col("source") != "src0")
-        .join(q, "doc_id", "left_semi")
-        .join(kb, "doc_id", "left_anti")
-        .join(cont, "doc_id", "left_anti")
+        .join(q.hint("merge"), "doc_id", "left_semi")
+        .join(kb.hint("merge"), "doc_id", "left_anti")
+        .join(cont.hint("merge"), "doc_id", "left_anti")
         .select(
             "source", "doc_id",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -1601,6 +1614,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = ann.select("qid").distinct()
     cand = ann.select("qid", "doc_id").union(
+        # bounded: BM25 top-k list
         qids.crossJoin(F.broadcast(lex.select("doc_id")))
     ).distinct()
     scored = (
@@ -1727,9 +1741,11 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         )
-        .join(q, "doc_id")
-        .join(kb, "doc_id")
-        .join(ct, "doc_id", "left")
+        # same corpus-scaled build sides (and the same merge pins) as
+        # training_mix_pipeline's gates — see the comment there
+        .join(q.hint("merge"), "doc_id")
+        .join(kb.hint("merge"), "doc_id")
+        .join(ct.hint("merge"), "doc_id", "left")
         .select(
             "n_tokens", F.lit(True).alias("s0"), s1.alias("s1"),
             s2.alias("s2"), s3.alias("s3"), s4.alias("s4"),

@@ -67,6 +67,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_fold_expr("embedding", cast=True).alias("n"),
     )
     scored = (
+        # bounded: fixed query set
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("vec_id"))
         .select(
@@ -214,6 +215,7 @@ def emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after scoring avoids a join-back for the vector payloads.
     scored = (
         base.join(
+            # bounded: fixed query set
             F.broadcast(q),
             (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
         )
@@ -279,6 +281,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "val"),
     )
     stats = x.groupBy("i0").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    # bounded: 64 per-dimension stat rows
     codes = x.join(F.broadcast(stats), "i0").select(
         "vec_id",
         "i0",
@@ -397,6 +400,7 @@ def adaptive_donor_filter(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
         ).cast("long").alias("__cmod")
     )
     return (
+        # bounded: 1-row aggregate
         df.crossJoin(F.broadcast(mod_df))
         .filter(F.col(id_col) % F.col("__cmod") == F.lit(1) % F.col("__cmod"))
         .drop("__cmod")
@@ -432,6 +436,7 @@ def nearest_cells(side: DataFrame, cent: DataFrame, id_col: str, k: int) -> Data
     64-double array (measured 30 s -> ~6 s at the 10x corpus; the window
     form shuffled the array once per centroid). k>1 (the PROBE path,
     |queries| rows) keeps the per-id window — its input is tiny."""
+    # bounded through sf10: sqrt(n) centroids — nearest_cells_sharded is the past-broadcast-budget fallback
     scored = side.crossJoin(F.broadcast(cent)).select(
         id_col, "e", "n", "cid",
         (dot_fold_expr("e", "ce") / (F.col("n") * F.col("cn"))).alias("ccos"),
@@ -597,6 +602,7 @@ def emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent, "qid", _N_PROBE,
     ).select("qid", F.col("e").alias("qe"), F.col("n").alias("qn"), "cid")
     scored = (
+        # bounded: queries x nprobe cells
         asg.join(F.broadcast(probe), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -757,6 +763,7 @@ def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     d2 = (
         F.col("ee") + F.col("cc") - 2 * dot_fold_expr("e", "cv")
     ).alias("dist2")
+    # bounded: k fixed k-means centers
     scored = pts.crossJoin(F.broadcast(cent)).select("vec_id", "cid", d2)
     w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
     return (
@@ -995,6 +1002,7 @@ def emb_top_singular_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     y1 = (
+        # bounded: d-row power-iteration vector
         pts.join(F.broadcast(s1), "vec_id")
         .groupBy("d")
         .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(28,9)"))
@@ -1007,6 +1015,7 @@ def emb_top_singular_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double").alias("s"))
     )
     y2 = (
+        # bounded: d-row power-iteration vector
         pts.join(F.broadcast(s2), "vec_id")
         .groupBy("d")
         .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,9)"))
@@ -1023,6 +1032,7 @@ def emb_top_singular_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nr"),
         F.max(F.when(F.col("d") == 0, F.col("u"))).alias("u0"),
     )
+    # bounded: 1-row norm
     return u.crossJoin(F.broadcast(nrm)).select(
         "d",
         F.round(
@@ -1141,6 +1151,7 @@ def emb_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pn").alias("qpn"),
     )
     scored = (
+        # bounded: fixed query set
         proj.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("vec_id"))
         .select(
@@ -1378,6 +1389,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_fold_expr("embedding", cast=True).alias("n"),
     )
     rel = (
+        # bounded: fixed query set
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("vec_id"))
         .select(

@@ -277,9 +277,11 @@ SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
 @query("docs_tfidf", oracle=_TFIDF_ORACLE, tags=("llm", "text", "tfidf"))
 def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. Two aggs over one tokenize pass
-    (tf by (doc,term), df by term), then a broadcast of the tiny df/N
-    sides back onto tf — the fact-sized side shuffles once, on its own
-    group key. LN differs in the last ulp across libms, so idf is rounded
+    (tf by (doc,term), df by term), then a pinned shuffled-hash join of
+    the vocabulary-sized df side back onto tf (df reuses its own groupBy
+    partitioning; only the 1-row N rides as a broadcast) — the
+    vocabulary grows with the corpus, so df is never forced into a
+    broadcast. LN differs in the last ulp across libms, so idf is rounded
     to 9 decimals on both engines before the (exact) multiply, and the
     product is rounded again for a stable hash."""
     from pyspark.sql import Window
@@ -294,8 +296,13 @@ def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrow = docs.agg(F.count(F.lit(1)).alias("n"))
     idf = F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 9)
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(nrow))
+        # df_ is VOCABULARY-SIZED (one row per distinct term — grows
+        # with the corpus under Heaps' law), so it must never be forced
+        # into a broadcast (r12 audit). It comes out of its own groupBy
+        # already partitioned by term, so the pinned shuffled-hash join
+        # reuses that partitioning and only tf re-shuffles, on term.
+        tf.join(df_.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(nrow))    # bounded: 1-row aggregate
         .select(
             "doc_id", "term",
             F.round(F.col("tf").cast("double") * idf, 9).alias("tfidf"),
@@ -688,7 +695,11 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,9)"
     )
     return (
-        tok.join(F.broadcast(cnt), "w")
+        # cnt is VOCABULARY-SIZED (one row per distinct token — grows
+        # with the corpus): pinned shuffled-hash join reusing cnt's own
+        # groupBy partitioning, never a forced broadcast (r12 audit);
+        # total is a 1-row aggregate — bounded
+        tok.join(cnt.hint("shuffle_hash"), "w")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -756,7 +767,12 @@ def docs_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = tri.filter(F.col("source") == "src0").select("tg").distinct()
     corpus = tri.filter(F.col("source") != "src0").select("doc_id", "tg")
     return (
-        corpus.join(F.broadcast(bench), "tg", "left_semi")
+        # semantically a benchmark holdout is fixed-size, but in THIS
+        # corpus src0 is a constant fraction of the documents — i.e.
+        # corpus-scaled — so the trigram set is not forced into a
+        # broadcast; AQE promotes it from measured runtime size while
+        # it fits (r12 audit)
+        corpus.join(bench, "tg", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_trigrams"))
         .withColumn("contaminated", F.col("n_shared_trigrams") >= _DECONTAM_THRESHOLD)
@@ -984,9 +1000,12 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(df_), "t")
+        # tf and dl are both corpus-scaled — pin the merge join instead
+        # of leaving the strategy to a size estimate (r12 audit; same
+        # pin as the incremental twin in queries/ivm_views.py)
+        tf.join(dl.hint("merge"), "doc_id")
+        .crossJoin(F.broadcast(stats))   # bounded: 1-row aggregate
+        .join(F.broadcast(df_), "t")     # bounded: one row per fixed term
         .groupBy("doc_id")
         .agg(
             F.round(
@@ -1116,6 +1135,7 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # happens in doubles on both engines (decimal/decimal division scale
     # rules differ between Spark and DuckDB in the last ulp)
     mixw = F.col("sw").cast("double") / F.col("tot").cast("double")
+    # bounded: 1-row total
     return per_src.crossJoin(F.broadcast(total)).select(
         "source", "n_docs", "n_tokens",
         F.round(mixw, 9).alias("mix_weight"),
@@ -1417,6 +1437,7 @@ def docs_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.countDistinct("grp").cast("long").alias("n_groups"),
         )
+        # bounded: 1-row leak count
         .crossJoin(F.broadcast(leaks))
         .select("split", "n_docs", "n_groups", "leaked_groups")
         .orderBy("split")
@@ -1550,6 +1571,7 @@ def _bpe_train_stages(spark: SparkSession, sf_dir: str):
         )
         mx = pairs.agg(F.max("freq").alias("mxf"))
         best = (
+            # bounded: 1-row argmax
             pairs.crossJoin(F.broadcast(mx))
             .filter(F.col("freq") == F.col("mxf"))
             .agg(F.min(F.struct(F.col("l"), F.col("r"))).alias("p"),
@@ -1564,6 +1586,7 @@ def _bpe_train_stages(spark: SparkSession, sf_dir: str):
         )
         bests.append(best)
         pair = best.select(F.col("lhs").alias("pl"), F.col("rhs").alias("pr"))
+        # bounded: 1-row winning merge pair
         syms = syms.crossJoin(F.broadcast(pair)).select(
             "cnt", F.expr(_BPE_MERGE_FOLD).alias("syms"))
         stages.append(syms)
@@ -1613,6 +1636,7 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = stage.unionByName(s)
     base = per_stage[0].select(F.col("corpus_tokens").alias("c0"))
     return (
+        # bounded: 1-row baseline
         stage.crossJoin(F.broadcast(base))
         .select(
             "step", "vocab_tokens", "corpus_tokens",

@@ -130,7 +130,8 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pk_unique"))
     )
     orphans = (
-        orders.join(F.broadcast(customer.select("c_custkey")),
+        # customer is corpus-scaled: no broadcast force (r12 audit)
+        orders.join(customer.select("c_custkey"),
                     F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("fk_customer_exists"))
     )
@@ -281,6 +282,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     query runs no job (r9 — iteration count is fixed/unrolled, so with
     n lazy the whole plan is lazy)."""
     (customer,) = load(spark, sf_dir, "customer")
+    # bounded: 1-row count
     ncnt = F.broadcast(
         customer.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
@@ -361,6 +363,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     and counted with map-side partial aggregation. The node count rides
     as a broadcast 1-row aggregate, so the build runs no job (r9)."""
     (customer,) = load(spark, sf_dir, "customer")
+    # bounded: 1-row count
     base = customer.crossJoin(F.broadcast(
         customer.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     ))
@@ -485,6 +488,7 @@ def _key_skew_profile(df, label: str, col: str):
     mx = counts.agg(F.max("c").alias("m"))
     avg = F.sum("c").cast("double") / F.count(F.lit(1))
     return (
+        # bounded: 1-row max
         counts.crossJoin(F.broadcast(mx))
         .agg(
             F.lit(label).alias("key_col"),
@@ -585,6 +589,7 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (F.col("n_ref") + 1.0) / (F.col("tr") + 10.0)
     q = (F.col("n_cur") + 1.0) / (F.col("tc") + 10.0)
     return (
+        # bounded: 1-row totals
         filled.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
@@ -679,6 +684,7 @@ def layout_zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nu = _z_norm("u", "lo_u", "hi_u", "div")
     nt = _z_norm("t", "lo_t", "hi_t", "div")
+    # bounded: 1-row min/max stats
     keyed = ev.crossJoin(F.broadcast(stats)).select(
         "u", "t", F.expr(_z_key(f"({nu})", f"({nt})")).alias("zkey")
     )

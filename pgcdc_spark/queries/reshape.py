@@ -106,6 +106,7 @@ def events_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
+        # bounded: fixed date spine
         F.broadcast(days)
         .crossJoin(F.broadcast(types))
         .join(counts, ["day", "event_type"], "left")

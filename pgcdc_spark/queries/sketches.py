@@ -160,6 +160,7 @@ def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", "exact_n", "i", bucket(F.col("i"), F.col("t")).alias("bucket")
     )
     return (
+        # bounded: fixed CMS counter grid (depth x width)
         probes.join(F.broadcast(counters), ["i", "bucket"])
         .groupBy("t", "exact_n")
         .agg(F.min("c").alias("cms_est"))

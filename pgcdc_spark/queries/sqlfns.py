@@ -194,8 +194,11 @@ def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale ratio here) and the set per group is bounded by the value
     domain, not the row count."""
     customer, orders = load(spark, sf_dir, "customer", "orders")
+    # customer is corpus-scaled: estimate-driven strategy, no broadcast
+    # force (r12 audit — a force never flips, so it would ship an
+    # arbitrarily large relation at 100 TB)
     joined = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     return joined.groupBy("c_mktsegment").agg(

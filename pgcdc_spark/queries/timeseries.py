@@ -268,6 +268,7 @@ def events_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
+        # bounded: one row per event_type (fixed enum)
         events.join(F.broadcast(st), "event_type")
         .filter(F.abs(z) > _Z_K)
         .select("event_id", "event_type", F.round(z, 9).alias("z"))
@@ -319,6 +320,7 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("med")
     )
     mad = (
+        # bounded: one row per event_type (fixed enum)
         events.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))

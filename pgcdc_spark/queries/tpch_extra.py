@@ -155,7 +155,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(part.select("p_partkey", "p_type")),
+        # part is corpus-scaled: estimate-driven strategy, no force (r12)
+        .join(part.select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * F.sum(promo).cast("double")
@@ -197,8 +198,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total_qty"))
         .filter(F.col("total_qty") > _Q18_QTY)
     )
+    # the survivor set is selective but CORPUS-SCALED (a fixed
+    # selectivity fraction of orders), so no broadcast FORCE: AQE
+    # broadcasts it from its measured runtime size while that fits and
+    # falls back to a shuffled join when it no longer does (r12 audit)
     return (
-        F.broadcast(big)
+        big
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
@@ -236,7 +241,8 @@ def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (not BNLJ) with the OR brackets as a post-join filter; the
     p_brand/p_size arms also push to the broadcast side's scan."""
     li, part = load(spark, sf_dir, "lineitem", "part")
-    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    # part is corpus-scaled: estimate-driven strategy, no force (r12)
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     bracket = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))
@@ -297,7 +303,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        # supplier is corpus-scaled: no force; nations are bounded dims
+        .join(supp.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(cust.select("c_custkey", "c_nationkey"),
@@ -355,13 +362,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asia_nations = (
         nation.join(
+            # bounded: filtered region dim
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         ).select(F.col("n_nationkey").alias("c_nk"))
     )
     joined = (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")
-                            .select("p_partkey")),
+        # filtered part is still corpus-scaled: no force (r12)
+        li.join(part.filter(F.col("p_type") == "ECONOMY")
+                    .select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(
             orders.filter(
@@ -372,8 +381,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
+        # bounded: filtered nation dim
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        # supplier is corpus-scaled: no force; nation stays a broadcast dim
+        .join(supp.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
@@ -440,6 +451,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        # bounded: 25-nation dim
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (

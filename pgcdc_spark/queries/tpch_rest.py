@@ -60,6 +60,7 @@ def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_acctbal").alias("b_max")
     )
     euro_nations = nation.join(
+        # bounded: filtered region dim
         F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
         F.col("n_regionkey") == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
@@ -106,13 +107,15 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))
+        # filtered part / supplier are corpus-scaled: no force (r12)
+        li.join((part.filter(F.col("p_name").like("%red%"))
                             .select("p_partkey", "p_retailprice")),
                 F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        .join(supp.select("s_suppkey", "s_nationkey"),
               F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("o_orderkey") == F.col("l_orderkey"))
+        # bounded: 25-nation dim
         .join(F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
               F.col("n_nationkey") == F.col("s_nationkey"))
         .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
@@ -151,9 +154,11 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, supp, nation = load(spark, sf_dir, "lineitem", "supplier", "nation")
     nation7 = nation.filter(F.col("n_name") == "NATION_7").select("n_nationkey")
     val = (
-        li.join(F.broadcast(supp.join(F.broadcast(nation7),
-                                      F.col("s_nationkey") == F.col("n_nationkey"))
-                            .select("s_suppkey")),
+        # supplier slice is corpus-scaled (1 of 25 nations): no outer
+        # force; nation7 stays the bounded broadcast dim (r12)
+        li.join(supp.join(F.broadcast(nation7),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+                    .select("s_suppkey"),
                 F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
@@ -167,6 +172,7 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(22,6)").alias("t")
     )
     return (
+        # bounded: 1-row aggregate
         val.join(F.broadcast(threshold))
         .filter(F.col("v") > F.col("t"))
         .select("l_partkey", F.col("v").cast("double").alias("value"))
@@ -251,7 +257,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        supp.join(F.broadcast(revenue), F.col("s_suppkey") == F.col("supplier_no"))
+        # revenue is one row PER SUPPLIER (corpus-scaled agg): no force;
+        # top is a 1-row aggregate — bounded broadcast (r12)
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
         .join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name",
                 F.col("total_revenue").cast("double").alias("total_revenue"))
@@ -290,9 +298,11 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     negative = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(negative),
+        # negative-balance suppliers and the brand-filtered part set are
+        # corpus-scaled slices: estimate-driven strategy, no force (r12)
+        li.join(negative,
                 F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -319,12 +329,14 @@ WHERE p.p_brand = 'Brand#11'
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated AVG decorrelated to a per-partkey aggregate joined back.
     The threshold is exact-decimal-sum / count in DOUBLE on both engines,
-    so the < comparison is bit-deterministic. At scale the agg side is
-    |parts| rows -> broadcast; lineitem shuffles zero times."""
+    so the < comparison is bit-deterministic. brand_parts and the
+    per-part threshold table are corpus-scaled slices (|brand parts|
+    rows), so neither is forced into a broadcast — AQE broadcasts them
+    from measured runtime size while they fit (r12 audit)."""
     li, part = load(spark, sf_dir, "lineitem", "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
     per_part = (
-        li.join(F.broadcast(brand_parts),
+        li.join(brand_parts,
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg(
@@ -334,9 +346,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(brand_parts),
+        li.join(brand_parts,
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((_dsum(F.col("l_extendedprice"), "22,6") / 7.0).alias("avg_yearly"))
     )
@@ -376,7 +388,8 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(small_parts),
+        # small_parts is a corpus-scaled part slice: no force (r12)
+        .join(small_parts,
               F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total_qty"))
@@ -384,7 +397,8 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        supp.join(F.broadcast(heavy),
+        # heavy is one row per qualifying supplier (corpus-scaled): no force
+        supp.join(heavy,
                   F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("s_name")
@@ -454,7 +468,8 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole.join(F.broadcast(supp.select("s_suppkey", "s_name")),
+        # supplier is corpus-scaled: no force (r12)
+        sole.join(supp.select("s_suppkey", "s_name"),
                   F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -510,6 +525,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.count(F.lit(1))).alias("avg_bal")
     )
     return (
+        # bounded: 1-row aggregate
         eligible.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(

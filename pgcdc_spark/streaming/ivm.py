@@ -878,6 +878,7 @@ class MinMaxViewMaintainer:
                     )
                 refill = self._bottom_k(
                     post.filter(F.col("op") != "D")
+                    # bounded: the batch's touched groups — O(batch), not O(state)
                     .join(F.broadcast(refill_groups), on=view.group_cols, how="left_semi")
                     .select(*sup_cols)
                 )

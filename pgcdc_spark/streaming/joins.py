@@ -31,6 +31,7 @@ def stream_static_enrich(
     Catalyst re-resolves the dimension per micro-batch, so a reloaded
     dim table is picked up without restarting the query.
     """
+    # bounded: dimension table by API contract
     return stream.join(F.broadcast(dim), on, how)
 
 

@@ -276,6 +276,7 @@ class BucketedStateStore(AtomicStateStore):
         if df is None:
             return None
         return (
+            # bounded: caller's probe key set (point-lookup API)
             df.join(F.broadcast(probe), on=list(keys), how="left_semi")
             .filter(F.col("op") != "D")
             .drop(self.BUCKET_COL)

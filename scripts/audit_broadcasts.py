@@ -116,6 +116,11 @@ def main() -> None:
             fps, err = {}, None
             for sf in (sf_a, sf_b):
                 try:
+                    # a persisted intermediate left cached by an earlier
+                    # query/tier changes later plans (InMemoryTableScan
+                    # replaces whole join subtrees) — measured r12: two
+                    # false-positive flips came from exactly this
+                    spark.catalog.clearCache()
                     fps[sf] = fingerprint(plan_of(qd.fn(spark, sf), execute))
                 except Exception as e:  # record, keep sweeping
                     err = f"{sf}: {type(e).__name__}: {e}"[:300]

@@ -74,6 +74,14 @@ SCALE_SET = [
     "emb_ivf_ann_topk",
     "emb_mmr_rerank_ann",
     "dedup_lsh_bucket_profile",
+    # r12 broadcast-audit pins: the funnel/mix gate sets and the
+    # vocabulary-sized term tables are now pinned SMJ/SHJ — measure the
+    # pinned plans (funnel caught as a live flip; tfidf/bm25 were
+    # forced broadcasts the flip audit could not see)
+    "docs_filter_funnel",
+    "docs_tfidf",
+    "docs_bm25_topk",
+    "assoc_rules_copurchase",
 ]
 
 # Per-query DESIGN exponents: a query is flagged when its measured
@@ -119,6 +127,10 @@ SF10_SET = [
     "hybrid_rrf_retrieval",
     "emb_ann_rerank_exact",
     "dedup_lsh_bucket_profile",
+    # r12 broadcast-audit pins at the second decade (documents-backed):
+    # the merge-pinned filter funnel and the SHJ-pinned tfidf
+    "docs_filter_funnel",
+    "docs_tfidf",
     # r11 CDC second decade: needs the 100x events table
     # (make_sf1.py testdata_sf10 100 events — gitignored, regenerate
     # deterministically; the three heaviest wire-format paths: Arrow
@@ -166,6 +178,13 @@ def _bench(spark, sf_dir: str, names: list[str],
 
 def main() -> None:
     os.environ["PGCDC_IVM_CACHE"] = "0"
+    only = None
+    argv = list(sys.argv)
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+        sys.argv = argv
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
     out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
@@ -194,10 +213,13 @@ def main() -> None:
               f"{dropped} (regenerate with scripts/make_sf1.py)",
               flush=True)
 
+    scale_set = [n for n in SCALE_SET if only is None or n in only]
+    if only:
+        sf10_set = [n for n in sf10_set if n in only]
     print(f"== {small} ==", flush=True)
-    t_small = _bench(spark, small, SCALE_SET, n_warm=2, n_meas=3)
+    t_small = _bench(spark, small, scale_set, n_warm=2, n_meas=3)
     print(f"== {big} ==", flush=True)
-    t_big = _bench(spark, big, SCALE_SET, n_warm=1, n_meas=3)
+    t_big = _bench(spark, big, scale_set, n_warm=1, n_meas=3)
     t_sf10 = {}
     if run_sf10:
         print(f"== {sf10} (second decade) ==", flush=True)
@@ -205,7 +227,7 @@ def main() -> None:
                         long_run_cutoff=90.0)
 
     queries = {}
-    for name in SCALE_SET:
+    for name in scale_set:
         ts, tb = t_small[name]["median"], t_big[name]["median"]
         exp = round(math.log(tb / ts) / math.log(ratio), 3)
         design = DESIGN_EXPONENT.get(name, 1.0)
@@ -233,6 +255,14 @@ def main() -> None:
             # with a small constant only surfaces in the SECOND decade
             queries[name]["flagged"] = (
                 queries[name]["flagged"] or exp2 > design + FLAG_SLACK)
+    # --only runs MERGE into the existing artifact (the other entries'
+    # measurements stay; flags/median recomputed over the union)
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        merged = dict(prev.get("queries", {}))
+        merged.update(queries)
+        queries = merged
     flagged = sorted(n for n, q in queries.items() if q["flagged"])
     artifact = {
         "small": small, "big": big, "scale_ratio": ratio,

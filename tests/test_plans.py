@@ -649,3 +649,74 @@ def test_zorder_key_stats_plan(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row stats box join
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 3  # stats agg + final agg only
+
+
+# --- r12: engine-wide AQE-broadcast-hazard audit rules -----------------------
+
+
+def test_corpus_scaled_joins_never_broadcast(spark):
+    """The r12 audit rule (VERDICT r11 item 1): every join whose build
+    side GROWS WITH THE CORPUS is pinned to a shuffled strategy —
+    "small enough to broadcast at test scale is not a property of the
+    plan". Each entry names a query whose plan once relied on a size
+    estimate (static or AQE-runtime) for a corpus-scaled side:
+
+    - docs_filter_funnel / training_mix_pipeline: quality / keep-best /
+      decontam gate sets (one row per doc) — caught as an
+      AUDIT_BROADCAST flip (BHJ at sf0.01 -> SMJ at sf0.1);
+    - docs_tfidf / docs_unigram_logprob: vocabulary-sized term tables
+      (forced broadcasts before r12 — a force never flips, so the
+      audit could not see it; found by the explicit-site sweep);
+    - docs_bm25_topk / ivm_bm25_topk_state: the doc-length table;
+    - assoc_rules_copurchase: the basket self-join and the
+      item-catalog-sized lift sides."""
+    for name, must_not_broadcast_all in (
+        ("docs_filter_funnel", False),
+        ("training_mix_pipeline", False),
+        ("docs_tfidf", False),
+        ("docs_unigram_logprob", False),
+        ("docs_bm25_topk", False),
+        ("ivm_bm25_topk_state", False),
+        ("assoc_rules_copurchase", False),
+    ):
+        plan = _plan(spark, name)
+        # the pinned shuffled join must be present ...
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_every_broadcast_site_annotated_bounded():
+    """Source-level guard for the same audit: every explicit
+    F.broadcast( call site in the engine must carry a boundedness
+    annotation (a comment within the preceding 8 lines stating WHY the
+    side cannot grow with the corpus — 1-row aggregate, fixed dim,
+    query set, codebook, O(#control rows), ...). A new broadcast
+    without an argued bound fails here, so the corpus-scaled-broadcast
+    bug class (r10 bigram shingles, r11 dup-gram OOM) cannot re-enter
+    silently. Forced broadcasts are invisible to the plan-flip audit
+    (a force never flips), which is exactly why this is a SOURCE rule."""
+    import os
+    import re
+
+    pat = re.compile(r"F\.broadcast\(")
+    mark = re.compile(
+        r"#.*?(bounded|1-row|fixed|O\(#|control rows|query set|codebook"
+        r"|spine|verdict|per fixed term)", re.I)
+    viol = []
+    root_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "pgcdc_spark")
+    for root, _, files in os.walk(root_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                lines = f.read().splitlines()
+            for i, ln in enumerate(lines):
+                if pat.search(ln):
+                    ctx = lines[max(0, i - 8):i + 1]
+                    if not any(mark.search(c) for c in ctx):
+                        viol.append(f"{os.path.relpath(path, root_dir)}:{i + 1}")
+    assert not viol, (
+        "F.broadcast( sites without a boundedness annotation "
+        f"(say WHY the side cannot grow with the corpus): {viol}")

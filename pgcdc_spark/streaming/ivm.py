@@ -648,7 +648,12 @@ class JoinViewMaintainer:
             r_old = self.right_store.read(spark)
             if r_old is None:
                 return
-            part = dl.join(
+            # bounded: the signed diff is O(changed rows in this batch)
+            # (exceptAll cancels unchanged rows) — broadcast the DELTA so
+            # the corpus-scaled stored side never shuffles per batch
+            # (r12 audit: a per-batch state shuffle would break the
+            # measured state-size-independence of maintenance cost)
+            part = F.broadcast(dl).join(
                 r_old.filter(F.col("op") != "D").select(*view.right_cols),
                 on=view.on, how="inner",
             )
@@ -659,8 +664,10 @@ class JoinViewMaintainer:
             l_new = self.left_store.read(spark)
             if l_new is None:
                 return
+            # bounded: O(changed rows) delta broadcast — same reasoning
+            # as on_left; the stored L side streams, never shuffles
             part = l_new.filter(F.col("op") != "D").select(*view.left_cols).join(
-                dr, on=view.on, how="inner",
+                F.broadcast(dr), on=view.on, how="inner",
             )
             self._write_delta(part, label, "R")
 

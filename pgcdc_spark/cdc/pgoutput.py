@@ -747,16 +747,18 @@ def decode_pgoutput_v2(
                     continue
                 xid = None
                 # Protocol v2 xid-prefixes EVERY in-segment frame, not
-                # just DML: logical-decoding Message ('M') frames inside
-                # S..E segments carry the Int32 xid too (this module's
-                # own encode_logical_message emits it, and
-                # decode_logical_messages(streamed=True) strips it).
-                # Without b"M" here the flags byte _parse_change reads at
-                # buf[1] is the xid's high byte, mis-tagging in-segment
-                # TRANSACTIONAL messages as message_nontxn for almost
-                # every xid.
+                # just DML: logical-decoding Message ('M') and Type
+                # ('Y') frames inside S..E segments carry the Int32 xid
+                # too (this module's own encode_logical_message emits it
+                # for 'M', and decode_logical_messages(streamed=True)
+                # strips it). Without b"M" here the flags byte
+                # _parse_change reads at buf[1] is the xid's high byte,
+                # mis-tagging in-segment TRANSACTIONAL messages as
+                # message_nontxn for almost every xid; without b"Y" a
+                # streamed type row decodes with xid=None, so a
+                # subtransaction abort cannot match and discard it.
                 if in_stream and kind in (b"I", b"U", b"D", b"R", b"T",
-                                          b"M"):
+                                          b"M", b"Y"):
                     try:
                         (xid,) = struct.unpack_from(">i", buf, 1)
                         buf = buf[:1] + buf[5:]

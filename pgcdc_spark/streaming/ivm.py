@@ -648,12 +648,15 @@ class JoinViewMaintainer:
             r_old = self.right_store.read(spark)
             if r_old is None:
                 return
-            # bounded: the signed diff is O(changed rows in this batch)
-            # (exceptAll cancels unchanged rows) — broadcast the DELTA so
-            # the corpus-scaled stored side never shuffles per batch
-            # (r12 audit: a per-batch state shuffle would break the
-            # measured state-size-independence of maintenance cost)
-            part = F.broadcast(dl).join(
+            # estimate-driven strategy, deliberately un-forced: the delta
+            # is O(changed rows) — usually tiny, so AQE broadcasts it from
+            # its measured runtime size and the stored side never
+            # shuffles — but it is BATCH-sized, not bounded (a backfill
+            # first batch is the whole load), so forcing the broadcast
+            # would ship an arbitrarily large relation; the stored side's
+            # parquet file-size estimate is accurate, so the planner
+            # never broadcasts state either way (r12 audit review)
+            part = dl.join(
                 r_old.filter(F.col("op") != "D").select(*view.right_cols),
                 on=view.on, how="inner",
             )
@@ -664,10 +667,11 @@ class JoinViewMaintainer:
             l_new = self.left_store.read(spark)
             if l_new is None:
                 return
-            # bounded: O(changed rows) delta broadcast — same reasoning
-            # as on_left; the stored L side streams, never shuffles
+            # estimate-driven like on_left: the delta is batch-sized, not
+            # bounded, so no broadcast force — AQE promotes it from its
+            # runtime size when it is genuinely small
             part = l_new.filter(F.col("op") != "D").select(*view.left_cols).join(
-                F.broadcast(dr), on=view.on, how="inner",
+                dr, on=view.on, how="inner",
             )
             self._write_delta(part, label, "R")
 

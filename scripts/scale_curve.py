@@ -182,7 +182,15 @@ def main() -> None:
     argv = list(sys.argv)
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: --only name1,name2,...")
         only = set(argv[i + 1].split(","))
+        unknown = only - set(SCALE_SET)
+        if unknown:
+            raise SystemExit(
+                f"--only names not in SCALE_SET: {sorted(unknown)} — a "
+                "typo here would silently measure nothing and still "
+                "rewrite the artifact")
         del argv[i:i + 2]
         sys.argv = argv
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -256,15 +264,24 @@ def main() -> None:
             queries[name]["flagged"] = (
                 queries[name]["flagged"] or exp2 > design + FLAG_SLACK)
     # --only runs MERGE into the existing artifact (the other entries'
-    # measurements stay; flags/median recomputed over the union)
+    # measurements stay; flags/median recomputed over the union). Each
+    # re-measured entry is stamped with THIS run's corpora so a reader
+    # never attributes mixed-session exponents to the wrong dirs, and
+    # top-level merged_only lists what the latest partial run replaced.
+    merged_only = None
     if only and os.path.exists(out_path):
+        for q in queries.values():
+            q["scales"] = {"small": small, "big": big,
+                           "sf10": sf10 if run_sf10 else None}
         with open(out_path) as f:
             prev = json.load(f)
         merged = dict(prev.get("queries", {}))
         merged.update(queries)
         queries = merged
+        merged_only = sorted(only)
     flagged = sorted(n for n, q in queries.items() if q["flagged"])
     artifact = {
+        "merged_only": merged_only,
         "small": small, "big": big, "scale_ratio": ratio,
         "sf10": sf10 if run_sf10 else None,
         "flag_slack": FLAG_SLACK,

@@ -168,16 +168,25 @@ def _events_feed_staged(spark, sf_dir: str, work: str,
     return src
 
 
-def _tail_stats(batches: list[dict], tail_lines: int) -> dict:
-    """_stats over only the fixed-size TAIL batches of a staged run
-    (the bulk state-loading batches are 10x bigger — identified by
-    size, and reported separately for the record)."""
-    cut = tail_lines * 3  # bulk is 10x tail; 3x is an unambiguous split
-    tail = [b for b in batches if b["rows"] <= cut]
-    bulk = [b for b in batches if b["rows"] > cut]
+def _tail_stats(batches: list[dict], tail_lines: int,
+                n_tail: int) -> dict:
+    """_stats over only the fixed-size TAIL batches of a staged run.
+    Tail = the LAST ``n_tail`` batches by batch id (feed chunks map 1:1
+    to batches in replay order) — a size-based split would misclassify
+    a partial final BULK chunk of <= a few tail-sizes as a timed tail
+    batch and corrupt the 100x median. The size check remains as a
+    loud sanity assert, not the classifier."""
+    tail = batches[-n_tail:]
+    bulk = batches[:-n_tail]
+    oversized = [b for b in tail if b["rows"] > tail_lines * 3]
+    if oversized:
+        raise RuntimeError(
+            f"staged tail contains non-tail-sized batches {oversized} — "
+            "feed staging and replay order disagree")
     st = _stats(tail)
     st["n_bulk_batches"] = len(bulk)
-    st["bulk_median_sec"] = _median([b["sec"] for b in bulk])
+    st["bulk_median_sec"] = (_median([b["sec"] for b in bulk])
+                             if bulk else None)
     st["staged"] = True
     return st
 
@@ -431,7 +440,7 @@ def main() -> None:
                 print(f"== {comp} huge (100x) ==", flush=True)
                 batches, n_state = _run_upsert(
                     spark, huge_feed, w, row_schema, with_view)
-                st = _tail_stats(batches, BATCH_LINES)
+                st = _tail_stats(batches, BATCH_LINES, TAIL_BATCHES)
                 st["final_state_rows"] = n_state
                 results[comp]["huge"] = st
                 print(f"  {st['n_batches']} tail batches, median "
@@ -443,7 +452,7 @@ def main() -> None:
             print("== rocksdb_latest_state huge (100x) ==", flush=True)
             st = _tail_stats(
                 _run_rocksdb(spark, huge_feed, w, row_schema,
-                             "rocks_scale_huge"), BATCH_LINES)
+                             "rocks_scale_huge"), BATCH_LINES, TAIL_BATCHES)
             results["rocksdb_latest_state"]["huge"] = st
             print(f"  {st['n_batches']} tail batches, median "
                   f"{st['median_batch_sec']:.2f}s, growth "

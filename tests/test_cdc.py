@@ -1652,7 +1652,10 @@ def test_streamed_segment_transactional_message(spark):
             # wire (encode_logical_message's streamed form)
             (12, encode_logical_message("audit", b"in-stream", lsn=12,
                                         xid=7)),
-            (13, encode_stream_stop()),
+            # Type ('Y') metadata frame inside the segment — v2
+            # xid-prefixes it like every other in-segment frame
+            (13, stream_wrap(7, b"Y\x00\x00\x30\x39public\x00mytype\x00")),
+            (14, encode_stream_stop()),
             (30, verdict_payload),
             # non-transactional 'M' outside any segment: no xid prefix,
             # delivered immediately, untouched by verdicts
@@ -1673,6 +1676,10 @@ def test_streamed_segment_transactional_message(spark):
     # decoder: correct tag AND the stripped xid on the in-segment 'M'
     assert by_lsn[12]["tag"] == "message"
     assert by_lsn[12]["xid"] == 7 and by_lsn[12]["top_xid"] == 7
+    # the in-segment Type frame decodes with its xid stripped too, so
+    # stream verdicts (incl. subtransaction aborts) can match it
+    assert by_lsn[13]["tag"] == "type"
+    assert by_lsn[13]["xid"] == 7 and by_lsn[13]["top_xid"] == 7
     assert by_lsn[40]["tag"] == "message_nontxn"
     msg_rows = committed.filter(
         "tag in ('message', 'message_nontxn')").collect()

@@ -81,7 +81,9 @@ _MODULES = (
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # r11 sample overflow (last sampled round 5) — first per VERDICT
+    # round-12 addition (never driver-sampled) — first
+    "emb_ivf_probe_profile",
+    # r11 sample overflow (last sampled round 5) — next per VERDICT
     "events_locf_fill",
     "events_ohlc_hourly",
     "events_variant_extract",

@@ -925,6 +925,212 @@ def emb_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF nprobe operating curve (cost + recall per probe level) ---------------
+# The serving-side twin of dedup_lsh_bucket_profile (r11): before anyone
+# flips nprobe in production, this is the table they read — per query
+# and per nprobe level, the CANDIDATE COST (how many vectors the probe
+# will score) and the RECALL@k it buys. Two deliberately different cost
+# models in one query:
+#
+# - ``n_candidates`` comes from the assignment's per-CELL sizes joined
+#   to the ranked probe cells — O(cells) = O(sqrt n) rows, computed
+#   BEFORE any candidate pair materializes. At 100 TB this column is
+#   what an operator can afford to compute over the full corpus (the
+#   same pre-pair-bound discipline as the LSH bucket profile).
+# - ``recall_at_k`` needs ground truth, so it scores candidates ONCE at
+#   the maximum probe level, carries each candidate's cell rank, and
+#   derives every level's top-k from that single pass (filter rn <= lvl
+#   + one window) — never one scoring pass per level. Ground truth is
+#   the brute-force top-k over the SAMPLED query set, which is exactly
+#   how the curve is produced in production.
+#
+# tests/test_llm.py pins the internal consistency: the cheap cell-size
+# count equals the materialized candidate count at every level.
+
+_PROFILE_NPROBES = (1, 2, 4)
+
+_PROFILE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE {cent_rule_sql()}
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+cellsz AS (
+  SELECT cid, COUNT(*) AS csz FROM asg GROUP BY cid
+),
+probe AS (
+  SELECT qid, cid, rn FROM (
+    SELECT q.vec_id AS qid, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        list_dot_product(q.v, c.cv)
+          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        DESC, c.cid) AS rn
+    FROM e q, cent c WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {max(_PROFILE_NPROBES)}
+),
+own AS (
+  SELECT vec_id AS qid, cid AS own_cid FROM asg
+  WHERE vec_id < {_N_QUERIES}
+),
+lv(lvl) AS (VALUES {", ".join(f"({p})" for p in _PROFILE_NPROBES)}),
+counts AS (
+  SELECT p.qid, l.lvl,
+         SUM(s.csz)
+           - MAX(CASE WHEN p.cid = o.own_cid THEN 1 ELSE 0 END)
+           AS n_candidates
+  FROM probe p
+  JOIN cellsz s USING (cid)
+  JOIN own o ON o.qid = p.qid
+  CROSS JOIN lv l
+  WHERE p.rn <= l.lvl
+  GROUP BY p.qid, l.lvl
+),
+cand AS (
+  SELECT p.qid, a.vec_id, p.rn
+  FROM probe p JOIN asg a USING (cid)
+  WHERE a.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.vec_id, c.rn,
+    list_dot_product(q.v, e.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.qid
+  JOIN e   ON e.vec_id = c.vec_id
+),
+topk AS (
+  SELECT qid, vec_id, lvl FROM (
+    SELECT s.qid, s.vec_id, l.lvl,
+      ROW_NUMBER() OVER (PARTITION BY s.qid, l.lvl
+                         ORDER BY s.cosine DESC, s.vec_id) AS rk
+    FROM scored s CROSS JOIN lv l WHERE s.rn <= l.lvl
+  ) WHERE rk <= {_TOP_K}
+),
+bf AS (SELECT qid, neighbor_id FROM ({_COSINE_ORACLE})),
+hits AS (
+  SELECT t.qid, t.lvl, COUNT(b.neighbor_id) AS n_hits
+  FROM topk t
+  LEFT JOIN bf b ON b.qid = t.qid AND b.neighbor_id = t.vec_id
+  GROUP BY t.qid, t.lvl
+)
+SELECT c.qid,
+       CAST(c.lvl AS BIGINT) AS nprobe,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {_TOP_K} AS recall_at_k
+FROM counts c
+LEFT JOIN hits h ON h.qid = c.qid AND h.lvl = c.lvl
+ORDER BY c.qid, nprobe
+"""
+
+
+@query("emb_ivf_probe_profile", oracle=_PROFILE_ORACLE,
+       tags=("llm", "similarity", "ivf", "diagnostics"))
+def emb_ivf_probe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(query, nprobe) candidate cost and recall@k — the operating
+    curve read before changing a serving index's probe depth. Candidate
+    counts come from cell sizes (pre-pair bound, O(sqrt n) rows); recall
+    from ONE scored pass at the deepest level with each level's top-k
+    derived by a rank filter."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    cent = ivf_centroids(base)
+    asg = nearest_cells(base, cent, "vec_id", 1)
+    cellsz = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("csz"))
+    queries = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"), F.col("n").alias("qn"),
+    )
+    max_p = max(_PROFILE_NPROBES)
+    # ranked probe cells (nearest_cells drops the rank, which this
+    # query needs to slice levels out of one pass)
+    # bounded: sqrt(n) centroids — same bound as nearest_cells
+    cscored = queries.crossJoin(F.broadcast(cent)).select(
+        "qid", "qe", "qn", "cid",
+        (dot_fold_expr("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cid"))
+    probe = (
+        cscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max_p)
+        .select("qid", "qe", "qn", "cid", "rn")
+    )
+    own = asg.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("own_cid")
+    )
+    lvl = F.explode(F.array(*[F.lit(p) for p in _PROFILE_NPROBES])).alias("lvl")
+    counts = (
+        # bounded: queries x nprobe probe cells / query-sized own-cell map
+        cellsz.join(F.broadcast(probe.select("qid", "cid", "rn")), "cid")
+        .join(F.broadcast(own), "qid")
+        .select("qid", "cid", "rn", "csz", "own_cid", lvl)
+        .filter(F.col("rn") <= F.col("lvl"))
+        .groupBy("qid", "lvl")
+        .agg(
+            (F.sum("csz")
+             - F.max(F.when(F.col("cid") == F.col("own_cid"), 1)
+                     .otherwise(0))).alias("n_candidates")
+        )
+    )
+    # one scored pass at the deepest level; every level slices it by rank
+    # bounded: queries x nprobe probe cells
+    cand = (
+        asg.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "rn",
+            (dot_fold_expr("qe", "e")
+             / (F.col("qn") * F.col("n"))).alias("cosine"),
+        )
+    )
+    leveled = cand.select("qid", "vec_id", "rn", "cosine", lvl).filter(
+        F.col("rn") <= F.col("lvl")
+    )
+    wk = Window.partitionBy("qid", "lvl").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    topk = (
+        leveled.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("qid", "vec_id", "lvl")
+    )
+    bf = emb_cosine_topk(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("vec_id"), F.lit(1).alias("hit")
+    )
+    hits = (
+        topk.join(bf, ["qid", "vec_id"], "left")
+        .groupBy("qid", "lvl")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    return (
+        counts.join(hits, ["qid", "lvl"], "left")
+        .select(
+            "qid",
+            F.col("lvl").cast("long").alias("nprobe"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+             / _TOP_K).alias("recall_at_k"),
+        )
+        .orderBy("qid", "nprobe")
+    )
+
+
 # --- dominant singular direction (power iteration, unrolled) ------------------
 # The linear-algebra primitive under PCA whitening / spectral embedding
 # sanity checks: the top right-singular direction of the embedding

@@ -667,3 +667,54 @@ def test_sharded_assignment_equivalence(spark, sf_correct):
         ivf_cell_assignments(emb, assignment_shards=1).explain("formatted")
     assert "BroadcastHashJoin" in buf2.getvalue() or \
         "BroadcastNestedLoopJoin" in buf2.getvalue()
+
+
+def test_ivf_probe_profile_internal_consistency(spark, sf_smoke):
+    """The operating curve's two cost models must agree: the cheap
+    pre-pair bound (cell sizes joined to probed cells) equals the
+    MATERIALIZED candidate count at every (query, nprobe) level, and
+    recall@k is non-decreasing in nprobe (probing more cells can only
+    add candidates)."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.functions.vectors import norm_fold_expr
+    from pgcdc_spark.queries.llm_similarity import (
+        _N_QUERIES, _PROFILE_NPROBES, ivf_cell_assignments, ivf_centroids,
+        nearest_cells)
+    from pgcdc_spark.queries import all_queries
+
+    prof = {(r["qid"], r["nprobe"]): r
+            for r in all_queries()["emb_ivf_probe_profile"]
+            .fn(spark, sf_smoke).collect()}
+
+    # independent materialized count: assignment joined to ranked cells
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"))
+    cent = ivf_centroids(base)
+    asg = ivf_cell_assignments(emb).select("vec_id", "cid")
+    from pyspark.sql import Window
+
+    from pgcdc_spark.functions.vectors import dot_fold_expr
+    q = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("n").alias("qn"))
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "qid", "cid",
+        (dot_fold_expr("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("c"))
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cid"))
+    probe = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max(_PROFILE_NPROBES)).select("qid", "cid", "rn")
+    cand = asg.join(probe, "cid").filter(F.col("vec_id") != F.col("qid"))
+    for p in _PROFILE_NPROBES:
+        got = {r["qid"]: r["n"] for r in cand.filter(F.col("rn") <= p)
+               .groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for qid, n in got.items():
+            assert prof[(qid, p)]["n_candidates"] == n, (qid, p)
+    # recall monotone in nprobe
+    qids = {k[0] for k in prof}
+    for qid in qids:
+        seq = [prof[(qid, p)]["recall_at_k"] for p in _PROFILE_NPROBES]
+        assert seq == sorted(seq), (qid, seq)

@@ -82,6 +82,9 @@ SCALE_SET = [
     "docs_tfidf",
     "docs_bm25_topk",
     "assoc_rules_copurchase",
+    # r12 addition: the nprobe operating curve (embeds the full IVF
+    # assignment -> design 1.5 like the rest of the quantizer family)
+    "emb_ivf_probe_profile",
 ]
 
 # Per-query DESIGN exponents: a query is flagged when its measured
@@ -99,6 +102,7 @@ DESIGN_EXPONENT = {
     "emb_ivf_ann_topk": 1.5,
     "hybrid_rrf_retrieval": 1.5,   # embeds the IVF-PQ plan
     "emb_ann_rerank_exact": 1.5,   # ADC shortlist over the IVF-PQ plan
+    "emb_ivf_probe_profile": 1.5,  # embeds the full IVF assignment
 }
 FLAG_SLACK = 0.2
 
@@ -131,6 +135,8 @@ SF10_SET = [
     # the merge-pinned filter funnel and the SHJ-pinned tfidf
     "docs_filter_funnel",
     "docs_tfidf",
+    # r12 addition at the second decade (embeddings-backed)
+    "emb_ivf_probe_profile",
     # r11 CDC second decade: needs the 100x events table
     # (make_sf1.py testdata_sf10 100 events — gitignored, regenerate
     # deterministically; the three heaviest wire-format paths: Arrow

@@ -689,7 +689,14 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = fan_out(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
-    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # Pre-aggregate per-(doc, term) tf BEFORE the vocabulary join: the
+    # side shuffled onto the term key is tf rows, not raw token
+    # occurrences (in-doc repetition collapses map-side), and the
+    # per-token decimal sum becomes the exactly-equal tf-weighted sum
+    # (tf x one decimal term == tf identical decimal addends, so the
+    # oracle's per-token SUM is reproduced bit-for-bit).
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("w").agg(F.sum("tf").alias("n"))
     total = cnt.agg(F.sum("n").cast("double").alias("t"))
     neg_lp = F.round(-F.log(F.col("n").cast("double") / F.col("t")), 9).cast(
         "decimal(18,9)"
@@ -699,12 +706,13 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with the corpus): pinned shuffled-hash join reusing cnt's own
         # groupBy partitioning, never a forced broadcast (r12 audit);
         # total is a 1-row aggregate — bounded
-        tok.join(cnt.hint("shuffle_hash"), "w")
+        tf.join(cnt.hint("shuffle_hash"), "w")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum(neg_lp).cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf").cast("decimal(10,0)") * neg_lp).cast("double")
+             / F.sum("tf")).alias("avg_neg_logprob"),
         )
         .orderBy("doc_id")
     )

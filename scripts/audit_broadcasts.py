@@ -59,9 +59,12 @@ JOIN_NODES = (
     "CartesianProduct",
 )
 
-SF_SMALL = "/root/testdata/sf0.01"
-SF_MED = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SF_BIG = os.path.join(REPO, "testdata_sf1")
+SF_SMALL = os.environ.get("AUDIT_SF_SMALL", "/root/testdata/sf0.01")
+SF_MED = os.environ.get("AUDIT_SF_MED",
+                        os.environ.get("SPARK_GRAFT_SF_DIR",
+                                       "/root/testdata/sf0.1"))
+SF_BIG = os.environ.get("AUDIT_SF_BIG", os.path.join(REPO, "testdata_sf1"))
+OUT = os.environ.get("AUDIT_OUT", "AUDIT_BROADCAST.json")
 
 
 def fingerprint(plan: str) -> dict[str, int]:
@@ -95,6 +98,12 @@ def main() -> None:
         tiers = {"runtime"}
     if "--static-only" in sys.argv:
         tiers = {"static"}
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("usage: --only name1,name2,...")
+        only = set(sys.argv[i + 1].split(","))
 
     from pgcdc_spark.queries import all_queries
     from pgcdc_spark.session import get_spark
@@ -105,6 +114,11 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     t0 = time.time()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"--only names not registered: {sorted(unknown)}")
+        qs = {n: qs[n] for n in sorted(only)}
     for i, (name, qd) in enumerate(sorted(qs.items())):
         rec: dict[str, dict] = {}
         for tier, (sf_a, sf_b), execute in (
@@ -156,7 +170,7 @@ def main() -> None:
         "queries": out,
         "elapsed_sec": round(time.time() - t0, 1),
     }
-    path = os.path.join(REPO, "AUDIT_BROADCAST.json")
+    path = os.path.join(REPO, OUT)
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"wrote {path}: {len(flagged)} flagged, {len(errored)} errored, "

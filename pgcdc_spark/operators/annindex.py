@@ -96,9 +96,28 @@ _IDMAP_BUCKETS = 16
 class AnnIndex:
     """Versioned on-disk IVF-PQ index under ``root``."""
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str,
+                 assignment_shards: int | None = None) -> None:
         self.root = root
         self._fs = None
+        # Past the broadcast budget the sqrt(n) coarse quantizer stops
+        # fitting one task (|C| x d x 8 B ~ 230 MB raw at a 100 TB
+        # corpus): set assignment_shards (rule: ceil(|C| x d x 8 B /
+        # broadcast budget)) and every k=1 cell assignment this index
+        # performs (build + append) runs the salted shuffle-join path
+        # instead — proven row-identical to the broadcast assignment
+        # (llm_similarity.nearest_cells_sharded).
+        self.assignment_shards = assignment_shards
+
+    def _assign(self, base, cent):
+        """vec_id -> nearest cell, broadcast or sharded per the knob."""
+        from ..queries.llm_similarity import (nearest_cells,
+                                              nearest_cells_sharded)
+
+        if self.assignment_shards is not None and self.assignment_shards > 1:
+            return nearest_cells_sharded(base, cent, "vec_id",
+                                         self.assignment_shards)
+        return nearest_cells(base, cent, "vec_id", 1)
 
     @property
     def fs(self):
@@ -250,7 +269,7 @@ class AnnIndex:
                 f"vec_id <= {_PQ_CB_MAX_ID}); refusing to commit a "
                 "degenerate index"
             )
-        asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "cid")
+        asg = self._assign(base, cent).select("vec_id", "cid")
         codes = pq_codes(emb, "pqcid")  # (vec_id, s, pqcid)
         # co-locate codes with their cell: the serving layout is
         # (cell -> member codes); one shuffle on vec_id here buys
@@ -375,7 +394,7 @@ class AnnIndex:
                 norm_fold_expr("embedding", cast=True).alias("n"),
             )
             asg = (
-                nearest_cells(base, cent, "vec_id", 1)
+                self._assign(base, cent)
                 .select("vec_id", "cid")
                 .persist()
             )

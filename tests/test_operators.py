@@ -727,3 +727,45 @@ def test_ann_index_pre_idmap_layout_fails_actionably(spark, sf_smoke, tmp_path):
         idx.append(batch, label="a")
     with _pytest.raises(ValueError, match="rebuild required"):
         idx.compact(spark, label="c")
+
+
+def test_annindex_sharded_assignment_equals_broadcast_build(spark, sf_smoke,
+                                                            tmp_path):
+    """An index built (and appended) with the sharded shuffle-join
+    quantizer assignment — the past-the-broadcast-budget fallback — is
+    IDENTICAL to the broadcast-assigned one: same vec_id -> cell map,
+    same probe answers, through both build and append maintenance."""
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    (emb,) = load(spark, sf_smoke, "embeddings")
+    base = emb.filter("vec_id % 5 <> 2")
+    delta = emb.filter("vec_id % 5 = 2")
+
+    bcast = AnnIndex(str(tmp_path / "bcast"))
+    shard = AnnIndex(str(tmp_path / "shard"), assignment_shards=4)
+    for idx in (bcast, shard):
+        idx.build(base, label="b")
+        idx.append(delta, label="d")
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    got = sorted(map(tuple, shard.probe(spark, queries, nprobe=2, k=10)
+                     .collect()))
+    want = sorted(map(tuple, bcast.probe(spark, queries, nprobe=2, k=10)
+                      .collect()))
+    assert got == want and got
+    # the stored assignment itself matches cell-for-cell
+    def cellmap(idx):
+        m = idx.meta()
+        rows = []
+        for cid, ver in m["cellmap"].items():
+            p = f"{idx.root}/{ver}/cells/cid={cid}"
+            rows.extend((r["vec_id"], int(cid))
+                        for r in spark.read.parquet(p).collect())
+        return sorted(rows)
+    assert cellmap(shard) == cellmap(bcast)

@@ -443,3 +443,119 @@ def test_zorder_cells_are_small_rectangles(spark, sf_smoke):
         # 16 of 256 normalized cells per dim + 1-cell quantization slack
         assert (r["u_max"] - r["u_min"]) <= span_u * 17 / 256 + 1, r
         assert (r["t_max"] - r["t_min"]) <= span_t * 17 / 256 + 1, r
+
+
+# --- v2 streamed wire round-trip: the in-segment xid strip ---------------------
+# Protocol v2 prefixes EVERY in-segment frame with the Int32 xid — DML,
+# logical-decoding Message ('M'), and Type ('Y') alike. The decoder must
+# strip it before the shared v1 parse; if it doesn't, _parse_change reads
+# the xid's high byte where it expects the 'M' flags byte, so the tag
+# becomes a function of the xid value instead of the wire flag. The xids
+# below straddle 2**24 exactly so that high byte takes 0 AND 1 across
+# examples — either polarity of the bug flips at least one tag.
+
+_RT_XIDS = st.sampled_from([3, 7, 0x01000002, 0x7F000001])
+
+_rt_frame = st.one_of(
+    st.tuples(st.sampled_from(["I", "U", "D"]),
+              st.integers(min_value=0, max_value=3)),
+    st.tuples(st.just("M"), st.booleans(),
+              st.integers(min_value=0, max_value=3)),
+    st.just(("Y",)),
+)
+
+# (segment xid, frames, wrap frames with a SUB-xid instead of the top xid)
+_rt_segment = st.tuples(
+    _RT_XIDS, st.lists(_rt_frame, min_size=1, max_size=4), st.booleans())
+
+
+@given(
+    segments=st.lists(_rt_segment, min_size=1, max_size=3,
+                      unique_by=lambda s: s[0]),
+    plain=st.lists(_rt_frame, min_size=0, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_v2_streamed_decode_round_trips_every_frame_kind(
+        spark, segments, plain):
+    """For ANY interleaving of streamed segments and plain traffic, every
+    decoded row carries (tag, xid, top_xid) derivable from the wire
+    bytes alone: DML/'M'/'Y' inside a segment echo their wrapped
+    (sub)xid and the segment's top xid; 'M' tags follow the
+    transactional wire flag — never the xid; plain frames decode with
+    xid None. The in-segment 'M' subset also round-trips through
+    decode_logical_messages(streamed=True) byte-for-byte."""
+    import struct as _struct
+
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_logical_messages, decode_pgoutput_v2, encode_delete,
+        encode_insert, encode_logical_message, encode_relation,
+        encode_stream_commit, encode_stream_start, encode_stream_stop,
+        encode_update, stream_wrap)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _frame_bytes(f, xid):
+        """(wire bytes [pre-wrap for M], expected tag)"""
+        if f[0] == "I":
+            return encode_insert(1, [f[1], f[1]]), "insert"
+        if f[0] == "U":
+            return encode_update(1, [f[1], f[1] + 100]), "update"
+        if f[0] == "D":
+            return encode_delete(1, [f[1], None]), "delete"
+        if f[0] == "M":
+            txn, cid = f[1], f[2]
+            body = encode_logical_message(
+                "p", b"c%d" % cid, lsn=5, transactional=txn, xid=xid)
+            return body, ("message" if txn else "message_nontxn")
+        return (b"Y" + _struct.pack(">i", 99) + b"public\x00ty\x00",
+                "type")
+
+    msgs = [(0, encode_relation(1, "public", "t", ["id", "v"]))]
+    lsn = 10
+    # expected: lsn -> (tag, xid, top_xid); m_wire: in-segment 'M' rows
+    expected, m_wire = {}, {}
+    for seg_xid, frames, use_sub in segments:
+        msgs.append((lsn, encode_stream_start(seg_xid))); lsn += 1
+        wrap_xid = seg_xid + 1000 if use_sub else seg_xid
+        for f in frames:
+            if f[0] == "M":
+                buf, tag = _frame_bytes(f, wrap_xid)  # encodes its own xid
+            else:
+                buf, tag = _frame_bytes(f, wrap_xid)
+                buf = stream_wrap(wrap_xid, buf)
+            msgs.append((lsn, buf))
+            expected[lsn] = (tag, wrap_xid, seg_xid)
+            if f[0] == "M":
+                m_wire[lsn] = (f[1], b"c%d" % f[2])
+            lsn += 1
+        msgs.append((lsn, encode_stream_stop())); lsn += 1
+        msgs.append((lsn, encode_stream_commit(seg_xid, lsn, lsn, 5)))
+        lsn += 1
+    for f in plain:
+        buf, tag = _frame_bytes(f, None)
+        msgs.append((lsn, buf))
+        expected[lsn] = (tag, None, None)
+        lsn += 1
+
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    decoded = decode_pgoutput_v2(df, schema, bin_width=8)
+    got = {r["lsn"]: (r["tag"], r["xid"], r["top_xid"])
+           for r in decoded.collect()}
+    for l, want in expected.items():
+        assert got[l] == want, (l, got[l], want)
+    # control rows never leak an xid into the data columns
+    ctrl = {l: t for l, (t, _, _) in
+            ((r, got[r]) for r in got if r not in expected and r != 0)}
+    assert set(ctrl.values()) <= {
+        "stream_start", "stream_stop", "stream_commit"}
+
+    if m_wire:
+        in_seg = df.filter(F.col("lsn").isin(list(m_wire)))
+        mrows = {r["lsn"]: r for r in decode_logical_messages(
+            in_seg, streamed=True).collect()}
+        for l, (txn, content) in m_wire.items():
+            r = mrows[l]
+            assert (r["transactional"], r["prefix"], bytes(r["content"]),
+                    r["msg_lsn"]) == (txn, "p", content, 5)

@@ -559,3 +559,111 @@ def test_v2_streamed_decode_round_trips_every_frame_kind(
             r = mrows[l]
             assert (r["transactional"], r["prefix"], bytes(r["content"]),
                     r["msg_lsn"]) == (txn, "p", content, 5)
+
+
+# --- v2 verdict semantics: envelope ≡ reference model ---------------------------
+# The keep/drop/apply-lsn rules for streamed transactions are the part
+# of the v2 consumer contract example tests can't enumerate: which rows
+# survive is a joint function of the verdict kind (commit / whole-abort
+# / sub-abort + commit / none yet) AND which (sub)xid wrapped each row.
+# The model below is the protocol text, restated in ~10 lines of Python.
+
+_VERDICTS = st.sampled_from(
+    ["commit", "abort_whole", "sub_abort_then_commit", "in_flight"])
+
+# (frame key, wrap with the sub-xid instead of the top xid)
+_v_frame = st.tuples(st.sampled_from(["I", "U", "D", "M"]),
+                     st.integers(min_value=0, max_value=3),
+                     st.booleans())
+
+_v_segment = st.tuples(_RT_XIDS, st.lists(_v_frame, min_size=1, max_size=4),
+                       _VERDICTS)
+
+
+@given(
+    segments=st.lists(_v_segment, min_size=1, max_size=3,
+                      unique_by=lambda s: s[0]),
+    plain=st.lists(st.tuples(st.sampled_from(["I", "U", "D"]),
+                             st.integers(min_value=0, max_value=3)),
+                   min_size=0, max_size=2),
+)
+@settings(**_SETTINGS)
+def test_v2_envelope_matches_reference_model(spark, segments, plain):
+    """decode_pgoutput_v2 → stream_verdicts → apply_stream_transactions
+    must agree with the reference model for ANY verdict interleaving:
+    committed rows apply at the COMMIT lsn keyed by top_xid, a
+    sub-abort removes exactly the rows the aborted sub-xid wrapped, a
+    whole-abort / missing verdict drops the segment, plain rows pass at
+    their own lsn."""
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_v2, encode_delete,
+        encode_insert, encode_logical_message, encode_relation,
+        encode_stream_abort, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, encode_update, stream_verdicts, stream_wrap)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _enc(kind, key, wrap_xid):
+        if kind == "I":
+            return stream_wrap(wrap_xid, encode_insert(1, [key, key])) \
+                if wrap_xid else encode_insert(1, [key, key]), "insert"
+        if kind == "U":
+            return stream_wrap(wrap_xid, encode_update(1, [key, key + 9])) \
+                if wrap_xid else encode_update(1, [key, key + 9]), "update"
+        if kind == "D":
+            return stream_wrap(wrap_xid, encode_delete(1, [key, None])) \
+                if wrap_xid else encode_delete(1, [key, None]), "delete"
+        return (encode_logical_message("p", b"x", transactional=True,
+                                       xid=wrap_xid), "message")
+
+    msgs = [(0, encode_relation(1, "public", "t", ["id", "v"]))]
+    lsn = 10
+    # model rows: (original lsn, tag, top_xid or None, wrap_xid or None)
+    model_rows, verdict_of, commit_lsn_of, sub_abort_of = [], {}, {}, {}
+    for seg_xid, frames, verdict in segments:
+        msgs.append((lsn, encode_stream_start(seg_xid))); lsn += 1
+        sub = seg_xid + 1000
+        for kind, key, use_sub in frames:
+            wrap = sub if use_sub else seg_xid
+            buf, tag = _enc(kind, key, wrap)
+            msgs.append((lsn, buf))
+            model_rows.append((lsn, tag, seg_xid, wrap))
+            lsn += 1
+        msgs.append((lsn, encode_stream_stop())); lsn += 1
+        verdict_of[seg_xid] = verdict
+        if verdict == "abort_whole":
+            msgs.append((lsn, encode_stream_abort(seg_xid, seg_xid)))
+            lsn += 1
+        elif verdict in ("commit", "sub_abort_then_commit"):
+            if verdict == "sub_abort_then_commit":
+                msgs.append((lsn, encode_stream_abort(seg_xid, sub)))
+                sub_abort_of[seg_xid] = sub
+                lsn += 1
+            msgs.append((lsn, encode_stream_commit(seg_xid, lsn, lsn, 5)))
+            commit_lsn_of[seg_xid] = lsn
+            lsn += 1
+    for kind, key in plain:
+        buf, tag = _enc(kind, key, None)
+        msgs.append((lsn, buf))
+        model_rows.append((lsn, tag, None, None))
+        lsn += 1
+
+    want = set()
+    for orig, tag, top, wrap in model_rows:
+        if top is None:
+            want.add(("%016X/%016X" % (orig, orig), tag))
+        elif sub_abort_of.get(top) == wrap:
+            continue  # exactly the aborted subtransaction's rows
+        elif top in commit_lsn_of:
+            want.add(("%016X/%016X" % (commit_lsn_of[top], orig), tag))
+        # whole-abort / in-flight: never committed -> dropped
+
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    env = apply_stream_transactions(
+        decode_pgoutput_v2(df, schema, bin_width=8), stream_verdicts(df))
+    data_tags = {"insert", "update", "delete", "message"}
+    got = {(r["lsn"], r["tag"]) for r in env.collect()
+           if r["tag"] in data_tags}
+    assert got == want

@@ -103,21 +103,23 @@ class AnnIndex:
         # Past the broadcast budget the sqrt(n) coarse quantizer stops
         # fitting one task (|C| x d x 8 B ~ 230 MB raw at a 100 TB
         # corpus): set assignment_shards (rule: ceil(|C| x d x 8 B /
-        # broadcast budget)) and every k=1 cell assignment this index
-        # performs (build + append) runs the salted shuffle-join path
-        # instead — proven row-identical to the broadcast assignment
-        # (llm_similarity.nearest_cells_sharded).
+        # broadcast budget)) and EVERY cell scoring this index performs
+        # — build + append assignment (k=1) AND the probe's
+        # nearest-nprobe-cells pass — runs the salted shuffle-join path
+        # instead, proven row-identical to the broadcast form
+        # (llm_similarity.nearest_cells_sharded). An index whose
+        # quantizer outgrew the broadcast at build time must not re-ship
+        # it as a broadcast at serving time (r12 review).
         self.assignment_shards = assignment_shards
 
-    def _assign(self, base, cent):
-        """vec_id -> nearest cell, broadcast or sharded per the knob."""
-        from ..queries.llm_similarity import (nearest_cells,
-                                              nearest_cells_sharded)
+    def _assign(self, base, cent, id_col: str = "vec_id", k: int = 1):
+        """id -> nearest cell(s), broadcast or sharded per the knob —
+        the shared llm_similarity.assign_cells dispatch, so the
+        threshold rule lives in exactly one place."""
+        from ..queries.llm_similarity import assign_cells
 
-        if self.assignment_shards is not None and self.assignment_shards > 1:
-            return nearest_cells_sharded(base, cent, "vec_id",
-                                         self.assignment_shards)
-        return nearest_cells(base, cent, "vec_id", 1)
+        return assign_cells(base, cent, id_col, k=k,
+                            assignment_shards=self.assignment_shards)
 
     @property
     def fs(self):
@@ -239,7 +241,7 @@ class AnnIndex:
         from ..functions.vectors import norm_fold_expr
         from ..queries.llm_extra import (
             _PQ_CB_MAX_ID, _PQ_CB_MOD, _PQ_M, _PQ_SUB, pq_codes)
-        from ..queries.llm_similarity import ivf_centroids, nearest_cells
+        from ..queries.llm_similarity import ivf_centroids
 
         base = emb.select(
             "vec_id",
@@ -350,7 +352,6 @@ class AnnIndex:
         """
         from ..functions.vectors import norm_fold_expr
         from ..queries.llm_extra import _PQ_M, _PQ_SUB, _pq_codes_from, _sub_d2
-        from ..queries.llm_similarity import nearest_cells
 
         if new_emb is None and deletes is None:
             raise ValueError("append needs new_emb and/or deletes")
@@ -630,7 +631,10 @@ class AnnIndex:
         cells' partitions (driver-side list bounded by
         |queries| * nprobe, intersected with the manifest's live-cell map
         so empty/absent cells contribute nothing instead of failing);
-        broadcasts centroids, the probe list, and the per-query ADC LUT.
+        broadcasts centroids, the probe list, and the per-query ADC LUT
+        (with ``assignment_shards`` set, the nearest-cells pass runs the
+        same sharded shuffle join as build/append instead of
+        broadcasting the quantizer).
         Self-matches (vec_id == qid) are excluded, mirroring the inline
         query.
 
@@ -647,8 +651,6 @@ class AnnIndex:
         from ..functions.vectors import norm_fold_expr
         from ..queries.llm_extra import _PQ_M, _PQ_SUB, _sub_d2
 
-        from ..queries.llm_similarity import nearest_cells
-
         # version=None probes the tip; a retained older tip (the GC keeps
         # the previous tip's closure) may be probed for time travel
         m = self.meta(version)
@@ -658,7 +660,7 @@ class AnnIndex:
         q = queries.select(
             "qid", "e", norm_fold_expr("e", cast=False).alias("n")
         )
-        probe = nearest_cells(q, cent, "qid", nprobe).select("qid", "cid")
+        probe = self._assign(q, cent, "qid", k=nprobe).select("qid", "cid")
         probed = sorted(
             c for (c,) in probe.select("cid").distinct().collect()
             if str(c) in m["cellmap"]

@@ -459,9 +459,14 @@ def nearest_cells(side: DataFrame, cent: DataFrame, id_col: str, k: int) -> Data
 
 
 def nearest_cells_sharded(side: DataFrame, cent: DataFrame, id_col: str,
-                          n_shards: int, n_salts: int = 8) -> DataFrame:
-    """k=1 assignment WITHOUT broadcasting the coarse quantizer — the
-    past-the-broadcast-bound fallback for ``nearest_cells``.
+                          n_shards: int, n_salts: int = 8,
+                          k: int = 1) -> DataFrame:
+    """Cell assignment WITHOUT broadcasting the coarse quantizer — the
+    past-the-broadcast-bound fallback for ``nearest_cells``. ``k=1`` is
+    the corpus-sized ASSIGNMENT path (partial-aggregable argmax); k>1 is
+    the PROBE path (per-id window over the shuffle-scored rows — its
+    input is |queries| x |C| scalars, and the quantizer-memory bound
+    still holds: no task ever builds more than |C|/n_shards centroids).
 
     Why it exists (the design limit of the broadcast path): under the
     adaptive rule |C| = ceil(sqrt(n)), a true 100 TB embeddings corpus
@@ -510,6 +515,14 @@ def nearest_cells_sharded(side: DataFrame, cent: DataFrame, id_col: str,
         id_col, "e", "n", "cid",
         (dot_fold_expr("e", "ce") / (F.col("n") * F.col("cn"))).alias("ccos"),
     )
+    if k > 1:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("ccos").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "e", "n", "cid")
+        )
     agg = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("ccos"),
                        (-F.col("cid")).alias("negcid"))).alias("m"),
@@ -517,6 +530,20 @@ def nearest_cells_sharded(side: DataFrame, cent: DataFrame, id_col: str,
         F.first("n").alias("n"),
     )
     return agg.select(id_col, "e", "n", (-F.col("m.negcid")).alias("cid"))
+
+
+def assign_cells(side: DataFrame, cent: DataFrame, id_col: str,
+                 k: int = 1,
+                 assignment_shards: int | None = None) -> DataFrame:
+    """THE one home for the broadcast-vs-sharded dispatch rule: every
+    cell assignment or probe in the engine routes through here, so the
+    threshold (shards set and > 1 -> sharded shuffle join, else
+    broadcast) cannot drift between call sites (r12 review). Both paths
+    are row-identical (pinned by test_llm.py equivalence tests)."""
+    if assignment_shards is not None and assignment_shards > 1:
+        return nearest_cells_sharded(side, cent, id_col, assignment_shards,
+                                     k=k)
+    return nearest_cells(side, cent, id_col, k)
 
 
 def ivf_cell_assignments(emb: DataFrame, cent_mod: int | None = None,
@@ -535,9 +562,8 @@ def ivf_cell_assignments(emb: DataFrame, cent_mod: int | None = None,
         norm_fold_expr("embedding", cast=True).alias("n"),
     )
     cent = ivf_centroids(base, cent_mod)
-    if assignment_shards is not None and assignment_shards > 1:
-        return nearest_cells_sharded(base, cent, "vec_id", assignment_shards)
-    return nearest_cells(base, cent, "vec_id", 1)
+    return assign_cells(base, cent, "vec_id", k=1,
+                        assignment_shards=assignment_shards)
 
 _IVF_ORACLE = f"""
 WITH e AS (
@@ -1070,8 +1096,12 @@ def emb_ivf_probe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= max_p)
         .select("qid", "qe", "qn", "cid", "rn")
     )
-    own = asg.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("cid").alias("own_cid")
+    # a query's ASSIGNED cell is its rank-1 probe cell by construction
+    # (same scoring expression, same ccos-desc/cid-asc tie-break as the
+    # corpus argmax), so derive it from the already-computed probe rows
+    # instead of re-running a corpus-scale assignment job (r12 review)
+    own = probe.filter(F.col("rn") == 1).select(
+        "qid", F.col("cid").alias("own_cid")
     )
     lvl = F.explode(F.array(*[F.lit(p) for p in _PROFILE_NPROBES])).alias("lvl")
     counts = (

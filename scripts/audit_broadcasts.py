@@ -104,6 +104,14 @@ def main() -> None:
         if i + 1 >= len(sys.argv):
             raise SystemExit("usage: --only name1,name2,...")
         only = set(sys.argv[i + 1].split(","))
+        if "AUDIT_OUT" not in os.environ:
+            # never clobber the committed full-registry artifact with a
+            # partial sweep (r12 review): a forgotten AUDIT_OUT would
+            # silently replace the 235-query evidence SURVEY.md cites
+            # with an n_queries=<subset> file
+            raise SystemExit(
+                "--only writes a PARTIAL audit: set AUDIT_OUT to a "
+                f"different path (refusing to overwrite {OUT})")
 
     from pgcdc_spark.queries import all_queries
     from pgcdc_spark.session import get_spark

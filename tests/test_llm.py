@@ -669,6 +669,42 @@ def test_sharded_assignment_equivalence(spark, sf_correct):
         "BroadcastNestedLoopJoin" in buf2.getvalue()
 
 
+def test_sharded_probe_path_equivalence(spark, sf_correct):
+    """The k>1 (PROBE) form of the sharded assignment — what
+    AnnIndex.probe runs when the index was built past the broadcast
+    budget — returns the same (id, cell) rows as the broadcast
+    nearest-cells, and its quantizer join is still the pinned shuffle
+    join (an index whose quantizer outgrew the broadcast at build time
+    must not re-ship it as one at serving time)."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.functions.vectors import norm_fold_expr
+    from pgcdc_spark.queries.llm_similarity import (
+        ivf_centroids, nearest_cells, nearest_cells_sharded)
+
+    (emb,) = load(spark, sf_correct, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"))
+    cent = ivf_centroids(base)
+    q = base.filter("vec_id < 16")
+    for nprobe in (2, 3):
+        want = {(r["vec_id"], r["cid"]) for r in
+                nearest_cells(q, cent, "vec_id", nprobe).collect()}
+        sharded = nearest_cells_sharded(q, cent, "vec_id", 4, k=nprobe)
+        assert {(r["vec_id"], r["cid"])
+                for r in sharded.collect()} == want and want
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sharded.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
 def test_ivf_probe_profile_internal_consistency(spark, sf_smoke):
     """The operating curve's two cost models must agree: the cheap
     pre-pair bound (cell sizes joined to probed cells) equals the
@@ -680,8 +716,7 @@ def test_ivf_probe_profile_internal_consistency(spark, sf_smoke):
     from pgcdc_spark.catalog import load
     from pgcdc_spark.functions.vectors import norm_fold_expr
     from pgcdc_spark.queries.llm_similarity import (
-        _N_QUERIES, _PROFILE_NPROBES, ivf_cell_assignments, ivf_centroids,
-        nearest_cells)
+        _N_QUERIES, _PROFILE_NPROBES, ivf_cell_assignments, ivf_centroids)
     from pgcdc_spark.queries import all_queries
 
     prof = {(r["qid"], r["nprobe"]): r

@@ -1093,6 +1093,16 @@ def prepared_verdicts(messages: DataFrame, lsn_col: str = "lsn",
     )
 
 
+# Transaction-owned tags — the rows a prepared span's xid stamp (and
+# therefore the commit/rollback verdict) applies to. Shared by
+# decode_pgoutput_2pc and overlay_prepared_spans so the rule cannot
+# drift: framing/control rows and NON-transactional messages are never
+# stamped (see overlay_prepared_spans' docstring for why the wire flag,
+# not interval membership, decides for 'M').
+_PREPARED_STAMP_TAGS = ("insert", "update", "delete", "truncate",
+                        "truncate_other", "message")
+
+
 def decode_pgoutput_2pc(
     messages: DataFrame,
     row_schema: StructType,
@@ -1109,7 +1119,16 @@ def decode_pgoutput_2pc(
     prepared block stamps xid/top_xid from the span. Compose with
     apply_stream_transactions(decoded, prepared_verdicts(messages)) —
     prepared rows apply at their CommitPrepared lsn, rolled-back and
-    still-prepared (no verdict yet) rows drop."""
+    still-prepared (no verdict yet) rows drop.
+
+    Only TRANSACTION-OWNED rows are stamped with the span's xid — the
+    same ``_PREPARED_STAMP_TAGS`` rule as ``overlay_prepared_spans``
+    (see its docstring for the full argument): the block's own framing
+    rows and any NON-transactional 'M' whose WAL lsn happens to fall
+    numerically inside the span keep null xids, so the downstream
+    apply_stream_transactions repositions/drops only transaction
+    content — a rolled-back block must not swallow a concurrent
+    flags=0 message PostgreSQL delivered immediately (r12)."""
     from ..operators.rangejoin import binned_range_join
 
     if spans is None:
@@ -1127,10 +1146,12 @@ def decode_pgoutput_2pc(
         F.broadcast(spans),
         "__ord", "p_start", "p_stop", bin_width, how="left_outer",
     )
+    stamp = F.when(F.col("tag").isin(*_PREPARED_STAMP_TAGS),
+                   F.col("p_xid"))
     cols = [
         F.col("__ord").alias("lsn"),
-        F.col("p_xid").alias("xid"),
-        F.col("p_xid").alias("top_xid"),
+        stamp.alias("xid"),
+        stamp.alias("top_xid"),
         "tag", "new", "old",
     ]
     if track_unchanged:
@@ -1484,8 +1505,7 @@ def overlay_prepared_spans(decoded: DataFrame, spans: DataFrame,
     """
     from ..operators.rangejoin import binned_range_join
 
-    _DATA_TAGS = ("insert", "update", "delete", "truncate",
-                  "truncate_other", "message")
+    _DATA_TAGS = _PREPARED_STAMP_TAGS
     cols = decoded.columns
     tagged = binned_range_join(
         # bounded: O(#prepared transactions) control spans

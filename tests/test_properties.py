@@ -667,3 +667,109 @@ def test_v2_envelope_matches_reference_model(spark, segments, plain):
     got = {(r["lsn"], r["tag"]) for r in env.collect()
            if r["tag"] in data_tags}
     assert got == want
+
+
+# --- 2PC verdict semantics: envelope ≡ reference model ---------------------------
+# Same model discipline as the v2 streamed property, for the prepared-
+# block path: which rows survive is a joint function of the verdict
+# (CommitPrepared / RollbackPrepared / still-prepared) AND the stamp
+# rule — only transaction-OWNED rows follow the verdict. The block's
+# framing rows and any non-transactional 'M' whose WAL lsn falls inside
+# the span deliver at their own lsn unconditionally (PostgreSQL decodes
+# flags=0 messages immediately; a rolled-back block must not swallow
+# them — the r12 decode_pgoutput_2pc stamp fix).
+
+_P_VERDICTS = st.sampled_from(["commit", "rollback", "none"])
+
+# ("I"/"U"/"D", key) | ("M", transactional)
+_p_frame = st.one_of(
+    st.tuples(st.sampled_from(["I", "U", "D"]),
+              st.integers(min_value=0, max_value=3)),
+    st.tuples(st.just("M"), st.booleans()),
+)
+
+_p_block = st.tuples(_RT_XIDS, st.lists(_p_frame, min_size=1, max_size=4),
+                     _P_VERDICTS)
+
+
+@given(
+    blocks=st.lists(_p_block, min_size=1, max_size=3,
+                    unique_by=lambda b: b[0]),
+    plain=st.lists(st.tuples(st.sampled_from(["I", "U", "D"]),
+                             st.integers(min_value=0, max_value=3)),
+                   min_size=0, max_size=2),
+)
+@settings(**_SETTINGS)
+def test_2pc_envelope_matches_reference_model(spark, blocks, plain):
+    """decode_pgoutput_2pc → prepared_verdicts → apply_stream_transactions
+    must agree with the reference model for ANY verdict interleaving:
+    committed blocks apply their transaction-owned rows at the
+    CommitPrepared lsn, rolled-back / still-prepared blocks drop them,
+    framing rows and non-transactional messages pass at their own wire
+    lsn regardless of the block's fate, plain rows pass through."""
+    from pgcdc_spark.cdc.pgoutput import (
+        apply_stream_transactions, decode_pgoutput_2pc, encode_begin_prepare,
+        encode_commit_prepared, encode_delete, encode_insert,
+        encode_logical_message, encode_prepare, encode_relation,
+        encode_rollback_prepared, encode_update, prepared_verdicts)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _enc(kind, arg):
+        if kind == "I":
+            return encode_insert(1, [arg, arg]), "insert"
+        if kind == "U":
+            return encode_update(1, [arg, arg + 9]), "update"
+        if kind == "D":
+            return encode_delete(1, [arg, None]), "delete"
+        return (encode_logical_message("p", b"x", transactional=arg),
+                "message" if arg else "message_nontxn")
+
+    msgs = [(0, encode_relation(1, "public", "t", ["id", "v"]))]
+    lsn = 10
+    # (original lsn, tag, owning block xid or None)
+    model_rows, commit_lsn_of = [], {}
+    for xid, frames, verdict in blocks:
+        b_lsn = lsn
+        msgs.append((lsn, encode_begin_prepare(b_lsn, 0, 0, xid, "g")))
+        model_rows.append((lsn, "begin_prepare", None)); lsn += 1
+        for f in frames:
+            buf, tag = _enc(*f)
+            msgs.append((lsn, buf))
+            # ONLY transaction-owned rows ride the verdict
+            owned = tag in ("insert", "update", "delete", "message")
+            model_rows.append((lsn, tag, xid if owned else None))
+            lsn += 1
+        msgs.append((lsn, encode_prepare(b_lsn, lsn, 0, xid, "g")))
+        model_rows.append((lsn, "prepare", None)); lsn += 1
+        if verdict == "commit":
+            msgs.append((lsn, encode_commit_prepared(lsn, lsn, 0, xid, "g")))
+            commit_lsn_of[xid] = lsn
+            lsn += 1
+        elif verdict == "rollback":
+            msgs.append((lsn, encode_rollback_prepared(lsn, lsn, 0, 0,
+                                                       xid, "g")))
+            lsn += 1
+    for kind, key in plain:
+        buf, tag = _enc(kind, key)
+        msgs.append((lsn, buf))
+        model_rows.append((lsn, tag, None))
+        lsn += 1
+
+    want = set()
+    for orig, tag, owner in model_rows:
+        if owner is None:
+            want.add(("%016X/%016X" % (orig, orig), tag))
+        elif owner in commit_lsn_of:
+            want.add(("%016X/%016X" % (commit_lsn_of[owner], orig), tag))
+        # rolled-back / still-prepared transaction content: dropped
+
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    env = apply_stream_transactions(
+        decode_pgoutput_2pc(df, schema, bin_width=8), prepared_verdicts(df))
+    tags = {"insert", "update", "delete", "message", "message_nontxn",
+            "begin_prepare", "prepare"}
+    got = {(r["lsn"], r["tag"]) for r in env.collect() if r["tag"] in tags}
+    assert got == want

@@ -773,3 +773,72 @@ def test_2pc_envelope_matches_reference_model(spark, blocks, plain):
             "begin_prepare", "prepare"}
     got = {(r["lsn"], r["tag"]) for r in env.collect() if r["tag"] in tags}
     assert got == want
+
+
+# --- REPLICA IDENTITY key-change routing ≡ reference model ----------------------
+# split_key_updates' contract for ANY op sequence: a key-changing update
+# retires the old key and lands the new image; same-key and old-image-
+# less updates update in place. The model is a dict applied in lsn
+# order. Exercises both RI DEFAULT ('K', key-only old image) and FULL
+# ('O'), interleaved inserts/deletes, re-use of retired keys, and
+# key swaps (a->b while b exists).
+
+_KEYS = st.integers(min_value=0, max_value=3)
+
+_ku_op = st.one_of(
+    st.tuples(st.just("I"), _KEYS),
+    # (U, old key, new key, has old image, full RI) — PG omits the old
+    # image only when the key is unchanged, so has_old=False forces
+    # new_key == key in the encoder below
+    st.tuples(st.just("U"), _KEYS, _KEYS, st.booleans(), st.booleans()),
+    st.tuples(st.just("D"), _KEYS),
+)
+
+
+@given(ops=st.lists(_ku_op, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_key_change_routing_matches_reference_model(spark, ops):
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_delete, encode_insert, encode_relation,
+        encode_update)
+    from pgcdc_spark.cdc.transform import apply_pipeline, split_key_updates
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    msgs = [(0, encode_relation(1, "public", "t", ["id", "v"]))]
+    state: dict[int, int] = {}
+    for i, op in enumerate(ops):
+        lsn, val = i + 1, 100 + i
+        if op[0] == "I":
+            _, k = op
+            msgs.append((lsn, encode_insert(1, [k, val])))
+            state[k] = val
+        elif op[0] == "U":
+            _, k, nk, has_old, full = op
+            if not has_old:
+                nk = k  # wire contract: no old image => key unchanged
+                msgs.append((lsn, encode_update(1, [nk, val])))
+            else:
+                old = [k, state.get(k)] if full else [k, None]
+                msgs.append((lsn, encode_update(
+                    1, [nk, val], old_values=old,
+                    old_kind=b"O" if full else b"K")))
+                if nk != k:
+                    state.pop(k, None)
+            state[nk] = val
+        else:
+            _, k = op
+            msgs.append((lsn, encode_delete(
+                1, [k, None], old_kind=b"K")))
+            state.pop(k, None)
+
+    df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in msgs], "lsn long, payload binary")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    env = split_key_updates(decode_pgoutput(df, schema), keys=["id"])
+    got = sorted(
+        (r["id"], r["v"])
+        for r in latest_state(apply_pipeline(env), keys=["id"],
+                              order_by=["lsn"]).collect())
+    assert got == sorted(state.items())

@@ -842,3 +842,114 @@ def test_key_change_routing_matches_reference_model(spark, ops):
         for r in latest_state(apply_pipeline(env), keys=["id"],
                               order_by=["lsn"]).collect())
     assert got == sorted(state.items())
+
+
+# --- adapter unification: three wire formats, one state --------------------------
+# pgoutput binary, wal2json transaction docs, and Debezium envelopes are
+# three renderings of the SAME logical changelog; for any op sequence
+# the engine must materialize the identical state through each adapter
+# (and match the dict model). wal2json docs carry up to two changes to
+# exercise the positional intra-transaction ordinal.
+
+
+@given(ops=st.lists(_ku_op, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_three_adapters_materialize_identical_state(spark, ops):
+    import json
+
+    from pgcdc_spark.cdc.debezium import parse_debezium
+    from pgcdc_spark.cdc.pgoutput import (
+        decode_pgoutput, encode_delete, encode_insert, encode_relation,
+        encode_update)
+    from pgcdc_spark.cdc.transform import apply_pipeline, split_key_updates
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pgcdc_spark.cdc.wal2json import parse_wal2json
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pg_msgs = [(0, encode_relation(1, "public", "t", ["id", "v"]))]
+    w2j_changes, dbz_lines = [], []
+    state: dict[int, int] = {}
+    for i, op in enumerate(ops):
+        lsn, val = i + 1, 100 + i
+        if op[0] == "I":
+            _, k = op
+            pg_msgs.append((lsn, encode_insert(1, [k, val])))
+            w2j_changes.append({
+                "kind": "insert", "schema": "s", "table": "t",
+                "columnnames": ["id", "v"],
+                "columnvalues": [str(k), str(val)]})
+            dbz_lines.append({"payload": {
+                "op": "c", "source": {"lsn": lsn},
+                "after": {"id": k, "v": val}, "before": None}})
+            state[k] = val
+        elif op[0] == "U":
+            _, k, nk, has_old, _full = op
+            if not has_old:
+                nk = k
+                pg_msgs.append((lsn, encode_update(1, [nk, val])))
+                w2j_changes.append({
+                    "kind": "update", "schema": "s", "table": "t",
+                    "columnnames": ["id", "v"],
+                    "columnvalues": [str(nk), str(val)]})
+                dbz_lines.append({"payload": {
+                    "op": "u", "source": {"lsn": lsn},
+                    "after": {"id": nk, "v": val}, "before": None}})
+            else:
+                prev = state.get(k)
+                pg_msgs.append((lsn, encode_update(
+                    1, [nk, val], old_values=[k, None], old_kind=b"K")))
+                w2j_changes.append({
+                    "kind": "update", "schema": "s", "table": "t",
+                    "columnnames": ["id", "v"],
+                    "columnvalues": [str(nk), str(val)],
+                    "oldkeys": {"keynames": ["id"],
+                                "keyvalues": [str(k)]}})
+                dbz_lines.append({"payload": {
+                    "op": "u", "source": {"lsn": lsn},
+                    "after": {"id": nk, "v": val},
+                    "before": {"id": k, "v": prev}}})
+                if nk != k:
+                    state.pop(k, None)
+            state[nk] = val
+        else:
+            _, k = op
+            pg_msgs.append((lsn, encode_delete(1, [k, None], old_kind=b"K")))
+            w2j_changes.append({
+                "kind": "delete", "schema": "s", "table": "t",
+                "oldkeys": {"keynames": ["id"], "keyvalues": [str(k)]}})
+            dbz_lines.append({"payload": {
+                "op": "d", "source": {"lsn": lsn},
+                "after": None, "before": {"id": k, "v": state.get(k)}}})
+            state.pop(k, None)
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+
+    def materialize(env):
+        env = split_key_updates(env, keys=["id"])
+        rows = latest_state(apply_pipeline(env), keys=["id"],
+                            order_by=["lsn"]).collect()
+        return sorted((r["id"], r["v"]) for r in rows)
+
+    pg_df = spark.createDataFrame(
+        [(l, bytearray(p)) for l, p in pg_msgs], "lsn long, payload binary")
+    got_pg = materialize(decode_pgoutput(pg_df, schema))
+
+    # chunk two changes per wal2json doc: positional ordinal exercised
+    docs = [
+        json.dumps({"lsn": "0/%X" % (i + 1),
+                    "change": w2j_changes[2 * i:2 * i + 2]})
+        for i in range((len(w2j_changes) + 1) // 2)
+    ]
+    w2j_df = spark.createDataFrame([(d,) for d in docs], "value string")
+    got_w2j = materialize(parse_wal2json(w2j_df, schema))
+
+    dbz_df = spark.createDataFrame(
+        [(json.dumps(l),) for l in dbz_lines], "value string")
+    got_dbz = materialize(
+        parse_debezium(dbz_df, row_schema=schema).drop("_corrupt"))
+
+    want = sorted(state.items())
+    assert got_pg == want
+    assert got_w2j == want
+    assert got_dbz == want

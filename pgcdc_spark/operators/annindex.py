@@ -112,14 +112,24 @@ class AnnIndex:
         # it as a broadcast at serving time (r12 review).
         self.assignment_shards = assignment_shards
 
-    def _assign(self, base, cent, id_col: str = "vec_id", k: int = 1):
+    def _assign(self, base, cent, id_col: str = "vec_id", k: int = 1,
+                meta: dict | None = None):
         """id -> nearest cell(s), broadcast or sharded per the knob —
         the shared llm_similarity.assign_cells dispatch, so the
-        threshold rule lives in exactly one place."""
+        threshold rule lives in exactly one place. The knob is
+        PERSISTED: build() records it in _META and every manifest-bearing
+        caller (append/compact/probe) passes the manifest here, so a
+        fresh ``AnnIndex(root)`` opener — the annstream/ingest serving
+        shape — inherits the build-time decision instead of silently
+        falling back to the broadcast the index was sharded to avoid
+        (r12 review). An explicit constructor knob still wins."""
         from ..queries.llm_similarity import assign_cells
 
+        shards = self.assignment_shards
+        if shards is None and meta is not None:
+            shards = meta.get("assignment_shards")
         return assign_cells(base, cent, id_col, k=k,
-                            assignment_shards=self.assignment_shards)
+                            assignment_shards=shards)
 
     @property
     def fs(self):
@@ -313,6 +323,7 @@ class AnnIndex:
             "idmap": {b: version for b in self._idmap_dirs(version)},
             "attrs": list(attrs),
             "applied": [label],
+            "assignment_shards": self.assignment_shards,
         }
         self.fs.write_text_atomic(
             os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
@@ -395,7 +406,7 @@ class AnnIndex:
                 norm_fold_expr("embedding", cast=True).alias("n"),
             )
             asg = (
-                self._assign(base, cent)
+                self._assign(base, cent, meta=m)
                 .select("vec_id", "cid")
                 .persist()
             )
@@ -522,6 +533,10 @@ class AnnIndex:
                 "idmap": idmap,
                 "attrs": list(attrs),
                 "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
+                "assignment_shards": (
+                    self.assignment_shards
+                    if self.assignment_shards is not None
+                    else m.get("assignment_shards")),
             }
             self.fs.write_text_atomic(
                 os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
@@ -577,6 +592,10 @@ class AnnIndex:
             "idmap": {b: version for b in self._idmap_dirs(version)},
             "attrs": list(attrs),
             "applied": (m.get("applied", []) + [label])[-_APPLIED_WINDOW:],
+            "assignment_shards": (
+                self.assignment_shards
+                if self.assignment_shards is not None
+                else m.get("assignment_shards")),
         }
         self.fs.write_text_atomic(
             os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
@@ -660,10 +679,19 @@ class AnnIndex:
         q = queries.select(
             "qid", "e", norm_fold_expr("e", cast=False).alias("n")
         )
-        probe = self._assign(q, cent, "qid", k=nprobe).select("qid", "cid")
+        # collect the nearest-cells result ONCE (bounded: |queries| x
+        # nprobe rows) and rebuild it as a literal frame: the same rows
+        # feed the partition-pruning list AND the ADC join, and under
+        # the sharded assignment each execution would otherwise be a
+        # full shuffle join (r12 review)
+        probe_rows = [
+            (int(r["qid"]), int(r["cid"]))
+            for r in self._assign(q, cent, "qid", k=nprobe, meta=m)
+            .select("qid", "cid").collect()
+        ]
+        probe = spark.createDataFrame(probe_rows, "qid long, cid long")
         probed = sorted(
-            c for (c,) in probe.select("cid").distinct().collect()
-            if str(c) in m["cellmap"]
+            {c for _, c in probe_rows if str(c) in m["cellmap"]}
         )
         cells = self._read_cells(spark, m, probed)
         if cells is not None and where is not None:

@@ -98,6 +98,12 @@ def main() -> None:
         tiers = {"runtime"}
     if "--static-only" in sys.argv:
         tiers = {"static"}
+    if tiers != {"static", "runtime"} and "AUDIT_OUT" not in os.environ:
+        # same clobber guard as --only: a one-tier run must not replace
+        # the committed two-tier full-registry artifact (r12 review)
+        raise SystemExit(
+            "--static-only/--runtime-only write a PARTIAL audit: set "
+            f"AUDIT_OUT to a different path (refusing to overwrite {OUT})")
     only = None
     if "--only" in sys.argv:
         i = sys.argv.index("--only")

@@ -759,6 +759,21 @@ def test_annindex_sharded_assignment_equals_broadcast_build(spark, sf_smoke,
     want = sorted(map(tuple, bcast.probe(spark, queries, nprobe=2, k=10)
                       .collect()))
     assert got == want and got
+    # the knob is PERSISTED: a fresh opener (the annstream/ingest serving
+    # shape) inherits the build-time sharding from _META — no constructor
+    # argument — and carries it into the meta of versions IT writes
+    fresh = AnnIndex(str(tmp_path / "shard"))
+    assert fresh.meta()["assignment_shards"] == 4
+    assert sorted(map(tuple, fresh.probe(spark, queries, nprobe=2, k=10)
+                      .collect())) == want
+    fresh.append(None, deletes=emb.filter("vec_id = 3").select("vec_id"),
+                 label="d2")
+    assert fresh.meta()["assignment_shards"] == 4
+    # mirror the delete so the cellmap comparison below stays apples-to-apples
+    bcast.append(None, deletes=emb.filter("vec_id = 3").select("vec_id"),
+                 label="d2")
+    assert AnnIndex(str(tmp_path / "bcast")).meta()["assignment_shards"] \
+        is None
     # the stored assignment itself matches cell-for-cell
     def cellmap(idx):
         m = idx.meta()

@@ -618,7 +618,7 @@ def test_v2_envelope_matches_reference_model(spark, segments, plain):
     msgs = [(0, encode_relation(1, "public", "t", ["id", "v"]))]
     lsn = 10
     # model rows: (original lsn, tag, top_xid or None, wrap_xid or None)
-    model_rows, verdict_of, commit_lsn_of, sub_abort_of = [], {}, {}, {}
+    model_rows, commit_lsn_of, sub_abort_of = [], {}, {}
     for seg_xid, frames, verdict in segments:
         msgs.append((lsn, encode_stream_start(seg_xid))); lsn += 1
         sub = seg_xid + 1000
@@ -629,7 +629,6 @@ def test_v2_envelope_matches_reference_model(spark, segments, plain):
             model_rows.append((lsn, tag, seg_xid, wrap))
             lsn += 1
         msgs.append((lsn, encode_stream_stop())); lsn += 1
-        verdict_of[seg_xid] = verdict
         if verdict == "abort_whole":
             msgs.append((lsn, encode_stream_abort(seg_xid, seg_xid)))
             lsn += 1

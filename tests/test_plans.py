@@ -112,11 +112,11 @@ def test_no_collect_in_query_surface(spark):
         # schema must exist before the plan can name its columns.
         "schema-discovery": ("cdc_evolving_state", "cdc_widening_state"),
         # metadata: every member funnels through the ONE collect in
-        # AnnIndex.probe (operators/annindex.py:634) shipping
-        # O(|queries| * nprobe) probed-cell ids — the FAISS invlist
-        # lookup (+ O(versions) manifest reads for the pinned-version
-        # probe) — plus, on a cold corpus cache, the DECLARED one-time
-        # O(corpus) index build.
+        # AnnIndex.probe shipping O(|queries| * nprobe) (qid, cid) rows
+        # — the FAISS invlist lookup, reused as a literal frame for the
+        # ADC join so the assignment never executes twice (+ O(versions)
+        # manifest reads for the pinned-version probe) — plus, on a cold
+        # corpus cache, the DECLARED one-time O(corpus) index build.
         "ann-probe-serving": (
             "emb_ann_index_probe", "emb_ann_index_incremental",
             "emb_ann_index_compacted", "emb_ann_index_filtered_probe",

@@ -281,7 +281,19 @@ class AnnIndex:
                 f"vec_id <= {_PQ_CB_MAX_ID}); refusing to commit a "
                 "degenerate index"
             )
-        asg = self._assign(base, cent).select("vec_id", "cid")
+        # Rebuilding OVER an existing index (the remedy append/compact's
+        # "rebuild required" errors direct users to, via a fresh
+        # opener) must inherit the persisted sharding decision like
+        # every other entry point — constructor None means "inherit
+        # from _META", never "silently broadcast" (r12 review).
+        shards = self.assignment_shards
+        if shards is None:
+            try:
+                shards = self.meta().get("assignment_shards")
+            except FileNotFoundError:
+                shards = None  # genuinely fresh index
+        prior = {"assignment_shards": shards}
+        asg = self._assign(base, cent, meta=prior).select("vec_id", "cid")
         codes = pq_codes(emb, "pqcid")  # (vec_id, s, pqcid)
         # co-locate codes with their cell: the serving layout is
         # (cell -> member codes); one shuffle on vec_id here buys
@@ -323,7 +335,7 @@ class AnnIndex:
             "idmap": {b: version for b in self._idmap_dirs(version)},
             "attrs": list(attrs),
             "applied": [label],
-            "assignment_shards": self.assignment_shards,
+            "assignment_shards": shards,
         }
         self.fs.write_text_atomic(
             os.path.join(vdir, _META), json.dumps(meta, sort_keys=True)
@@ -679,19 +691,20 @@ class AnnIndex:
         q = queries.select(
             "qid", "e", norm_fold_expr("e", cast=False).alias("n")
         )
-        # collect the nearest-cells result ONCE (bounded: |queries| x
-        # nprobe rows) and rebuild it as a literal frame: the same rows
-        # feed the partition-pruning list AND the ADC join, and under
-        # the sharded assignment each execution would otherwise be a
-        # full shuffle join (r12 review)
-        probe_rows = [
-            (int(r["qid"]), int(r["cid"]))
-            for r in self._assign(q, cent, "qid", k=nprobe, meta=m)
-            .select("qid", "cid").collect()
-        ]
-        probe = spark.createDataFrame(probe_rows, "qid long, cid long")
+        # materialize the nearest-cells result ONCE, executor-side
+        # (localCheckpoint: |queries| x nprobe UnsafeRows, lineage-free):
+        # the partition-pruning collect and the ADC join share one
+        # execution — under the sharded assignment a re-execution would
+        # be a full shuffle join — while the only DRIVER-side rows
+        # remain the distinct probed-cell ids, bounded by |C| ~ sqrt(n)
+        # regardless of the query-batch size (r12 review, both halves)
+        probe = (
+            self._assign(q, cent, "qid", k=nprobe, meta=m)
+            .select("qid", "cid").localCheckpoint()
+        )
         probed = sorted(
-            {c for _, c in probe_rows if str(c) in m["cellmap"]}
+            c for (c,) in probe.select("cid").distinct().collect()
+            if str(c) in m["cellmap"]
         )
         cells = self._read_cells(spark, m, probed)
         if cells is not None and where is not None:

@@ -35,8 +35,12 @@ in SURVEY.md's audit table.  Every flip on a corpus-scaled side gets a
 `hint("merge")`/`hint("shuffle_hash")` pin and a tests/test_plans.py
 assertion that the pin (not the estimate) decides the strategy.
 
-Usage: python scripts/audit_broadcasts.py [--runtime-only|--static-only]
-Writes AUDIT_BROADCAST.json at the repo root.
+Usage: python scripts/audit_broadcasts.py
+Writes AUDIT_BROADCAST.json (the committed full-registry, two-tier
+artifact) at the repo root. Partial runs — ``--runtime-only`` /
+``--static-only`` / ``--only name1,name2`` — REQUIRE ``AUDIT_OUT`` to
+point at a different path: a partial sweep must never clobber the
+committed evidence.
 """
 from __future__ import annotations
 

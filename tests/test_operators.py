@@ -784,3 +784,9 @@ def test_annindex_sharded_assignment_equals_broadcast_build(spark, sf_smoke,
                         for r in spark.read.parquet(p).collect())
         return sorted(rows)
     assert cellmap(shard) == cellmap(bcast)
+    # a REBUILD over the existing index (fresh opener, no knob — the
+    # remedy the rebuild-required errors prescribe) inherits the
+    # persisted sharding into the new version it writes
+    rebuilt = AnnIndex(str(tmp_path / "shard"))
+    rebuilt.build(base, label="rebuild")
+    assert rebuilt.meta()["assignment_shards"] == 4

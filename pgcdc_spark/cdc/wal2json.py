@@ -2,31 +2,36 @@
 
 The reference's stack selects a decoding plugin by name
 (src/config/config.ts:21-24, pgoutput in the checked-in config);
-wal2json is the common alternative, and its shape differs from
-pgoutput in two ways that matter to an engine:
+wal2json is the common alternative, and it ships TWO wire layouts:
 
-1. it is a TRANSACTION envelope: one JSON document per commit with an
-   ordered ``change`` array — so intra-transaction order is positional
-   (the array index), not a per-row LSN; the engine must fold it into
-   the ordering key or same-key changes inside one transaction resolve
-   arbitrarily;
-2. row images arrive as PARALLEL ARRAYS (``columnnames`` /
-   ``columnvalues``, all values as text; delete old-keys as
-   ``oldkeys.keynames/keyvalues``) instead of named structs.
+``format-version=1`` (parse_wal2json) is a TRANSACTION envelope: one
+JSON document per commit with an ordered ``change`` array — so
+intra-transaction order is positional (the array index), not a per-row
+LSN; the engine must fold it into the ordering key or same-key changes
+inside one transaction resolve arbitrarily. Row images arrive as
+PARALLEL ARRAYS (``columnnames`` / ``columnvalues``, all values as
+text; delete old-keys as ``oldkeys.keynames/keyvalues``).
 
-parse_wal2json normalizes both entirely with JVM built-ins — from_json,
-posexplode for the ordinal, map_from_arrays for name->text, and
+``format-version=2`` (parse_wal2json_v2) — the layout modern wal2json
+deployments run — inverts both choices: ONE JSON OBJECT PER CHANGE
+(``action`` I/U/D plus B/C/T/M control frames), each carrying its own
+top-level ``lsn``, and row images as an array of
+``{"name": ..., "type": ..., "value": ...}`` column objects whose
+values are TYPED JSON (numbers unquoted, SQL NULL as JSON null), with
+the old key under ``identity``.
+
+Both parsers normalize entirely with JVM built-ins — from_json,
+posexplode for the v1 ordinal, map_from_arrays for name->value, and
 per-field try_cast for the CHECKED text->type conversion (malformed
 text becomes NULL, never an ANSI cast error aborting the batch — the
 same contract as the pgoutput decoder and the engine-wide fix for the
 reference's unchecked cast, src/mapping/customMapper.ts:22). Output is
-the standard envelope frame (lsn, tag, new, old) with lsn =
-"<hi>/<lo>/<change ordinal>" — the pg_lsn 'X/Y' hex halves each
-zero-padded to a fixed width — so the unchanged
-filter -> extract -> upsert pipeline gets a total order. No Python
-runs per row: at 100 TB this is whole-stage-codegen JSON work, the
-deliberate contrast to pgoutput's (necessarily) Arrow-batched binary
-decode.
+the standard envelope frame (lsn, tag, new, old) with the pg_lsn 'X/Y'
+hex halves each zero-padded to a fixed width (v1 appends the change
+ordinal) so the unchanged filter -> extract -> upsert pipeline gets a
+total order. No Python runs per row: at 100 TB this is
+whole-stage-codegen JSON work, the deliberate contrast to pgoutput's
+(necessarily) Arrow-batched binary decode.
 """
 
 from __future__ import annotations
@@ -69,6 +74,26 @@ _DOC = StructType(
 _KIND_TO_TAG = {"insert": "insert", "update": "update", "delete": "delete"}
 
 
+def _sortable_lsn(lsn: F.Column) -> F.Column:
+    """pg_lsn 'X/Y' -> fixed-width sortable string. Real wal2json emits
+    the PostgreSQL 'X/Y' HEXADECIMAL pg_lsn form (e.g. "0/16B3748"):
+    lpad-ing the raw string and comparing lexicographically diverges
+    from WAL order the moment the hex digit count changes (lpad('0/10')
+    sorts BELOW lpad('0/9') though 0x10 > 0x9) — so each half is
+    zero-padded SEPARATELY to a fixed width, which makes string order
+    equal numeric order. A bare numeric lsn (no '/') is treated as the
+    low half; hex digits are uppercased so 'a'-'f' renderings sort with
+    'A'-'F'. Both parses are order-preserving for plain decimal strings
+    too (any shorter digit string is numerically smaller in base 16 as
+    well)."""
+    has_slash = F.instr(lsn, "/") > 0
+    hi = F.when(has_slash, F.substring_index(lsn, "/", 1)).otherwise(F.lit("0"))
+    lo = F.when(has_slash, F.substring_index(lsn, "/", -1)).otherwise(lsn)
+    return F.concat(
+        F.lpad(F.upper(hi), 16, "0"), F.lit("/"), F.lpad(F.upper(lo), 16, "0")
+    )
+
+
 def _typed_image(map_col: F.Column, row_schema: StructType) -> F.Column:
     """name->text map folded into the caller's typed struct, one
     try_cast per field (checked: bad text -> NULL field)."""
@@ -106,26 +131,11 @@ def parse_wal2json(
     is_del = F.col("_ch.kind") == "delete"
     has_new = F.col("_ch.columnnames").isNotNull()
     has_old = F.col("_ch.oldkeys").isNotNull()
-    # Real wal2json emits the PostgreSQL 'X/Y' HEXADECIMAL pg_lsn form
-    # (e.g. "0/16B3748"): lpad-ing the raw string and comparing
-    # lexicographically diverges from WAL order the moment the hex digit
-    # count changes (lpad('0/10') sorts BELOW lpad('0/9') though
-    # 0x10 > 0x9) — so each half is zero-padded SEPARATELY to a fixed
-    # width, which makes string order equal numeric order. A bare
-    # numeric lsn (no '/') is treated as the low half; hex digits are
-    # uppercased so 'a'-'f' renderings sort with 'A'-'F'. Both parses
-    # are order-preserving for plain decimal strings too (any shorter
-    # digit string is numerically smaller in base 16 as well).
-    has_slash = F.instr(F.col("_txn_lsn"), "/") > 0
-    lsn_hi = F.when(has_slash, F.substring_index(F.col("_txn_lsn"), "/", 1)
-                    ).otherwise(F.lit("0"))
-    lsn_lo = F.when(has_slash, F.substring_index(F.col("_txn_lsn"), "/", -1)
-                    ).otherwise(F.col("_txn_lsn"))
+    # hex-half padding shared with the v2 parser (_sortable_lsn); v1
+    # appends the change ordinal for intra-transaction order
     return ch.select(
         F.concat(
-            F.lpad(F.upper(lsn_hi), 16, "0"),
-            F.lit("/"),
-            F.lpad(F.upper(lsn_lo), 16, "0"),
+            _sortable_lsn(F.col("_txn_lsn")),
             F.lit("/"),
             F.lpad(F.col("_idx").cast("string"), 8, "0"),
         ).alias("lsn"),
@@ -152,6 +162,120 @@ def parse_wal2json(
                         lambda n: ~F.array_contains(
                             F.col("_ch.columnnames"), n
                         ),
+                    ),
+                ).alias("unchanged")
+            ]
+            if track_unchanged
+            else []
+        ),
+    )
+
+
+# -- format_version=2: one JSON object per change -------------------------------
+
+_V2_COL = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("type", StringType()),
+        # StringType swallows ANY JSON value as its text (Spark's Jackson
+        # parser copies the raw token for a string target), so v2's TYPED
+        # values — numbers unquoted, booleans bare — land here verbatim
+        # and the per-field try_cast below converts them checked; a JSON
+        # null stays a SQL NULL (never the text 'null')
+        StructField("value", StringType()),
+    ]
+)
+
+_V2_DOC = StructType(
+    [
+        StructField("action", StringType()),
+        StructField("schema", StringType()),
+        StructField("table", StringType()),
+        StructField("lsn", StringType()),
+        StructField("columns", ArrayType(_V2_COL)),
+        StructField("identity", ArrayType(_V2_COL)),
+    ]
+)
+
+# B/C/T/M control frames map onto the SAME control-tag vocabulary the
+# pgoutput decoder emits, so transform.filter_control_messages (and
+# drop_pre_truncate for 'T') work unchanged across adapters.
+_V2_ACTION_TO_TAG = {
+    "I": "insert",
+    "U": "update",
+    "D": "delete",
+    "B": "begin",
+    "C": "commit",
+    "T": "truncate",
+    "M": "message",
+}
+
+
+def _v2_image(cols: F.Column, row_schema: StructType) -> F.Column:
+    """column-object array -> the caller's typed struct: name->value map
+    (map_from_arrays over two transforms), one try_cast per field."""
+    m = F.map_from_arrays(
+        F.transform(cols, lambda c: c["name"]),
+        F.transform(cols, lambda c: c["value"]),
+    )
+    return _typed_image(m, row_schema)
+
+
+def parse_wal2json_v2(
+    raw: DataFrame, row_schema: StructType, json_col: str = "value",
+    track_unchanged: bool = False,
+) -> DataFrame:
+    """wal2json ``format-version=2``: one envelope row per input JSON
+    object. ``action`` I/U/D become data rows; B/C/T/M become the
+    standard control tags (dropped by transform.filter_control_messages;
+    'T' participates in drop_pre_truncate); anything else passes through
+    as ``_control``. Unlike v1 there is no transaction array — each
+    change object carries its own top-level ``lsn``, which this parser
+    assumes present on data rows (run the slot with ``include-lsn``;
+    without it the stream has no replayable total order for ANY
+    consumer, not just this one). The lsn is normalized to the same
+    separately-zero-padded hex-half form as v1 (see _sortable_lsn), so
+    v1 and v2 streams materialize identical state through the shared
+    filter -> extract -> upsert pipeline (pinned by the four-adapter
+    equivalence property in tests/test_properties.py).
+
+    TOAST: like v1, an unchanged-TOAST column is OMITTED from the
+    ``columns`` array (a genuine SQL NULL arrives as JSON null), so
+    ``track_unchanged=True`` surfaces the absent field names for
+    upsert.toast_state carry-forward.
+
+    The old key rides ``identity`` (REPLICA IDENTITY columns) on
+    deletes AND key-changing updates — surfaced as ``old`` so
+    transform.split_key_updates retires the old key, same as v1's
+    ``oldkeys``."""
+    doc = raw.select(F.from_json(F.col(json_col), _V2_DOC).alias("_d"))
+    act = F.col("_d.action")
+    is_data = act.isin("I", "U", "D")
+    has_new = act.isin("I", "U") & F.col("_d.columns").isNotNull()
+    has_old = F.col("_d.identity").isNotNull()
+    col_names = F.transform(F.col("_d.columns"), lambda c: c["name"])
+    return doc.select(
+        _sortable_lsn(F.col("_d.lsn")).alias("lsn"),
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in _V2_ACTION_TO_TAG.items() for x in kv]
+                ),
+                act,
+            ),
+            F.lit("_control"),
+        ).alias("tag"),
+        F.when(has_new, _v2_image(F.col("_d.columns"), row_schema)).alias("new"),
+        F.when(
+            is_data & has_old, _v2_image(F.col("_d.identity"), row_schema)
+        ).alias("old"),
+        *(
+            [
+                F.when(
+                    has_new,
+                    F.filter(
+                        F.array(*[F.lit(f.name) for f in row_schema.fields]),
+                        lambda n: ~F.array_contains(col_names, n),
                     ),
                 ).alias("unchanged")
             ]

@@ -725,6 +725,97 @@ def cdc_wal2json_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# --- wal2json format_version=2, driven through the oracle gate ----------------
+# The layout modern wal2json deployments run (r12 verdict's last CDC
+# wire-format gap): ONE JSON object per change — action I/U/D plus B/C
+# control frames — each with its own top-level hex pg_lsn, and row
+# images as {"name","type","value"} column objects whose values are
+# TYPED JSON (numbers unquoted), not v1's all-text parallel arrays.
+# Fixture: every event rendered as its own change object with
+# lsn "0/<hex(event_id+1)>" (lowercase hex on even ids — exercising the
+# case normalization), deletes as identity-only objects (REPLICA
+# IDENTITY DEFAULT), plus interleaved B/C frames that the control
+# filter must drop. The values are embedded as RAW JSON NUMBERS
+# (format_string, no quotes), so a green row proves the typed-JSON ->
+# string -> try_cast path round-trips doubles exactly (Java shortest
+# round-trip rendering on both ends). The oracle is the plain LWW
+# replay by event_id — equal to lsn order since the hex halves are
+# zero-padded separately.
+
+_WAL2JSON_V2_ORACLE = """
+SELECT user_id, value AS last_value
+FROM (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_wal2json_v2_state", oracle=_WAL2JSON_V2_ORACLE,
+       tags=("cdc", "wal2json"))
+def cdc_wal2json_v2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.transform import apply_pipeline
+    from ..cdc.wal2json import parse_wal2json_v2
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    hexlsn = F.when(
+        F.col("event_id") % 2 == 0,
+        F.lower(F.hex(F.col("event_id") + 1)),
+    ).otherwise(F.hex(F.col("event_id") + 1))
+    action = (
+        F.when(is_del, "D")
+        .when(F.col("event_id") % 2 == 0, "I")
+        .otherwise("U")
+    )
+    # raw JSON NUMBERS in the wire text (no quotes): double -> string is
+    # Java shortest-round-trip on the encode side, try_cast exact on the
+    # decode side, so values compare bit-identical to the parquet input
+    data_obj = F.format_string(
+        '{"action":"%s","schema":"public","table":"events","lsn":"0/%s",'
+        '%s:[{"name":"user_id","type":"bigint","value":%s}'
+        '%s]}',
+        action,
+        hexlsn,
+        F.when(is_del, '"identity"').otherwise('"columns"'),
+        F.col("user_id").cast("string"),
+        F.when(
+            is_del, F.lit("")
+        ).otherwise(
+            F.format_string(
+                ',{"name":"value","type":"double precision","value":%s}',
+                F.col("value").cast("string"),
+            )
+        ),
+    )
+    # every 7th event drags a begin/commit control pair along — the
+    # filter must drop them without disturbing data-row order
+    lines = events.select(
+        F.when(
+            F.col("event_id") % 7 == 3,
+            F.array(
+                F.format_string('{"action":"B","lsn":"0/%s"}', hexlsn),
+                data_obj,
+                F.format_string('{"action":"C","lsn":"0/%s"}', hexlsn),
+            ),
+        )
+        .otherwise(F.array(data_obj))
+        .alias("objs")
+    ).select(F.explode("objs").alias("value"))
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    changes = apply_pipeline(parse_wal2json_v2(lines, row_schema))
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")
+
+
 # --- unchanged-TOAST carry-forward, driven through the oracle gate ------------
 # Postgres does NOT re-send a TOASTed value an UPDATE didn't touch: the
 # pgoutput tuple carries kind 'u' instead of the bytes. A pipeline that

@@ -598,6 +598,75 @@ def test_wal2json_edges_checked(spark):
     assert lsns == sorted(lsns)          # ordinal-folded lsn sorts
 
 
+def test_wal2json_v2_edges_checked(spark):
+    """format_version=2 edges pinned outside the oracle fixture: typed
+    JSON values (numbers unquoted) land via the string-swallowing parse
+    + try_cast; B/C/T/M actions become the shared control tags; a
+    malformed value becomes a NULL field, never an abort; identity rides
+    deletes AND key-changing updates (old key surfaced for
+    split_key_updates); hex lsn halves sort in WAL order across digit-
+    count changes and lowercase renderings; omitted columns surface via
+    track_unchanged while JSON null stays a genuine SQL NULL."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType)
+
+    from pgcdc_spark.cdc.transform import apply_pipeline, split_key_updates
+    from pgcdc_spark.cdc.wal2json import parse_wal2json_v2
+
+    lines = [
+        '{"action":"B","lsn":"0/9"}',
+        '{"action":"I","schema":"s","table":"t","lsn":"0/a","columns":['
+        '{"name":"id","type":"bigint","value":1},'
+        '{"name":"v","type":"double precision","value":1.5},'
+        '{"name":"s","type":"text","value":"x"}]}',
+        # digit-count rollover: 0x10 > 0xF must hold after padding
+        '{"action":"U","schema":"s","table":"t","lsn":"0/F","columns":['
+        '{"name":"id","type":"bigint","value":1},'
+        '{"name":"v","type":"double precision","value":"oops"},'
+        '{"name":"s","type":"text","value":null}]}',
+        # key-changing update: identity carries the OLD key
+        '{"action":"U","schema":"s","table":"t","lsn":"0/10","columns":['
+        '{"name":"id","type":"bigint","value":2},'
+        '{"name":"v","type":"double precision","value":3.25}],'
+        '"identity":[{"name":"id","type":"bigint","value":1}]}',
+        '{"action":"D","schema":"s","table":"t","lsn":"0/11",'
+        '"identity":[{"name":"id","type":"bigint","value":2}]}',
+        '{"action":"T","schema":"s","table":"t","lsn":"0/12"}',
+        '{"action":"M","lsn":"0/13"}',
+        '{"action":"C","lsn":"0/14"}',
+    ]
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", DoubleType()),
+                         StructField("s", StringType())])
+    raw = spark.createDataFrame([(x,) for x in lines], "value string")
+    env = parse_wal2json_v2(raw, schema, track_unchanged=True)
+    by_lsn = {r["lsn"]: r for r in env.collect()}
+    tags = [r["tag"] for r in env.orderBy("lsn").collect()]
+    assert tags == ["begin", "insert", "update", "update", "delete",
+                    "truncate", "message", "commit"]
+    lsns = sorted(by_lsn)
+    # padded halves: 0/A < 0/F < 0/10 (raw strings would sort 10 first)
+    assert [x[-2:] for x in lsns[:5]] == ["09", "0A", "0F", "10", "11"]
+
+    ins = by_lsn[[x for x in lsns if x.endswith("0A")][0]]
+    assert (ins["new"]["id"], ins["new"]["v"], ins["new"]["s"]) == (1, 1.5, "x")
+    assert list(ins["unchanged"]) == []
+    bad = by_lsn[[x for x in lsns if x.endswith("0F")][0]]
+    assert bad["new"]["v"] is None       # try_cast: bad text -> NULL field
+    assert bad["new"]["s"] is None       # JSON null -> SQL NULL
+    assert list(bad["unchanged"]) == []  # present-but-null is NOT unchanged
+    kc = by_lsn[[x for x in lsns if x.endswith("10")][0]]
+    assert kc["old"]["id"] == 1 and kc["new"]["id"] == 2
+    assert list(kc["unchanged"]) == ["s"]  # 's' omitted from columns
+
+    # the standard pipeline: controls dropped, key change retires id=1
+    rows = apply_pipeline(
+        split_key_updates(env.drop("unchanged"), keys=["id"]))
+    got = {(r["op"], r["id"]) for r in rows.collect()}
+    assert ("D", 1) in got and ("I", 2) in got and ("D", 2) in got
+    assert all(op in ("I", "U", "D") for op, _ in got)
+
+
 # --- unchanged-TOAST ('u' datum) + carry-forward ------------------------------
 
 _UPD_TOAST_GOLDEN = (

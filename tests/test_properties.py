@@ -843,17 +843,20 @@ def test_key_change_routing_matches_reference_model(spark, ops):
     assert got == sorted(state.items())
 
 
-# --- adapter unification: three wire formats, one state --------------------------
-# pgoutput binary, wal2json transaction docs, and Debezium envelopes are
-# three renderings of the SAME logical changelog; for any op sequence
-# the engine must materialize the identical state through each adapter
-# (and match the dict model). wal2json docs carry up to two changes to
-# exercise the positional intra-transaction ordinal.
+# --- adapter unification: four wire formats, one state ---------------------------
+# pgoutput binary, wal2json v1 transaction docs, wal2json v2 per-change
+# objects, and Debezium envelopes are four renderings of the SAME
+# logical changelog; for any op sequence the engine must materialize
+# the identical state through each adapter (and match the dict model).
+# wal2json v1 docs carry up to two changes to exercise the positional
+# intra-transaction ordinal; v2 values are emitted as RAW JSON NUMBERS
+# (the typed layout) and its hex lsns run past one digit so the padded
+# halves must keep WAL order.
 
 
 @given(ops=st.lists(_ku_op, min_size=1, max_size=10))
 @settings(**_SETTINGS)
-def test_three_adapters_materialize_identical_state(spark, ops):
+def test_four_adapters_materialize_identical_state(spark, ops):
     import json
 
     from pgcdc_spark.cdc.debezium import parse_debezium
@@ -862,14 +865,19 @@ def test_three_adapters_materialize_identical_state(spark, ops):
         encode_update)
     from pgcdc_spark.cdc.transform import apply_pipeline, split_key_updates
     from pgcdc_spark.cdc.upsert import latest_state
-    from pgcdc_spark.cdc.wal2json import parse_wal2json
+    from pgcdc_spark.cdc.wal2json import parse_wal2json, parse_wal2json_v2
     from pyspark.sql.types import LongType, StructField, StructType
 
+    def v2_cols(pairs):
+        return [{"name": n, "type": "bigint", "value": v} for n, v in pairs]
+
     pg_msgs = [(0, encode_relation(1, "public", "t", ["id", "v"]))]
-    w2j_changes, dbz_lines = [], []
+    w2j_changes, v2_lines, dbz_lines = [], [], []
     state: dict[int, int] = {}
     for i, op in enumerate(ops):
         lsn, val = i + 1, 100 + i
+        # offset past 0xF so padded-hex ordering is actually exercised
+        v2_lsn = "0/%x" % (lsn + 14) if lsn % 2 else "0/%X" % (lsn + 14)
         if op[0] == "I":
             _, k = op
             pg_msgs.append((lsn, encode_insert(1, [k, val])))
@@ -877,6 +885,9 @@ def test_three_adapters_materialize_identical_state(spark, ops):
                 "kind": "insert", "schema": "s", "table": "t",
                 "columnnames": ["id", "v"],
                 "columnvalues": [str(k), str(val)]})
+            v2_lines.append({"action": "I", "schema": "s", "table": "t",
+                             "lsn": v2_lsn,
+                             "columns": v2_cols([("id", k), ("v", val)])})
             dbz_lines.append({"payload": {
                 "op": "c", "source": {"lsn": lsn},
                 "after": {"id": k, "v": val}, "before": None}})
@@ -890,6 +901,10 @@ def test_three_adapters_materialize_identical_state(spark, ops):
                     "kind": "update", "schema": "s", "table": "t",
                     "columnnames": ["id", "v"],
                     "columnvalues": [str(nk), str(val)]})
+                v2_lines.append({
+                    "action": "U", "schema": "s", "table": "t",
+                    "lsn": v2_lsn,
+                    "columns": v2_cols([("id", nk), ("v", val)])})
                 dbz_lines.append({"payload": {
                     "op": "u", "source": {"lsn": lsn},
                     "after": {"id": nk, "v": val}, "before": None}})
@@ -903,6 +918,11 @@ def test_three_adapters_materialize_identical_state(spark, ops):
                     "columnvalues": [str(nk), str(val)],
                     "oldkeys": {"keynames": ["id"],
                                 "keyvalues": [str(k)]}})
+                v2_lines.append({
+                    "action": "U", "schema": "s", "table": "t",
+                    "lsn": v2_lsn,
+                    "columns": v2_cols([("id", nk), ("v", val)]),
+                    "identity": v2_cols([("id", k)])})
                 dbz_lines.append({"payload": {
                     "op": "u", "source": {"lsn": lsn},
                     "after": {"id": nk, "v": val},
@@ -916,6 +936,9 @@ def test_three_adapters_materialize_identical_state(spark, ops):
             w2j_changes.append({
                 "kind": "delete", "schema": "s", "table": "t",
                 "oldkeys": {"keynames": ["id"], "keyvalues": [str(k)]}})
+            v2_lines.append({"action": "D", "schema": "s", "table": "t",
+                             "lsn": v2_lsn,
+                             "identity": v2_cols([("id", k)])})
             dbz_lines.append({"payload": {
                 "op": "d", "source": {"lsn": lsn},
                 "after": None, "before": {"id": k, "v": state.get(k)}}})
@@ -943,6 +966,14 @@ def test_three_adapters_materialize_identical_state(spark, ops):
     w2j_df = spark.createDataFrame([(d,) for d in docs], "value string")
     got_w2j = materialize(parse_wal2json(w2j_df, schema))
 
+    # v2: one object per change, B/C frames interleaved (dropped by the
+    # control filter), typed JSON values
+    v2_texts = ['{"action":"B","lsn":"0/1"}']
+    v2_texts += [json.dumps(x) for x in v2_lines]
+    v2_texts.append('{"action":"C","lsn":"0/FFFF"}')
+    v2_df = spark.createDataFrame([(x,) for x in v2_texts], "value string")
+    got_v2 = materialize(parse_wal2json_v2(v2_df, schema))
+
     dbz_df = spark.createDataFrame(
         [(json.dumps(l),) for l in dbz_lines], "value string")
     got_dbz = materialize(
@@ -951,4 +982,5 @@ def test_three_adapters_materialize_identical_state(spark, ops):
     want = sorted(state.items())
     assert got_pg == want
     assert got_w2j == want
+    assert got_v2 == want
     assert got_dbz == want

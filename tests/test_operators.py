@@ -790,3 +790,46 @@ def test_annindex_sharded_assignment_equals_broadcast_build(spark, sf_smoke,
     rebuilt = AnnIndex(str(tmp_path / "shard"))
     rebuilt.build(base, label="rebuild")
     assert rebuilt.meta()["assignment_shards"] == 4
+
+
+def test_fresh_build_auto_computes_assignment_shards(spark, tmp_path, sf_smoke):
+    """A genuinely fresh build (no knob, no prior _META) must DERIVE
+    assignment_shards from the trained quantizer via the documented
+    ceil(|C| x d x 8 B / broadcast budget) rule instead of silently
+    broadcasting — at a true 100 TB corpus the first build is exactly
+    where the ~230 MB quantizer would otherwise ship as a broadcast
+    (r12 verdict). The budget is shrunk so the test corpus's quantizer
+    crosses it; results must equal the broadcast-path build."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from pgcdc_spark.catalog import load
+    from pgcdc_spark.operators.annindex import AnnIndex
+
+    (emb,) = load(spark, sf_smoke, "embeddings")
+
+    bcast = AnnIndex(str(tmp_path / "bc"))
+    bcast.build(emb, label="b")
+    assert bcast.meta()["assignment_shards"] is None  # under the budget
+
+    # shrink the budget below |C| x d x 8 B: auto rule must kick in
+    cent = spark.read.parquet(bcast.table_path("centroids"))
+    c, d = cent.count(), len(cent.first()["ce"])
+    budget = max(1, (c * d * 8) // 3)
+    auto = AnnIndex(str(tmp_path / "auto"), broadcast_budget_bytes=budget)
+    auto.build(emb, label="b")
+    got = auto.meta()["assignment_shards"]
+    assert got == math.ceil(c * d * 8 / budget) and got > 1
+
+    # recorded without the caller asking, AND row-identical to broadcast
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    assert sorted(map(tuple,
+                      auto.probe(spark, queries, nprobe=2, k=10).collect())) \
+        == sorted(map(tuple,
+                      bcast.probe(spark, queries, nprobe=2, k=10).collect()))
+    # a fresh opener of the auto index inherits the derived decision
+    assert AnnIndex(str(tmp_path / "auto")).meta()["assignment_shards"] == got

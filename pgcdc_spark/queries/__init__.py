@@ -69,78 +69,72 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once.
-# Round-12 list (VERDICT r11 item 3): the ELEVEN names that overflowed
-# the r11 sample (events_locf_fill onward in the r11 list, last sampled
-# round 5) go first, then the next-stalest cohorts by last-sampled
-# round: r6 (4 names), r7 (30 names), then the alphabetical head of the
-# r8 cohort to fill slot 50.  New round-12 queries, if any, are
-# prepended above the overflow block when added.  The two
-# declared-approximate no-oracle names (agg_approx_distinct,
-# sketch_hll_distinct) stay excluded: pytest bounds them instead, and a
-# rows-only driver row would spend a full-oracle slot.
+# Round-13 list (VERDICT r12 item 4): the new round-13 query first
+# (never driver-sampled), then the THIRTY-FOUR r8-cohort names that
+# overflowed the r12 sample (r12 took the alphabetical head
+# agg_abc_pareto..cdc_pgoutput_state; the rest, last sampled round 8,
+# rotate to the front here), then the alphabetical head of the r9
+# cohort (49 names) to fill slot 50 — names past slot 50 overflow to
+# round 14 and rotate to the front there.  The two declared-approximate
+# no-oracle names (agg_approx_distinct, sketch_hll_distinct) stay
+# excluded: pytest bounds them instead, and a rows-only driver row
+# would spend a full-oracle slot.
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # round-12 addition (never driver-sampled) — first
-    "emb_ivf_probe_profile",
-    # r11 sample overflow (last sampled round 5) — next per VERDICT
-    "events_locf_fill",
-    "events_ohlc_hourly",
-    "events_variant_extract",
-    "join_asof_tolerance",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "mm_resize",
-    "scalar_posexplode_ordinal",
-    "scalar_try_arith",
-    "subq_lateral_topn",
-    "udf_pandas_grouped_agg",
-    # last sampled round 6
-    "events_from_json_agg",
-    "events_json_extract",
-    "setop_except_all",
-    "setop_intersect_all",
-    # last sampled round 7
-    "cdc_changelog_stats",
-    "cdc_debezium_state",
-    "cdc_evolving_state",
-    "cdc_mongo_patch_state",
-    "cdc_mongo_state",
-    "cdc_widening_state",
-    "distinct_rows",
-    "docs_weighted_sample",
-    "dq_expectations_orders",
-    "graph_bfs_hops",
-    "ivm_agg_view_state",
-    "ivm_join_view_state",
-    "ivm_minmax_view_state",
-    "merge_into_customer_orders",
-    "mm_audio_resample",
-    "mm_extract_features",
-    "profile_orders_columns",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_by_name",
-    "setop_union_distinct",
-    "sort_limit_topn",
-    "udf_sql_registered",
-    "window_lag_lead",
-    "window_ntile",
-    "window_range_between",
-    "window_rank_distributions",
-    "window_running_frames",
-    "window_sessionize",
-    "window_topk_per_group",
-    # last sampled round 8 (alphabetical head; names past slot 50
-    # overflow to round 13 and rotate to the front there)
-    "agg_abc_pareto",
-    "agg_linreg_by_type",
-    "agg_rfm_segmentation",
-    "agg_weighted_median",
+    # round-13 addition (never driver-sampled) — first
+    "cdc_wal2json_v2_state",
+    # r12 sample overflow (last sampled round 8) — next per VERDICT
     "assoc_rules_copurchase",
     "cdc_lsn_gap_audit",
     "cdc_multitable_route_state",
     "cdc_pgoutput_state",
+    "cdc_pgoutput_stream_state",
+    "cdc_snapshot_cutover_state",
+    "cdc_time_travel_state",
+    "cdc_toast_upsert_state",
+    "cdc_upsert_state",
+    "cdc_wal2json_state",
+    "docs_bm25_topk",
+    "docs_cms_heavy_hitters",
+    "docs_mixture_weights",
+    "docs_phrase_search",
+    "docs_train_val_test_split",
+    "events_ewma_smooth",
+    "events_markov_transitions",
+    "events_outliers_mad",
+    "events_outliers_zscore",
+    "events_session_window_native",
+    "feat_target_encoding",
+    "graph_bfs_recursive_cte",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "ivm_bm25_topk_state",
+    "ivm_distinct_view_state",
+    "ivm_histogram_view_state",
+    "ivm_term_df_state",
+    "ivm_topk_view_state",
+    "mm_binary_ingest",
+    "mm_quarantine_deadletter",
+    "profile_drift_psi",
+    "profile_join_key_skew",
+    "scalar_collation_groupby",
+    # last sampled round 9 (alphabetical head; the rest overflow to r14)
+    "agg_collect_set",
+    "agg_cube",
+    "agg_distinct_stats",
+    "agg_filtered_pivot",
+    "agg_global",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stddev_stable",
+    "case_when_coalesce",
+    "cdc_e2e_revenue_rollup",
+    "cdc_message_audit",
+    "cdc_origin_filter_state",
+    "cdc_replica_identity_state",
+    "cdc_two_phase_state",
+    "cdc_xlog_infer_state",
 )
 
 

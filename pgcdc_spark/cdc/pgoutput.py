@@ -575,6 +575,7 @@ def stream_segments(messages: DataFrame, lsn_col: str = "lsn",
     window_end = messages.agg((F.max(lsn_col) + 1).alias("__window_end"))
     return (
         paired.filter(F.col("__is_start"))
+        # bounded: window_end is a 1-row aggregate
         .crossJoin(F.broadcast(window_end))
         .select(
             F.col("__ctrl_lsn").alias("seg_start"),
@@ -1099,6 +1100,14 @@ def prepared_verdicts(messages: DataFrame, lsn_col: str = "lsn",
 # drift: framing/control rows and NON-transactional messages are never
 # stamped (see overlay_prepared_spans' docstring for why the wire flag,
 # not interval membership, decides for 'M').
+# DELIBERATE asymmetry vs the v2 STREAMED path (ADVICE r12): v2
+# in-segment 'Y' (type) and 'M' rows carry a WIRE xid prefix and are
+# stamped from it, so a (sub)abort discards them with the segment; here
+# type/relation metadata rows have NO wire xid (the 2PC block is plain
+# v1 framing inside 'b'..'P'), so a 'type' row inside a rolled-back
+# prepared block survives at its own lsn — harmless (metadata carries
+# no row images) and truthful to what the wire actually attributes to
+# the transaction.
 _PREPARED_STAMP_TAGS = ("insert", "update", "delete", "truncate",
                         "truncate_other", "message")
 

@@ -592,7 +592,7 @@ def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the item-count sides are ITEM-CATALOG-SIZED (one row per
         # distinct part — corpus-scaled), so the lift joins are pinned
         # shuffled-hash, never estimate-driven broadcasts (r12 audit);
-        # n is a 1-row aggregate — bounded: broadcast is exact there
+        # bounded: n is a 1-row aggregate — broadcast is exact there
         pair.join(ia.hint("shuffle_hash"), "pa")
         .join(ib.hint("shuffle_hash"), "pb")
         .crossJoin(F.broadcast(n))

@@ -436,7 +436,7 @@ def nearest_cells(side: DataFrame, cent: DataFrame, id_col: str, k: int) -> Data
     64-double array (measured 30 s -> ~6 s at the 10x corpus; the window
     form shuffled the array once per centroid). k>1 (the PROBE path,
     |queries| rows) keeps the per-id window — its input is tiny."""
-    # bounded through sf10: sqrt(n) centroids — nearest_cells_sharded is the past-broadcast-budget fallback
+    # bounded: sqrt(n) centroids (measured through sf10) — nearest_cells_sharded is the past-broadcast-budget fallback
     scored = side.crossJoin(F.broadcast(cent)).select(
         id_col, "e", "n", "cid",
         (dot_fold_expr("e", "ce") / (F.col("n") * F.col("cn"))).alias("ccos"),

@@ -705,7 +705,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cnt is VOCABULARY-SIZED (one row per distinct token — grows
         # with the corpus): pinned shuffled-hash join reusing cnt's own
         # groupBy partitioning, never a forced broadcast (r12 audit);
-        # total is a 1-row aggregate — bounded
+        # bounded: total is a 1-row aggregate
         tf.join(cnt.hint("shuffle_hash"), "w")
         .join(F.broadcast(total))
         .groupBy("doc_id")

@@ -303,7 +303,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        # supplier is corpus-scaled: no force; nations are bounded dims
+        # supplier is corpus-scaled: no force
+        # bounded: n1/n2 are fixed 25-row nation dims
         .join(supp.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))

@@ -154,8 +154,8 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, supp, nation = load(spark, sf_dir, "lineitem", "supplier", "nation")
     nation7 = nation.filter(F.col("n_name") == "NATION_7").select("n_nationkey")
     val = (
-        # supplier slice is corpus-scaled (1 of 25 nations): no outer
-        # force; nation7 stays the bounded broadcast dim (r12)
+        # supplier slice is corpus-scaled (1 of 25 nations): no outer force
+        # bounded: nation7 is a fixed single-nation dim slice (r12)
         li.join(supp.join(F.broadcast(nation7),
                           F.col("s_nationkey") == F.col("n_nationkey"))
                     .select("s_suppkey"),
@@ -258,7 +258,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         # revenue is one row PER SUPPLIER (corpus-scaled agg): no force;
-        # top is a 1-row aggregate — bounded broadcast (r12)
+        # bounded: top is a 1-row aggregate (r12)
         supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
         .join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name",

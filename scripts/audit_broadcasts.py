@@ -41,6 +41,20 @@ artifact) at the repo root. Partial runs — ``--runtime-only`` /
 ``--static-only`` / ``--only name1,name2`` — REQUIRE ``AUDIT_OUT`` to
 point at a different path: a partial sweep must never clobber the
 committed evidence.
+
+``--big`` (r12 verdict item 5 — the STANDING decade-up gate, was a
+one-off ``--only``+env invocation in r12): audits the heavy scale-set
+families one decade higher and writes AUDIT_BROADCAST_BIG.json —
+    runtime tier: scale_curve.SCALE_SET on final AQE plans at
+                  sf0.1 vs the 10x testdata_sf1 (the decade where the
+                  r11 OOM class lived);
+    static tier:  scale_curve.SF10_SET on file-size-statistic plans at
+                  testdata_sf1 vs the 100x testdata_sf10 (only the
+                  documents/embeddings/events-backed subset has tables
+                  there; cdc entries drop out if the gitignored 100x
+                  events table is absent, same gate as scale_curve).
+A new heavy query family added to the scale sets gets this read by
+default. Invocation: ``python scripts/audit_broadcasts.py --big``.
 """
 from __future__ import annotations
 
@@ -68,6 +82,7 @@ SF_MED = os.environ.get("AUDIT_SF_MED",
                         os.environ.get("SPARK_GRAFT_SF_DIR",
                                        "/root/testdata/sf0.1"))
 SF_BIG = os.environ.get("AUDIT_SF_BIG", os.path.join(REPO, "testdata_sf1"))
+SF_SF10 = os.environ.get("AUDIT_SF_SF10", os.path.join(REPO, "testdata_sf10"))
 OUT = os.environ.get("AUDIT_OUT", "AUDIT_BROADCAST.json")
 
 
@@ -85,11 +100,16 @@ def fingerprint(plan: str) -> dict[str, int]:
 
 def plan_of(df, execute: bool) -> str:
     if execute:
-        # collect() drives df's OWN QueryExecution, so the adaptive plan
-        # this frame re-explains afterwards is the FINAL one
-        # (isFinalPlan=true) — a noop write would execute a different
-        # QueryExecution and leave df's plan un-finalized.
-        df.collect()
+        # Draining toLocalIterator drives df's OWN QueryExecution, so
+        # the adaptive plan this frame re-explains afterwards is the
+        # FINAL one (isFinalPlan=true) — a noop write would execute a
+        # DIFFERENT QueryExecution and leave df's plan un-finalized.
+        # Iterator instead of collect() (ADVICE r12): queries with
+        # corpus-scaled outputs (per-doc rows) hold at most one result
+        # partition on the driver, so raising the audit scales can
+        # never OOM the audit itself.
+        for _ in df.toLocalIterator(prefetchPartitions=True):
+            pass
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -97,6 +117,10 @@ def plan_of(df, execute: bool) -> str:
 
 
 def main() -> None:
+    global OUT
+    big = "--big" in sys.argv
+    if big and "AUDIT_OUT" not in os.environ:
+        OUT = "AUDIT_BROADCAST_BIG.json"  # its own committed artifact
     tiers = {"static", "runtime"}
     if "--runtime-only" in sys.argv:
         tiers = {"runtime"}
@@ -130,6 +154,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    # tier -> ((small_dir, big_dir), execute, name_filter-or-None)
+    if big:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from scale_curve import SCALE_SET, SF10_SET
+
+        sf10_names = set(SF10_SET)
+        if not os.path.exists(os.path.join(SF_SF10, "events.parquet")):
+            # same gate as scale_curve: the 100x events table is
+            # gitignored; without it the CDC legs have no sf10 input
+            sf10_names = {n for n in sf10_names if not n.startswith("cdc_")}
+        tier_cfg = {
+            "runtime": ((SF_MED, SF_BIG), True, set(SCALE_SET)),
+            "static": ((SF_BIG, SF_SF10), False, sf10_names),
+        }
+        qs = {n: qs[n] for n in sorted(set(SCALE_SET) | sf10_names)
+              if n in qs}
+    else:
+        tier_cfg = {
+            "runtime": ((SF_SMALL, SF_MED), True, None),
+            "static": ((SF_SMALL, SF_BIG), False, None),
+        }
+
     out: dict[str, dict] = {}
     t0 = time.time()
     if only:
@@ -139,11 +185,8 @@ def main() -> None:
         qs = {n: qs[n] for n in sorted(only)}
     for i, (name, qd) in enumerate(sorted(qs.items())):
         rec: dict[str, dict] = {}
-        for tier, (sf_a, sf_b), execute in (
-            ("runtime", (SF_SMALL, SF_MED), True),
-            ("static", (SF_SMALL, SF_BIG), False),
-        ):
-            if tier not in tiers:
+        for tier, ((sf_a, sf_b), execute, names) in sorted(tier_cfg.items()):
+            if tier not in tiers or (names is not None and name not in names):
                 continue
             fps, err = {}, None
             for sf in (sf_a, sf_b):
@@ -180,8 +223,9 @@ def main() -> None:
         if any("error" in r for r in rec.values())
     )
     artifact = {
+        "mode": "big" if big else "full",
         "tiers": sorted(tiers),
-        "scales": {"runtime": [SF_SMALL, SF_MED], "static": [SF_SMALL, SF_BIG]},
+        "scales": {t: list(cfg[0]) for t, cfg in tier_cfg.items()},
         "n_queries": len(out),
         "flagged": flagged,
         "errored": errored,

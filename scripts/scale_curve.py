@@ -269,16 +269,21 @@ def main() -> None:
             # with a small constant only surfaces in the SECOND decade
             queries[name]["flagged"] = (
                 queries[name]["flagged"] or exp2 > design + FLAG_SLACK)
+    # EVERY measured entry carries its own 'scales' provenance stamp at
+    # write time (ADVICE r12): a --only merge overwrites the top-level
+    # small/big/sf10 with this run's dirs, so entries carried over from
+    # the prior artifact would otherwise have ambiguous provenance in a
+    # mixed-session file. With the per-entry stamp, a reader attributes
+    # each exponent to the corpora it was actually measured on.
+    for q in queries.values():
+        q["scales"] = {"small": small, "big": big,
+                       "sf10": sf10 if run_sf10 else None}
     # --only runs MERGE into the existing artifact (the other entries'
-    # measurements stay; flags/median recomputed over the union). Each
-    # re-measured entry is stamped with THIS run's corpora so a reader
-    # never attributes mixed-session exponents to the wrong dirs, and
-    # top-level merged_only lists what the latest partial run replaced.
+    # measurements stay — WITH their original stamps; flags/median
+    # recomputed over the union), and top-level merged_only lists what
+    # the latest partial run replaced.
     merged_only = None
     if only and os.path.exists(out_path):
-        for q in queries.values():
-            q["scales"] = {"small": small, "big": big,
-                           "sf10": sf10 if run_sf10 else None}
         with open(out_path) as f:
             prev = json.load(f)
         merged = dict(prev.get("queries", {}))

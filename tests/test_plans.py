@@ -697,21 +697,22 @@ def test_corpus_scaled_joins_never_broadcast(spark):
 
 def test_every_broadcast_site_annotated_bounded():
     """Source-level guard for the same audit: every explicit
-    F.broadcast( call site in the engine must carry a boundedness
-    annotation (a comment within the preceding 8 lines stating WHY the
-    side cannot grow with the corpus — 1-row aggregate, fixed dim,
-    query set, codebook, O(#control rows), ...). A new broadcast
-    without an argued bound fails here, so the corpus-scaled-broadcast
-    bug class (r10 bigram shingles, r11 dup-gram OOM) cannot re-enter
+    F.broadcast( call site in the engine must carry a DEDICATED
+    '# bounded: <why>' marker within the preceding 8 lines stating WHY
+    the side cannot grow with the corpus — 1-row aggregate, fixed dim,
+    query set, codebook, O(#control rows), ... A new broadcast without
+    an argued bound fails here, so the corpus-scaled-broadcast bug
+    class (r10 bigram shingles, r11 dup-gram OOM) cannot re-enter
     silently. Forced broadcasts are invisible to the plan-flip audit
-    (a force never flips), which is exactly why this is a SOURCE rule."""
+    (a force never flips), which is exactly why this is a SOURCE rule.
+    The marker is a fixed convention ('bounded:' immediately after the
+    hash), not keyword sniffing — ADVICE r12: an unrelated nearby
+    comment saying 'fixed a bug' must not vacuously satisfy the rule."""
     import os
     import re
 
     pat = re.compile(r"F\.broadcast\(")
-    mark = re.compile(
-        r"#.*?(bounded|1-row|fixed|O\(#|control rows|query set|codebook"
-        r"|spine|verdict|per fixed term)", re.I)
+    mark = re.compile(r"#\s*bounded:", re.I)
     viol = []
     root_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "pgcdc_spark")

@@ -130,6 +130,10 @@ EXTRA = [
     # r11: weighted sampling without replacement (priority sampling —
     # per-stratum WindowGroupLimit top-k, integer-exact priorities)
     "docs_priority_sample_strata",
+    # r13: wal2json format_version=2 (per-change typed-JSON objects —
+    # joins its v1 twin in the codegen-vs-Arrow wire-format pairing;
+    # NOTE the cdc family subtotal gains this entry from r13 on)
+    "cdc_wal2json_v2_state",
 ]
 
 
@@ -150,7 +154,8 @@ FAMILIES = {
     ],
     "cdc": [
         "cdc_upsert_state", "cdc_scd2_history", "merge_into_customer_orders",
-        "cdc_pgoutput_state", "cdc_wal2json_state", "cdc_toast_upsert_state",
+        "cdc_pgoutput_state", "cdc_wal2json_state", "cdc_wal2json_v2_state",
+        "cdc_toast_upsert_state",
         "cdc_pgoutput_stream_state", "cdc_two_phase_state",
         "cdc_e2e_revenue_rollup", "cdc_publication_filter_state",
     ],

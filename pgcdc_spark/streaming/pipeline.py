@@ -60,6 +60,43 @@ def read_envelope_stream(
     return apply_pipeline(env)
 
 
+def read_wal2json_stream(
+    spark: SparkSession,
+    source_dir: str,
+    row_schema: StructType,
+    format_version: int = 2,
+    max_files_per_trigger: int = 10,
+    split_key_updates_on: list[str] | None = None,
+) -> DataFrame:
+    """wal2json JSON lines (a directory fed by any slot-tailing shipper:
+    pg_recvlogical, a Lambda, a sidecar) -> the standard change stream.
+    The batch parsers (cdc/wal2json.py) are pure narrow JVM work —
+    from_json / posexplode / try_cast, no aggregation — so the identical
+    logical plan runs per micro-batch under Structured Streaming: one
+    code path, two modes, the same contract as read_envelope_stream.
+    ``format_version`` selects the wire layout — 1 (one transaction
+    document per line, ordered change array) or 2 (one object per
+    change, the modern default). Compose with start_upsert_stream for
+    the materialized table."""
+    from ..cdc.wal2json import parse_wal2json, parse_wal2json_v2
+
+    if format_version not in (1, 2):
+        raise ValueError(f"wal2json format_version must be 1 or 2, "
+                         f"got {format_version!r}")
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+    parse = parse_wal2json if format_version == 1 else parse_wal2json_v2
+    env = parse(raw, row_schema)
+    if split_key_updates_on:
+        from ..cdc.transform import split_key_updates
+
+        env = split_key_updates(env, keys=list(split_key_updates_on))
+    return apply_pipeline(env)
+
+
 def start_upsert_stream(
     changes: DataFrame,
     state_dir: str,

@@ -62,6 +62,9 @@ SCALE_SET = [
     "emb_kmeans_lloyd",
     "emb_ivf_pq_topk",
     "cdc_wal2json_state",
+    # r13 addition: the format_version=2 adapter joins its v1 twin in
+    # the heavy set (same LWW state family, different wire layout)
+    "cdc_wal2json_v2_state",
     "dedup_dup_ngram_spans",
     "cdc_e2e_revenue_rollup",
     "graph_pagerank",

@@ -680,6 +680,75 @@ def test_sortable_lsn_orders_variable_width_hex(spark):
     assert got == "t0042"
 
 
+def test_wal2json_v2_stream_to_upsert_state(spark, tmp_path):
+    """wal2json format_version=2 lines through the file stream -> the
+    standard upsert sink: per-micro-batch the SAME parse plan as batch
+    (narrow JVM ops), so the materialized state must equal the batch
+    materialization of the same lines — including a key-changing update
+    routed via split_key_updates and a cross-micro-batch delete. v1 and
+    v2 streams of the same changelog land the identical state."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.streaming.pipeline import read_wal2json_stream
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+
+    def col(n, v):
+        return {"name": n, "type": "bigint", "value": v}
+
+    v2 = [
+        {"action": "B", "lsn": "0/1"},
+        {"action": "I", "schema": "s", "table": "t", "lsn": "0/2",
+         "columns": [col("id", 1), col("v", 10)]},
+        {"action": "I", "schema": "s", "table": "t", "lsn": "0/3",
+         "columns": [col("id", 2), col("v", 20)]},
+        {"action": "C", "lsn": "0/4"},
+        # key change 1 -> 3 (identity carries the old key)
+        {"action": "U", "schema": "s", "table": "t", "lsn": "0/A",
+         "columns": [col("id", 3), col("v", 11)],
+         "identity": [col("id", 1)]},
+        {"action": "D", "schema": "s", "table": "t", "lsn": "0/10",
+         "identity": [col("id", 2)]},
+        {"action": "I", "schema": "s", "table": "t", "lsn": "0/11",
+         "columns": [col("id", 4), col("v", 40)]},
+    ]
+    lines = [_json.dumps(x) for x in v2]
+    src = str(tmp_path / "src")
+    _write_chunks(src, lines, chunks=3)
+
+    changes = read_wal2json_stream(
+        spark, src, schema, format_version=2, max_files_per_trigger=1,
+        split_key_updates_on=["id"])
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = start_upsert_stream(changes, state_dir, ckpt, keys=["id"])
+    q.awaitTermination(120)
+
+    got = {r["id"]: r["v"] for r in read_state(spark, state_dir).collect()}
+    assert got == {3: 11, 4: 40}
+
+    # batch twin over the same lines: identical state
+    from pgcdc_spark.cdc.transform import apply_pipeline, split_key_updates
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pgcdc_spark.cdc.wal2json import parse_wal2json_v2
+
+    raw = spark.createDataFrame([(x,) for x in lines], "value string")
+    env = split_key_updates(parse_wal2json_v2(raw, schema), keys=["id"])
+    batch = {r["id"]: r["v"]
+             for r in latest_state(apply_pipeline(env), keys=["id"],
+                                   order_by=["lsn"]).collect()}
+    assert batch == got
+
+    # format_version is validated up front
+    try:
+        read_wal2json_stream(spark, src, schema, format_version=3)
+        raise AssertionError("format_version=3 must be rejected")
+    except ValueError:
+        pass
+
+
 def test_pysource_replay_row_granular_batches(spark, tmp_path):
     """The custom Python DataSource replays envelopes rowsPerBatch at a
     time through real offsets: the full upsert pipeline lands the same

@@ -793,8 +793,15 @@ def cdc_wal2json_v2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # every 7th event drags a begin/commit control pair along — the
-    # filter must drop them without disturbing data-row order
-    lines = events.select(
+    # filter must drop them without disturbing data-row order.
+    # repartition BEFORE the encode: a real v2 stream arrives as many
+    # files/splits, but the single test parquet file reads as ONE input
+    # partition, which would serialize the whole encode+parse into one
+    # task (v1 parallelizes for free via its transaction groupBy
+    # shuffle). numPartitions is EXPLICIT: a column-only repartition of
+    # a test-scale input is coalesced back to one partition by AQE,
+    # which re-serializes the parse.
+    lines = events.repartition(32, F.col("event_id")).select(
         F.when(
             F.col("event_id") % 7 == 3,
             F.array(

@@ -82,8 +82,9 @@ _MODULES = (
 # all_queries() yields these first, then every other query in
 # registration order.  Do NOT reorder mid-round.
 _PRIORITY = (
-    # round-13 addition (never driver-sampled) — first
+    # round-13 additions (never driver-sampled) — first
     "cdc_wal2json_v2_state",
+    "cdc_wal2json_v2_keyroute_state",
     # r12 sample overflow (last sampled round 8) — next per VERDICT
     "assoc_rules_copurchase",
     "cdc_lsn_gap_audit",
@@ -134,7 +135,8 @@ _PRIORITY = (
     "cdc_origin_filter_state",
     "cdc_replica_identity_state",
     "cdc_two_phase_state",
-    "cdc_xlog_infer_state",
+    # (cdc_xlog_infer_state, next in the r9 cohort, overflows to r14 —
+    # the two r13 additions take its slot and one more)
 )
 
 

@@ -823,6 +823,96 @@ def cdc_wal2json_v2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# --- wal2json v2 REPLICA IDENTITY key-change routing, oracle-gated -------------
+# The v2 twin of cdc_replica_identity_state (pgoutput 'K'/'O' old
+# tuples): wal2json v2 ships the OLD KEY as the `identity` array on
+# key-changing updates, and split_key_updates must retire the old key
+# (DELETE at lsn/0) and land the new image (INSERT at lsn/1) — the
+# stale-ghost-row defense, driver-gated on the NEW adapter's identity
+# path rather than pytest alone. Fixture: every 5th non-error event
+# migrates its key uid -> uid+100000 (identity carries the old uid);
+# same dict-model oracle as the pgoutput twin (ord = event_id*2 for the
+# retire row, *2+1 for the landing row — exactly the /0 < /1 sub-lsn
+# order the splitter emits).
+
+_W2J_V2_RI_ORACLE = """
+WITH log AS (
+  SELECT user_id AS k, value AS v, event_id * 2 + 1 AS ord,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'I' END AS op
+  FROM events
+  WHERE NOT (event_type <> 'error' AND event_id % 5 = 3)
+  UNION ALL
+  SELECT user_id AS k, NULL AS v, event_id * 2 AS ord, 'D' AS op
+  FROM events WHERE event_type <> 'error' AND event_id % 5 = 3
+  UNION ALL
+  SELECT user_id + 100000 AS k, value AS v, event_id * 2 + 1 AS ord, 'I' AS op
+  FROM events WHERE event_type <> 'error' AND event_id % 5 = 3
+)
+SELECT k AS user_id, v AS last_value
+FROM (
+  SELECT k, v, op, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
+  FROM log
+) WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
+@query("cdc_wal2json_v2_keyroute_state", oracle=_W2J_V2_RI_ORACLE,
+       tags=("cdc", "wal2json", "replica-identity"))
+def cdc_wal2json_v2_keyroute_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..cdc.transform import apply_pipeline, split_key_updates
+    from ..cdc.wal2json import parse_wal2json_v2
+
+    (events,) = load(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    is_mig = ~is_del & (F.col("event_id") % 5 == 3)
+    hexlsn = F.hex(F.col("event_id") + 1)
+    new_uid = F.when(
+        is_mig, F.col("user_id") + 100000).otherwise(F.col("user_id"))
+    cols = F.format_string(
+        '[{"name":"user_id","type":"bigint","value":%s},'
+        '{"name":"value","type":"double precision","value":%s}]',
+        new_uid.cast("string"),
+        F.col("value").cast("string"),
+    )
+    ident = F.format_string(
+        '[{"name":"user_id","type":"bigint","value":%s}]',
+        F.col("user_id").cast("string"),
+    )
+    obj = F.when(
+        is_del,
+        F.format_string(
+            '{"action":"D","schema":"public","table":"events",'
+            '"lsn":"0/%s","identity":%s}', hexlsn, ident),
+    ).when(
+        is_mig,
+        # key-changing UPDATE: identity = old key (REPLICA IDENTITY)
+        F.format_string(
+            '{"action":"U","schema":"public","table":"events",'
+            '"lsn":"0/%s","columns":%s,"identity":%s}', hexlsn, cols, ident),
+    ).otherwise(
+        F.format_string(
+            '{"action":"U","schema":"public","table":"events",'
+            '"lsn":"0/%s","columns":%s}', hexlsn, cols),
+    )
+    # same pre-encode repartition rationale as cdc_wal2json_v2_state
+    # (the single test file would serialize encode+parse into one task)
+    lines = events.repartition(32, F.col("event_id")).select(
+        obj.alias("value"))
+    row_schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    env = split_key_updates(
+        parse_wal2json_v2(lines, row_schema), keys=["user_id"])
+    changes = apply_pipeline(env)
+    state = latest_state(changes, keys=["user_id"], order_by=["lsn"], op_col="op")
+    return state.select(
+        "user_id", F.col("value").alias("last_value")
+    ).orderBy("user_id")
+
+
 # --- unchanged-TOAST carry-forward, driven through the oracle gate ------------
 # Postgres does NOT re-send a TOASTed value an UPDATE didn't touch: the
 # pgoutput tuple carries kind 'u' instead of the bytes. A pipeline that

@@ -147,6 +147,9 @@ SF10_SET = [
     "cdc_pgoutput_state",
     "cdc_toast_upsert_state",
     "cdc_two_phase_state",
+    # r13: the v2 JSON wire path at the second decade (events-backed;
+    # the codegen contrast to cdc_pgoutput_state's Arrow decode above)
+    "cdc_wal2json_v2_state",
 ]
 
 

@@ -224,6 +224,7 @@ def _v2_image(cols: F.Column, row_schema: StructType) -> F.Column:
 def parse_wal2json_v2(
     raw: DataFrame, row_schema: StructType, json_col: str = "value",
     track_unchanged: bool = False,
+    source_table: tuple[str, str] | None = None,
 ) -> DataFrame:
     """wal2json ``format-version=2``: one envelope row per input JSON
     object. ``action`` I/U/D become data rows; B/C/T/M become the
@@ -239,6 +240,18 @@ def parse_wal2json_v2(
     filter -> extract -> upsert pipeline (pinned by the four-adapter
     equivalence property in tests/test_properties.py).
 
+    TABLE SCOPE: like v1 (and every single-``row_schema`` adapter),
+    this parser assumes a SINGLE-TABLE stream by default — images are
+    typed against one schema and 'T' maps to the table-unscoped
+    ``truncate`` tag. A slot whose publication carries MORE tables must
+    pass ``source_table=(schema, table)`` (r13 review): foreign I/U/D
+    rows are then dropped instead of mis-typed into this table's state,
+    and a 'T' frame naming a DIFFERENT table tags ``truncate_other``
+    (inert to drop_pre_truncate) instead of voiding this table's rows.
+    (Multi-table fan-out belongs to the routing operator,
+    cdc/pgoutput.decode_pgoutput_multi — one stream per silver table is
+    the serving shape here.)
+
     TOAST: like v1, an unchanged-TOAST column is OMITTED from the
     ``columns`` array (a genuine SQL NULL arrives as JSON null), so
     ``track_unchanged=True`` surfaces the absent field names for
@@ -251,20 +264,31 @@ def parse_wal2json_v2(
     doc = raw.select(F.from_json(F.col(json_col), _V2_DOC).alias("_d"))
     act = F.col("_d.action")
     is_data = act.isin("I", "U", "D")
+    tag = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in _V2_ACTION_TO_TAG.items() for x in kv]
+            ),
+            act,
+        ),
+        F.lit("_control"),
+    )
+    if source_table is not None:
+        sch, tbl = source_table
+        is_mine = (F.col("_d.schema").eqNullSafe(F.lit(sch))
+                   & F.col("_d.table").eqNullSafe(F.lit(tbl)))
+        # foreign data rows never reach this table's typed images;
+        # foreign truncates must not advance this table's watermark
+        doc = doc.filter(~act.isin("I", "U", "D") | is_mine)
+        tag = F.when(
+            (act == "T") & ~is_mine, F.lit("truncate_other")
+        ).otherwise(tag)
     has_new = act.isin("I", "U") & F.col("_d.columns").isNotNull()
     has_old = F.col("_d.identity").isNotNull()
     col_names = F.transform(F.col("_d.columns"), lambda c: c["name"])
     return doc.select(
         _sortable_lsn(F.col("_d.lsn")).alias("lsn"),
-        F.coalesce(
-            F.element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in _V2_ACTION_TO_TAG.items() for x in kv]
-                ),
-                act,
-            ),
-            F.lit("_control"),
-        ).alias("tag"),
+        tag.alias("tag"),
         F.when(has_new, _v2_image(F.col("_d.columns"), row_schema)).alias("new"),
         F.when(
             is_data & has_old, _v2_image(F.col("_d.identity"), row_schema)

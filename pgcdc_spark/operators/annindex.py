@@ -286,30 +286,37 @@ class AnnIndex:
         # every other entry point — constructor None means "inherit
         # from _META", never "silently broadcast" (r12 review).
         shards = self.assignment_shards
-        inherited = False
+        inherited = None
         if shards is None:
             try:
-                shards = self.meta().get("assignment_shards")
-                inherited = True
+                inherited = self.meta().get("assignment_shards")
             except FileNotFoundError:
-                shards = None  # genuinely fresh index
+                inherited = None  # genuinely fresh index
         cent_count = None
-        if shards is None and not inherited:
-            # Genuinely fresh build, no caller decision: COMPUTE the
-            # documented rule ceil(|C| x d x 8 B / broadcast budget)
-            # from the quantizer just trained, instead of defaulting to
-            # a broadcast the corpus may have outgrown (r12 verdict).
-            # One tiny aggregate over the sqrt(n) donor set; its count
-            # doubles as the degenerate-quantizer probe below.
+        if shards is None:
+            # No EXPLICIT caller decision: COMPUTE the documented rule
+            # ceil(|C| x d x 8 B / broadcast budget) from the quantizer
+            # just trained, instead of defaulting to a broadcast the
+            # corpus may have outgrown (r12 verdict). This runs on
+            # REBUILDS too, not only genuinely fresh roots (r13 review):
+            # the "rebuild required" remedy retrains the quantizer at
+            # the NEW corpus size, so an inherited null (or stale small)
+            # decision from the old _META must never downgrade the new
+            # quantizer below its own rule — take max(inherited,
+            # derived). One tiny aggregate over the sqrt(n) donor set;
+            # its count doubles as the degenerate-quantizer probe below.
             row = cent.agg(
                 F.count(F.lit(1)).alias("c"),
                 F.first(F.size("ce")).alias("d"),
             ).first()
             cent_count = int(row["c"])
+            derived = None
             if cent_count:
                 raw_bytes = cent_count * int(row["d"] or 0) * 8
                 n = -(-raw_bytes // self.broadcast_budget_bytes)  # ceil
-                shards = int(n) if n > 1 else None
+                derived = int(n) if n > 1 else None
+            shards = max((x for x in (inherited, derived) if x is not None),
+                         default=None)
         # Degenerate-quantizer guard: the adaptive centroid rule always
         # selects >= 1 donor from a NON-EMPTY training set (M=1 means
         # "every row"), but the capped codebook rule (vec_id % mod == 1

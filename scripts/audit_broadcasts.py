@@ -181,7 +181,13 @@ def main() -> None:
     if only:
         unknown = only - set(qs)
         if unknown:
-            raise SystemExit(f"--only names not registered: {sorted(unknown)}")
+            # in --big mode qs was pre-filtered to the scale sets, so a
+            # validly registered name can land here — say which it is
+            # instead of sending the operator hunting a typo (r13 review)
+            raise SystemExit(
+                f"--only names not in the --big scale sets "
+                f"(SCALE_SET/SF10_SET): {sorted(unknown)}" if big else
+                f"--only names not registered: {sorted(unknown)}")
         qs = {n: qs[n] for n in sorted(only)}
     for i, (name, qd) in enumerate(sorted(qs.items())):
         rec: dict[str, dict] = {}

@@ -281,9 +281,13 @@ def main() -> None:
     # the prior artifact would otherwise have ambiguous provenance in a
     # mixed-session file. With the per-entry stamp, a reader attributes
     # each exponent to the corpora it was actually measured on.
-    for q in queries.values():
+    for name, q in queries.items():
+        # sf10 is stamped ONLY on entries that actually ran a second-
+        # decade leg (r13 review): SCALE_SET-only names, and cdc legs
+        # dropped for a missing 100x events table, must not claim a
+        # corpus they never touched.
         q["scales"] = {"small": small, "big": big,
-                       "sf10": sf10 if run_sf10 else None}
+                       "sf10": sf10 if name in t_sf10 else None}
     # --only runs MERGE into the existing artifact (the other entries'
     # measurements stay — WITH their original stamps; flags/median
     # recomputed over the union), and top-level merged_only lists what

@@ -667,6 +667,61 @@ def test_wal2json_v2_edges_checked(spark):
     assert all(op in ("I", "U", "D") for op, _ in got)
 
 
+def test_wal2json_v2_source_table_scoping(spark):
+    """A slot whose publication carries MORE than this table: with
+    source_table set, foreign I/U/D rows are dropped (never mis-typed
+    into this table's images) and a foreign-table 'T' tags
+    truncate_other — INERT to drop_pre_truncate — while this table's
+    own 'T' still advances the truncate watermark (r13 review: the
+    unscoped default voided THIS table's rows on a foreign truncate
+    when composed with drop_pre_truncate)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.cdc.transform import (
+        DEFAULT_PIPELINE, apply_pipeline, drop_pre_truncate)
+    from pgcdc_spark.cdc.wal2json import parse_wal2json_v2
+
+    pipe = (drop_pre_truncate,) + DEFAULT_PIPELINE
+
+    lines = [
+        '{"action":"I","schema":"s","table":"t","lsn":"0/1","columns":['
+        '{"name":"id","type":"bigint","value":1},'
+        '{"name":"v","type":"bigint","value":10}]}',
+        # foreign table's row: same column names, must NOT enter t's state
+        '{"action":"I","schema":"s","table":"zz","lsn":"0/2","columns":['
+        '{"name":"id","type":"bigint","value":9},'
+        '{"name":"v","type":"bigint","value":90}]}',
+        # foreign truncate AFTER t's insert: must not void t's rows
+        '{"action":"T","schema":"s","table":"zz","lsn":"0/3"}',
+        '{"action":"I","schema":"s","table":"t","lsn":"0/4","columns":['
+        '{"name":"id","type":"bigint","value":2},'
+        '{"name":"v","type":"bigint","value":20}]}',
+        # t's OWN truncate: voids id=1 and id=2, then one survivor
+        '{"action":"T","schema":"s","table":"t","lsn":"0/5"}',
+        '{"action":"I","schema":"s","table":"t","lsn":"0/6","columns":['
+        '{"name":"id","type":"bigint","value":3},'
+        '{"name":"v","type":"bigint","value":30}]}',
+    ]
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    raw = spark.createDataFrame([(x,) for x in lines], "value string")
+    env = parse_wal2json_v2(raw, schema, source_table=("s", "t"))
+    tags = [r["tag"] for r in env.orderBy("lsn").collect()]
+    assert tags == ["insert", "truncate_other", "insert", "truncate",
+                    "insert"]  # foreign insert dropped, foreign T inert
+
+    rows = apply_pipeline(env, pipe)
+    ids = sorted(r["id"] for r in rows.collect())
+    assert ids == [3]  # only the post-truncate survivor
+
+    # unscoped default on a SINGLE-TABLE stream: own-table T still works
+    solo = spark.createDataFrame(
+        [(x,) for x in lines if '"table":"t"' in x], "value string")
+    env2 = parse_wal2json_v2(solo, schema)
+    rows2 = apply_pipeline(env2, pipe)
+    assert sorted(r["id"] for r in rows2.collect()) == [3]
+
+
 # --- unchanged-TOAST ('u' datum) + carry-forward ------------------------------
 
 _UPD_TOAST_GOLDEN = (

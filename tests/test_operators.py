@@ -833,3 +833,20 @@ def test_fresh_build_auto_computes_assignment_shards(spark, tmp_path, sf_smoke):
                       bcast.probe(spark, queries, nprobe=2, k=10).collect()))
     # a fresh opener of the auto index inherits the derived decision
     assert AnnIndex(str(tmp_path / "auto")).meta()["assignment_shards"] == got
+
+    # REBUILD over an index whose _META persisted null (built under the
+    # default budget) must still derive the rule for its NEW quantizer
+    # (r13 review: the 'rebuild required' remedy path must not inherit
+    # the stale broadcast decision past the budget) ...
+    regrown = AnnIndex(str(tmp_path / "bc"), broadcast_budget_bytes=budget)
+    regrown.build(emb, label="rebuild")
+    assert regrown.meta()["assignment_shards"] == got
+    # ... and an inherited EXPLICIT decision is never downgraded below
+    # the new quantizer's own rule (max of the two)
+    wide = AnnIndex(str(tmp_path / "wide"),
+                    assignment_shards=got + 5)
+    wide.build(emb, label="b")
+    rebuilt_wide = AnnIndex(str(tmp_path / "wide"),
+                            broadcast_budget_bytes=budget)
+    rebuilt_wide.build(emb, label="rebuild")
+    assert rebuilt_wide.meta()["assignment_shards"] == got + 5

@@ -108,6 +108,7 @@ def _typed_image(map_col: F.Column, row_schema: StructType) -> F.Column:
 def parse_wal2json(
     raw: DataFrame, row_schema: StructType, json_col: str = "value",
     track_unchanged: bool = False,
+    source_table: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Transaction documents -> one envelope row per change, ordered by
     (transaction lsn, change ordinal) folded into a zero-padded sortable
@@ -120,12 +121,33 @@ def parse_wal2json(
     values, the same TOAST hazard as pgoutput's 'u' datum.
     ``track_unchanged=True`` adds an ``unchanged`` column naming the
     schema fields absent from the wire arrays (JVM filter, no Python);
-    feed it to upsert.toast_state to carry stored values forward."""
+    feed it to upsert.toast_state to carry stored values forward.
+
+    TABLE SCOPE: images are typed against ONE row_schema, so a slot
+    whose publication carries more tables must pass
+    ``source_table=(schema, table)`` — foreign insert/update/delete
+    changes are then dropped instead of mis-typed into this table's
+    state (same contract as the v2 parser; r13 review). v1 truncates
+    stay ``_control`` either way — the v1 layout's truncate is decoded
+    as an unknown kind, never as a drop_pre_truncate watermark.
+    Corrupt/unknown-kind changes keep passing through as ``_control``
+    (the NULL-kind test below is explicit, so three-valued logic cannot
+    silently drop them)."""
     doc = raw.withColumn("_doc", F.from_json(F.col(json_col), _DOC))
     ch = doc.select(
         F.col("_doc.lsn").alias("_txn_lsn"),
         F.posexplode_outer("_doc.change").alias("_idx", "_ch"),
     )
+    if source_table is not None:
+        sch, tbl = source_table
+        kind = F.col("_ch.kind")
+        is_mine = (F.col("_ch.schema").eqNullSafe(F.lit(sch))
+                   & F.col("_ch.table").eqNullSafe(F.lit(tbl)))
+        ch = ch.filter(
+            kind.isNull()
+            | ~kind.isin("insert", "update", "delete")
+            | is_mine
+        )
     new_map = F.map_from_arrays("_ch.columnnames", "_ch.columnvalues")
     old_map = F.map_from_arrays("_ch.oldkeys.keynames", "_ch.oldkeys.keyvalues")
     is_del = F.col("_ch.kind") == "delete"
@@ -278,8 +300,13 @@ def parse_wal2json_v2(
         is_mine = (F.col("_d.schema").eqNullSafe(F.lit(sch))
                    & F.col("_d.table").eqNullSafe(F.lit(tbl)))
         # foreign data rows never reach this table's typed images;
-        # foreign truncates must not advance this table's watermark
-        doc = doc.filter(~act.isin("I", "U", "D") | is_mine)
+        # foreign truncates must not advance this table's watermark.
+        # act.isNull() is EXPLICIT (r13 review): corrupt lines parse to
+        # a NULL action, ~NULL|false is NULL, and a bare two-term filter
+        # would silently drop exactly the '_control' rows a data-quality
+        # monitor watches — scoped and unscoped modes must surface the
+        # same corrupt-input signal.
+        doc = doc.filter(act.isNull() | ~is_data | is_mine)
         tag = F.when(
             (act == "T") & ~is_mine, F.lit("truncate_other")
         ).otherwise(tag)

@@ -67,6 +67,7 @@ def read_wal2json_stream(
     format_version: int = 2,
     max_files_per_trigger: int = 10,
     split_key_updates_on: list[str] | None = None,
+    source_table: tuple[str, str] | None = None,
 ) -> DataFrame:
     """wal2json JSON lines (a directory fed by any slot-tailing shipper:
     pg_recvlogical, a Lambda, a sidecar) -> the standard change stream.
@@ -76,8 +77,11 @@ def read_wal2json_stream(
     code path, two modes, the same contract as read_envelope_stream.
     ``format_version`` selects the wire layout — 1 (one transaction
     document per line, ordered change array) or 2 (one object per
-    change, the modern default). Compose with start_upsert_stream for
-    the materialized table."""
+    change, the modern default). ``source_table=(schema, table)`` is
+    the multi-table-slot guard, plumbed to the parser (r13 review: the
+    serving path must be able to scope exactly like the batch path —
+    foreign rows dropped, foreign v2 truncates inert). Compose with
+    start_upsert_stream for the materialized table."""
     from ..cdc.wal2json import parse_wal2json, parse_wal2json_v2
 
     if format_version not in (1, 2):
@@ -89,7 +93,7 @@ def read_wal2json_stream(
         .load(source_dir)
     )
     parse = parse_wal2json if format_version == 1 else parse_wal2json_v2
-    env = parse(raw, row_schema)
+    env = parse(raw, row_schema, source_table=source_table)
     if split_key_updates_on:
         from ..cdc.transform import split_key_updates
 

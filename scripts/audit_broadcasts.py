@@ -153,6 +153,7 @@ def main() -> None:
     spark = get_spark(app_name="pgcdc-broadcast-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    registered = set(qs)  # full registry, before any --big scoping
 
     # tier -> ((small_dir, big_dir), execute, name_filter-or-None)
     if big:
@@ -182,12 +183,20 @@ def main() -> None:
         unknown = only - set(qs)
         if unknown:
             # in --big mode qs was pre-filtered to the scale sets, so a
-            # validly registered name can land here — say which it is
-            # instead of sending the operator hunting a typo (r13 review)
-            raise SystemExit(
-                f"--only names not in the --big scale sets "
-                f"(SCALE_SET/SF10_SET): {sorted(unknown)}" if big else
-                f"--only names not registered: {sorted(unknown)}")
+            # validly registered name can land here — distinguish a typo
+            # (not registered anywhere) from a registered-but-unscoped
+            # name instead of sending the operator hunting the wrong
+            # list (r13 review, both directions)
+            unregistered = sorted(unknown - registered)
+            unscoped = sorted(unknown & registered)
+            parts = []
+            if unregistered:
+                parts.append(f"--only names not registered: {unregistered}")
+            if unscoped:
+                parts.append(
+                    f"--only names not in the --big scale sets "
+                    f"(SCALE_SET/SF10_SET): {unscoped}")
+            raise SystemExit("; ".join(parts))
         qs = {n: qs[n] for n in sorted(only)}
     for i, (name, qd) in enumerate(sorted(qs.items())):
         rec: dict[str, dict] = {}

@@ -701,14 +701,20 @@ def test_wal2json_v2_source_table_scoping(spark):
         '{"action":"I","schema":"s","table":"t","lsn":"0/6","columns":['
         '{"name":"id","type":"bigint","value":3},'
         '{"name":"v","type":"bigint","value":30}]}',
+        # corrupt line: NULL action — must SURVIVE the scoped filter as
+        # a _control row (three-valued logic would silently drop it)
+        'not json at all',
     ]
     schema = StructType([StructField("id", LongType()),
                          StructField("v", LongType())])
     raw = spark.createDataFrame([(x,) for x in lines], "value string")
     env = parse_wal2json_v2(raw, schema, source_table=("s", "t"))
     tags = [r["tag"] for r in env.orderBy("lsn").collect()]
-    assert tags == ["insert", "truncate_other", "insert", "truncate",
-                    "insert"]  # foreign insert dropped, foreign T inert
+    assert tags == ["_control", "insert", "truncate_other", "insert",
+                    "truncate",
+                    "insert"]  # foreign insert dropped, foreign T inert,
+    #                            corrupt line surfaced as _control (its
+    #                            NULL lsn sorts first: ASC NULLS FIRST)
 
     rows = apply_pipeline(env, pipe)
     ids = sorted(r["id"] for r in rows.collect())
@@ -720,6 +726,45 @@ def test_wal2json_v2_source_table_scoping(spark):
     env2 = parse_wal2json_v2(solo, schema)
     rows2 = apply_pipeline(env2, pipe)
     assert sorted(r["id"] for r in rows2.collect()) == [3]
+
+
+def test_wal2json_v1_source_table_scoping(spark):
+    """v1 twin of the scoping contract: with source_table set, foreign
+    insert/update/delete changes are dropped instead of mis-typed into
+    this table's images; unknown/corrupt kinds keep passing through as
+    _control (NULL-kind tested explicitly against three-valued logic).
+    v1 truncates stay _control either way — the v1 layout never feeds
+    drop_pre_truncate."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pgcdc_spark.cdc.transform import apply_pipeline
+    from pgcdc_spark.cdc.upsert import latest_state
+    from pgcdc_spark.cdc.wal2json import parse_wal2json
+
+    docs = [
+        _json.dumps({"lsn": "0/1", "change": [
+            {"kind": "insert", "schema": "s", "table": "t",
+             "columnnames": ["id", "v"], "columnvalues": ["1", "10"]},
+            # foreign table, SAME column names: must not enter t's state
+            {"kind": "insert", "schema": "s", "table": "zz",
+             "columnnames": ["id", "v"], "columnvalues": ["9", "90"]},
+            {"kind": "truncate", "schema": "s", "table": "zz"},
+            {"kind": "whoknows"},  # unknown kind -> _control, kept
+        ]}),
+    ]
+    schema = StructType([StructField("id", LongType()),
+                         StructField("v", LongType())])
+    raw = spark.createDataFrame([(d,) for d in docs], "value string")
+    env = parse_wal2json(raw, schema, source_table=("s", "t"))
+    tags = [r["tag"] for r in env.orderBy("lsn").collect()]
+    assert tags == ["insert", "_control", "_control"]  # foreign row gone
+    got = sorted(
+        (r["id"], r["v"])
+        for r in latest_state(apply_pipeline(env), keys=["id"],
+                              order_by=["lsn"]).collect())
+    assert got == [(1, 10)]  # id=9 never mis-typed into t's state
 
 
 # --- unchanged-TOAST ('u' datum) + carry-forward ------------------------------

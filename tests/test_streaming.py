@@ -714,6 +714,11 @@ def test_wal2json_v2_stream_to_upsert_state(spark, tmp_path):
          "identity": [col("id", 2)]},
         {"action": "I", "schema": "s", "table": "t", "lsn": "0/11",
          "columns": [col("id", 4), col("v", 40)]},
+        # FOREIGN table in the same slot, same column names: the
+        # source_table scope plumbed through the streaming reader must
+        # keep it out of t's state (r13 review)
+        {"action": "I", "schema": "s", "table": "zz", "lsn": "0/12",
+         "columns": [col("id", 99), col("v", 990)]},
     ]
     lines = [_json.dumps(x) for x in v2]
     src = str(tmp_path / "src")
@@ -721,7 +726,7 @@ def test_wal2json_v2_stream_to_upsert_state(spark, tmp_path):
 
     changes = read_wal2json_stream(
         spark, src, schema, format_version=2, max_files_per_trigger=1,
-        split_key_updates_on=["id"])
+        split_key_updates_on=["id"], source_table=("s", "t"))
     state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
     q = start_upsert_stream(changes, state_dir, ckpt, keys=["id"])
     q.awaitTermination(120)
@@ -735,7 +740,9 @@ def test_wal2json_v2_stream_to_upsert_state(spark, tmp_path):
     from pgcdc_spark.cdc.wal2json import parse_wal2json_v2
 
     raw = spark.createDataFrame([(x,) for x in lines], "value string")
-    env = split_key_updates(parse_wal2json_v2(raw, schema), keys=["id"])
+    env = split_key_updates(
+        parse_wal2json_v2(raw, schema, source_table=("s", "t")),
+        keys=["id"])
     batch = {r["id"]: r["v"]
              for r in latest_state(apply_pipeline(env), keys=["id"],
                                    order_by=["lsn"]).collect()}

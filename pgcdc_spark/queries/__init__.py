@@ -69,9 +69,9 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once.
-# Round-13 list (VERDICT r12 item 4): the new round-13 query first
-# (never driver-sampled), then the THIRTY-FOUR r8-cohort names that
-# overflowed the r12 sample (r12 took the alphabetical head
+# Round-13 list (VERDICT r12 item 4): the two new round-13 queries
+# first (never driver-sampled), then the THIRTY-FOUR r8-cohort names
+# that overflowed the r12 sample (r12 took the alphabetical head
 # agg_abc_pareto..cdc_pgoutput_state; the rest, last sampled round 8,
 # rotate to the front here), then the alphabetical head of the r9
 # cohort (49 names) to fill slot 50 — names past slot 50 overflow to

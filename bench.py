@@ -169,13 +169,14 @@ FAMILIES = {
         "emb_ann_index_probe", "emb_ann_index_incremental",
         "emb_ann_index_filtered_probe", "emb_kmeans_lloyd",
         "emb_ann_rerank_exact", "emb_jl_projection_recall",
-        "emb_mmr_rerank_ann",
+        "emb_mmr_rerank_ann", "emb_triplet_mining",
     ],
     "retrieval": ["hybrid_rrf_retrieval"],
     "text": [
         "docs_quality_score", "docs_unigram_logprob", "docs_pack_sequences",
         "training_mix_pipeline", "docs_pii_scrub", "docs_repetition_filter",
         "docs_bpe_train_merges", "docs_priority_sample_strata",
+        "docs_line_dedup",
     ],
     "graph": ["graph_pagerank", "graph_bfs_recursive_cte"],
     "multimodal": ["mm_audio_resample"],

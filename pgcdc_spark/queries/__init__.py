@@ -69,7 +69,7 @@ _MODULES = (
 # carry the STALEST previously-green names (r8 verdict item 3) so the
 # cumulative driver evidence keeps refreshing.  As of round 9 every
 # oracle-backed name has been driver-sampled green at least once.
-# Round-13 list (VERDICT r12 item 4): the two new round-13 queries
+# Round-13 list (VERDICT r12 item 4): the four new round-13 queries
 # first (never driver-sampled), then the THIRTY-FOUR r8-cohort names
 # that overflowed the r12 sample (r12 took the alphabetical head
 # agg_abc_pareto..cdc_pgoutput_state; the rest, last sampled round 8,
@@ -85,6 +85,8 @@ _PRIORITY = (
     # round-13 additions (never driver-sampled) — first
     "cdc_wal2json_v2_state",
     "cdc_wal2json_v2_keyroute_state",
+    "docs_line_dedup",
+    "emb_triplet_mining",
     # r12 sample overflow (last sampled round 8) — next per VERDICT
     "assoc_rules_copurchase",
     "cdc_lsn_gap_audit",
@@ -133,10 +135,9 @@ _PRIORITY = (
     "cdc_e2e_revenue_rollup",
     "cdc_message_audit",
     "cdc_origin_filter_state",
-    "cdc_replica_identity_state",
-    "cdc_two_phase_state",
-    # (cdc_xlog_infer_state, next in the r9 cohort, overflows to r14 —
-    # the two r13 additions take its slot and one more)
+    # (cdc_replica_identity_state, cdc_two_phase_state,
+    # cdc_xlog_infer_state — next in the r9 cohort — overflow to r14:
+    # the four r13 additions take their slots plus one more)
 )
 
 

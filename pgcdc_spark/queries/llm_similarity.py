@@ -85,6 +85,131 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- contrastive triplet mining (hard negatives for embedding training) -----
+
+_N_NEG = 5
+
+_TRIPLET_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+s AS (
+  SELECT qid, ql, vec_id, label,
+    list_dot_product(qe, e)
+      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cosine
+  FROM q, c
+  WHERE qid <> vec_id
+),
+pos AS (
+  SELECT qid, vec_id AS pos_id, cosine AS pos_cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM s WHERE label = ql
+),
+neg AS (
+  SELECT qid, vec_id AS neg_id, cosine AS neg_cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM s WHERE label <> ql
+)
+SELECT n.qid, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.rank,
+       p.pos_cos - n.neg_cos AS margin
+FROM neg n LEFT JOIN (SELECT qid, pos_id, pos_cos FROM pos WHERE rn = 1) p
+  ON n.qid = p.qid
+WHERE n.rank <= {_N_NEG}
+"""
+
+
+@query("emb_triplet_mining", oracle=_TRIPLET_ORACLE,
+       tags=("llm", "similarity", "training"))
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, hard-negative) triplet mining — the
+    training-data op behind dense-retriever / embedding-model training
+    (DPR, Karpukhin et al. '20: hard negatives — the most-similar items
+    with a DIFFERENT label — train far better than random negatives).
+    Per anchor: the hardest positive (top same-label neighbor) and the
+    top-{_N_NEG} hard negatives, with the triplet margin pos_cos - neg_cos
+    (the quantity a triplet loss drives positive).
+
+    Scoring follows emb_cosine_topk's bit-exact discipline (norms folded
+    once per vector, per-pair dot via the same fold the oracle uses).
+    Anchors broadcast (bounded, fixed set), so the corpus side never
+    shuffles for scoring. Both rankings share one logical window over
+    (qid, same-label?); physically Catalyst pushes each branch's
+    partition-key filter below its Window — the positive branch becomes
+    an EQUI-join on label — and WindowGroupLimit prunes to top-k
+    map-side, so each branch is a streaming corpus pass whose exchange
+    carries only ~anchors x k rows. Two cheap passes with tiny shuffles,
+    never one pass that shuffles the whole scored corpus. Margin is a
+    subtraction of two bit-identical doubles — exact on both engines, no
+    rounding needed. At a corpus-scaled anchor set the scale path is the
+    persisted IVF index shortlist (probe -> label-filter -> exact
+    re-rank, the emb_mmr_rerank_ann composition) — hard negatives only
+    need the neighborhood, never the full corpus.
+    A positive may not exist (singleton label): LEFT join keeps the
+    anchor's negatives with NULL pos/margin rather than dropping them."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("ql"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        norm_fold_expr("embedding", cast=True).alias("qn"),
+    )
+    c = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        norm_fold_expr("embedding", cast=True).alias("n"),
+    )
+    scored = (
+        # bounded: fixed anchor set (_N_QUERIES rows)
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "ql",
+            "vec_id",
+            "label",
+            (dot_fold_expr("qe", "e")
+             / (F.col("qn") * F.col("n"))).alias("cosine"),
+        )
+    )
+    # ONE window pass ranks positives and negatives together: partitioning
+    # by (qid, same-label?) makes the two rankings the same exchange, so
+    # the pos/neg branches below are ReusedExchange twins, not two
+    # corpus-wide window shuffles.
+    ranked = scored.withColumn(
+        "same", F.col("label") == F.col("ql")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid", "same")
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ),
+    )
+    pos = (
+        ranked.filter(F.col("same") & (F.col("rn") == 1))
+        .select("qid", F.col("vec_id").alias("pos_id"),
+                F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        ranked.filter(~F.col("same") & (F.col("rn") <= _N_NEG))
+        .select("qid", F.col("vec_id").alias("neg_id"),
+                F.col("cosine").alias("neg_cos"),
+                F.col("rn").alias("rank"))
+    )
+    return (
+        # bounded: at most one row per anchor, anchor set fixed
+        neg.join(F.broadcast(pos), "qid", "left")
+        .select(
+            "qid", "pos_id", "pos_cos", "neg_id", "neg_cos", "rank",
+            (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        )
+    )
+
+
 # --- LSH-bucketed ANN (scale path; validated vs brute force in tests) -------
 #
 # Random-hyperplane LSH with OR-amplification: L tables of k planes each.

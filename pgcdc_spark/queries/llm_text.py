@@ -392,6 +392,108 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus-level line dedup (C4 / RefinedWeb boilerplate removal) ----------
+#
+# C4 (Raffel et al. '20) drops any three-sentence span occurring more than
+# once in the corpus; RefinedWeb (Penedo et al. '23) dedups at line level.
+# Both keep the FIRST occurrence and drop the rest — that is the semantics
+# here: an occurrence survives iff it is the global first for its line in
+# (doc_id, line_idx) order. The synthetic corpus has no newlines, so the
+# unit tokenizer is fixed-width word windows (_LINE_W words); in production
+# the same pipeline runs on newline- or sentence-split units — the operator
+# downstream of the unit explode is identical either way.
+
+_LINE_W = 8  # words per "line" unit (non-overlapping)
+
+_LINE_DEDUP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(s.s // {_LINE_W} AS BIGINT) AS line_idx,
+         array_to_string(w[s.s + 1 : s.s + {_LINE_W}], ' ') AS line
+  FROM tok, UNNEST(range(0, len(w), {_LINE_W})) s(s)
+),
+rk AS (
+  SELECT doc_id, line_idx, line,
+         ROW_NUMBER() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, line_idx) AS rn
+  FROM occ
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+                           ORDER BY line_idx), '') AS text_clean
+FROM rk GROUP BY doc_id
+"""
+
+
+@query("docs_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("llm", "text", "dedup"))
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level keep-first line dedup — the C4/RefinedWeb cleaning
+    step that removes boilerplate (nav bars, cookie banners, license
+    headers) by deduplicating repeated lines ACROSS documents, distinct
+    from within-doc repetition (docs_repetition) and from substring span
+    dedup (dedup_dup_ngram_spans, which finds spans but does not rewrite
+    documents). Emits each document rewritten with only its surviving
+    lines, plus removal counts.
+
+    100-TB shape — line TEXT never enters a shuffle (the dup-k-gram
+    discipline): the occurrence stream carries only (doc_id, line_idx,
+    md5); the first-occurrence rank shuffles those narrow rows on the
+    hash; per-doc keep-lists shuffle (doc_id, idx-array); the one
+    full-text shuffle is the final doc_id join that rebuilds text_clean
+    by re-slicing the original word array — the floor for any rewrite.
+    The keep-list join is shuffle-hash-pinned: one row per document,
+    corpus-scaled, must never broadcast."""
+    (docs,) = load(spark, sf_dir, "documents")
+    base = fan_out(docs).select("doc_id", F.split("text", " ").alias("w"))
+    occ = (
+        base.select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, (size(w) - 1) DIV {_LINE_W})")
+            ).alias("line_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("line_idx").cast("long").alias("line_idx"),
+            F.md5(
+                F.expr(
+                    f"cast(array_join(slice(w, cast(line_idx * {_LINE_W} + 1 as int),"
+                    f" {_LINE_W}), ' ') as binary)"
+                )
+            ).alias("lh"),
+        )
+    )
+    wnd = Window.partitionBy("lh").orderBy("doc_id", "line_idx")
+    perdoc = (
+        occ.withColumn("rn", F.row_number().over(wnd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_removed"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") == 1, F.col("line_idx")))
+            ).alias("kept"),
+        )
+    )
+    return (
+        base.join(perdoc.hint("shuffle_hash"), "doc_id")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_removed",
+            F.expr(
+                f"array_join(flatten(transform(kept,"
+                f" i -> slice(w, cast(i * {_LINE_W} + 1 as int), {_LINE_W}))), ' ')"
+            ).alias("text_clean"),
+        )
+    )
+
+
 # --- repetition detection (gopher-style quality signal) ---------------------
 
 _REP_ORACLE = """

@@ -753,3 +753,130 @@ def test_ivf_probe_profile_internal_consistency(spark, sf_smoke):
     for qid in qids:
         seq = [prof[(qid, p)]["recall_at_k"] for p in _PROFILE_NPROBES]
         assert seq == sorted(seq), (qid, seq)
+
+
+# --- corpus-level line dedup (C4/RefinedWeb keep-first) ---------------------
+
+
+def test_line_dedup_matches_first_occurrence_model(spark, sf_smoke):
+    """Independent dict-model replay of the keep-first rule: walk all
+    (doc_id, line_idx) occurrences in global order, keep a line's first
+    occurrence only, and rebuild every document — the engine's rewrite
+    must match the model doc-for-doc (counts AND reassembled text)."""
+    out = {r["doc_id"]: r for r in _df("docs_line_dedup", spark, sf_smoke).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    W = 8
+    occ = []
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        w = r["text"].split(" ")
+        for i in range(0, len(w), W):
+            occ.append((r["doc_id"], i // W, " ".join(w[i : i + W])))
+    seen: set[str] = set()
+    model: dict[int, dict] = {}
+    for doc_id, idx, line in occ:  # already in (doc_id, line_idx) order
+        m = model.setdefault(doc_id, {"n_lines": 0, "kept": []})
+        m["n_lines"] += 1
+        if line not in seen:
+            seen.add(line)
+            m["kept"].append(line)
+    assert set(out) == set(model)
+    for doc_id, m in model.items():
+        got = out[doc_id]
+        assert got["n_lines"] == m["n_lines"], doc_id
+        assert got["n_removed"] == m["n_lines"] - len(m["kept"]), doc_id
+        assert got["text_clean"] == " ".join(m["kept"]), doc_id
+    # the rule must actually fire at this scale (not vacuously green)
+    assert any(r["n_removed"] > 0 for r in out.values())
+    # untouched docs round-trip byte-identical
+    orig = {r["doc_id"]: r["text"] for r in docs}
+    clean = [r for r in out.values() if r["n_removed"] == 0]
+    assert clean and all(r["text_clean"] == orig[r["doc_id"]] for r in clean)
+
+
+# --- contrastive triplet mining ---------------------------------------------
+
+
+def test_triplet_mining_matches_numpy_brute_force(spark, sf_smoke):
+    """Cross-validate ids/ranks against a float64 numpy recompute: the
+    positive is the top same-label neighbor, the negatives are exactly
+    the top-5 different-label neighbors in (cosine desc, vec_id) order,
+    and margin == pos_cos - neg_cos."""
+    import numpy as np
+
+    rows = _df("emb_triplet_mining", spark, sf_smoke).collect()
+    emb = (
+        spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        by_anchor.setdefault(r["qid"], []).append(r)
+    assert set(by_anchor) == {v for v in vecs if v < 8}
+    for qid, got in by_anchor.items():
+        scored = [
+            (cos(vecs[qid], vecs[v]), v)
+            for v in vecs
+            if v != qid
+        ]
+        same = sorted(
+            [(c, v) for c, v in scored if labels[v] == labels[qid]],
+            key=lambda t: (-t[0], t[1]),
+        )
+        diff = sorted(
+            [(c, v) for c, v in scored if labels[v] != labels[qid]],
+            key=lambda t: (-t[0], t[1]),
+        )
+        got.sort(key=lambda r: r["rank"])
+        assert [r["neg_id"] for r in got] == [v for _, v in diff[:5]], qid
+        assert all(r["pos_id"] == same[0][1] for r in got), qid
+        for r in got:
+            assert abs(r["margin"] - (r["pos_cos"] - r["neg_cos"])) < 1e-12
+            assert labels[r["neg_id"]] != labels[qid]
+            assert labels[r["pos_id"]] == labels[qid]
+        # ranks are 1..5 with cosine non-increasing
+        assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+        negs = [r["neg_cos"] for r in got]
+        assert negs == sorted(negs, reverse=True)
+
+
+def test_triplet_mining_singleton_label_keeps_anchor(spark, tmp_path):
+    """An anchor whose label has no other member still emits its hard
+    negatives — with NULL positive and NULL margin (LEFT join), rather
+    than silently dropping the anchor."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (
+            i,
+            [1.0, float(i + 1), float((i + 1) ** 2 % 7), float(i % 3)],
+            99 if i == 0 else (1 + i % 2),
+        )
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = _df("emb_triplet_mining", spark, str(tmp_path)).collect()
+    a0 = [r for r in out if r["qid"] == 0]
+    assert len(a0) == 5
+    assert all(r["pos_id"] is None and r["margin"] is None for r in a0)
+    others = [r for r in out if r["qid"] != 0]
+    assert others and all(r["pos_id"] is not None for r in others)

@@ -682,6 +682,8 @@ def test_corpus_scaled_joins_never_broadcast(spark):
         ("ivm_bm25_topk_state", 1, 0),
         # merge-pinned basket self-join + two shuffle_hash lift sides
         ("assoc_rules_copurchase", 1, 2),
+        # shuffle_hash-pinned per-doc keep-list join (one row per doc)
+        ("docs_line_dedup", 0, 1),
     ):
         plan = _plan(spark, name)
         # hints guarantee these nodes regardless of size estimates, so

@@ -88,6 +88,11 @@ SCALE_SET = [
     # r12 addition: the nprobe operating curve (embeds the full IVF
     # assignment -> design 1.5 like the rest of the quantizer family)
     "emb_ivf_probe_profile",
+    # r13 additions: corpus-level line dedup (narrow first-occurrence
+    # shuffles, linear by design) and triplet mining (fixed anchor set,
+    # streaming corpus passes — linear)
+    "docs_line_dedup",
+    "emb_triplet_mining",
 ]
 
 # Per-query DESIGN exponents: a query is flagged when its measured
@@ -150,6 +155,11 @@ SF10_SET = [
     # r13: the v2 JSON wire path at the second decade (events-backed;
     # the codegen contrast to cdc_pgoutput_state's Arrow decode above)
     "cdc_wal2json_v2_state",
+    # r13 additions at the second decade (documents/embeddings-backed):
+    # the line-dedup rewrite's window+join chain is the superlinear
+    # risk; triplet mining is the fixed-anchor flat-serving control
+    "docs_line_dedup",
+    "emb_triplet_mining",
 ]
 
 

@@ -429,6 +429,43 @@ FROM rk GROUP BY doc_id
 """
 
 
+def line_occurrences(base: DataFrame) -> DataFrame:
+    """Narrow line-occurrence stream ``(doc_id, line_idx, lh)`` from a
+    ``(doc_id, w)`` frame (``w`` = split words). ONE home for the unit
+    tokenizer so the batch query and the streaming maintainer
+    (streaming/linededup.py) can never disagree on what a "line" is —
+    line text itself never leaves this projection."""
+    return (
+        base.select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(0, (size(w) - 1) DIV {_LINE_W})")
+            ).alias("line_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("line_idx").cast("long").alias("line_idx"),
+            F.md5(
+                F.expr(
+                    f"cast(array_join(slice(w, cast(line_idx * {_LINE_W} + 1 as int),"
+                    f" {_LINE_W}), ' ') as binary)"
+                )
+            ).alias("lh"),
+        )
+    )
+
+
+def reassemble_clean_text(kept_col: str = "kept", w_col: str = "w") -> F.Column:
+    """Rebuild a document from its kept line indexes by re-slicing the
+    original word array — shared by the batch query and the streaming
+    maintainer so the rewrite rule has exactly one home."""
+    return F.expr(
+        f"array_join(flatten(transform({kept_col},"
+        f" i -> slice({w_col}, cast(i * {_LINE_W} + 1 as int), {_LINE_W}))), ' ')"
+    )
+
+
 @query("docs_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("llm", "text", "dedup"))
 def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level keep-first line dedup — the C4/RefinedWeb cleaning
@@ -449,25 +486,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scaled, must never broadcast."""
     (docs,) = load(spark, sf_dir, "documents")
     base = fan_out(docs).select("doc_id", F.split("text", " ").alias("w"))
-    occ = (
-        base.select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.expr(f"sequence(0, (size(w) - 1) DIV {_LINE_W})")
-            ).alias("line_idx"),
-        )
-        .select(
-            "doc_id",
-            F.col("line_idx").cast("long").alias("line_idx"),
-            F.md5(
-                F.expr(
-                    f"cast(array_join(slice(w, cast(line_idx * {_LINE_W} + 1 as int),"
-                    f" {_LINE_W}), ' ') as binary)"
-                )
-            ).alias("lh"),
-        )
-    )
+    occ = line_occurrences(base)
     wnd = Window.partitionBy("lh").orderBy("doc_id", "line_idx")
     perdoc = (
         occ.withColumn("rn", F.row_number().over(wnd))
@@ -486,10 +505,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_lines",
             "n_removed",
-            F.expr(
-                f"array_join(flatten(transform(kept,"
-                f" i -> slice(w, cast(i * {_LINE_W} + 1 as int), {_LINE_W}))), ' ')"
-            ).alias("text_clean"),
+            reassemble_clean_text().alias("text_clean"),
         )
     )
 

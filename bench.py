@@ -134,6 +134,11 @@ EXTRA = [
     # joins its v1 twin in the codegen-vs-Arrow wire-format pairing;
     # NOTE the cdc family subtotal gains this entry from r13 on)
     "cdc_wal2json_v2_state",
+    # r13: corpus-level keep-first line dedup (narrow-shuffle rewrite)
+    # and contrastive triplet mining (fixed-anchor streaming passes);
+    # the text / ann family subtotals gain these entries from r13 on
+    "docs_line_dedup",
+    "emb_triplet_mining",
 ]
 
 

@@ -69,6 +69,14 @@ BATCH_LINES = 10_000     # events-changelog batch size (both scales)
 DOC_BATCH = 500          # ingest feed: docs per micro-batch
 FLAG_SLACK = 0.2
 GROWTH_FLAG = 1.5
+# Per-component design exponents (default 0.0 = state-size-independent
+# per-batch cost). line_dedup and ingest both carry a full prior-state
+# probe per batch (the accepted streaming/dedup.py shape, bucketed-store
+# upgrade path documented) — registered at 0.0 because the probe is a
+# narrow columnar scan that stays sub-noise until state far exceeds
+# these scales; a flag here means the probe term has become visible and
+# the bucketed upgrade is due.
+DESIGN_EXPONENT: dict[str, float] = {}
 
 
 def _progress_durations(q) -> list[dict]:
@@ -304,6 +312,40 @@ def _run_ingest(spark, src: str, work: str):
     return _progress_durations(q)
 
 
+def _docs_parquet_feed(spark, sf_dir: str, work: str) -> tuple[str, int]:
+    """Chunked (doc_id, text) parquet feed in doc_id order, DOC_BATCH
+    docs per chunk, mtimes stamped ascending — the line-dedup
+    maintainer's changelog (it needs raw documents, not JSON
+    envelopes, so this is the parquet twin of _docs_feed)."""
+    from pyspark.sql.window import Window
+
+    from pgcdc_spark.catalog import load
+
+    (docs,) = load(spark, sf_dir, "documents")
+    chunk = (F.row_number().over(Window.orderBy("doc_id")) - 1) / DOC_BATCH
+    src = os.path.join(work, "ld_src")
+    (docs.select("doc_id", "text",
+                 F.floor(chunk).cast("int").alias("b"))
+     .repartition("b").write.partitionBy("b").mode("overwrite")
+     .parquet(src))
+    _stamp_feed_order(src)
+    return src, docs.count()
+
+
+def _run_line_dedup(spark, src: str, work: str):
+    from pgcdc_spark.streaming.linededup import start_line_dedup_stream
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    q = start_line_dedup_stream(
+        stream, os.path.join(work, "state"), os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return _progress_durations(q)
+
+
 def _run_rocksdb(spark, src: str, work: str, row_schema, name: str):
     from pgcdc_spark.streaming.pipeline import read_envelope_stream
     from pgcdc_spark.streaming.stateful import streaming_latest_state
@@ -349,7 +391,25 @@ def _stats(batches: list[dict]) -> dict:
     }
 
 
+ALL_COMPONENTS = ("bucketed_upsert", "agg_view", "rocksdb_latest_state",
+                  "ingest", "line_dedup")
+
+
 def main() -> None:
+    only = None
+    argv = list(sys.argv)
+    if "--only" in argv:
+        i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: --only comp1,comp2,...")
+        only = set(argv[i + 1].split(","))
+        unknown = only - set(ALL_COMPONENTS)
+        if unknown:
+            raise SystemExit(
+                f"--only names not in ALL_COMPONENTS: {sorted(unknown)}")
+        del argv[i:i + 2]
+        sys.argv = argv
+    run = set(ALL_COMPONENTS) if only is None else only
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
     out_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
@@ -375,13 +435,16 @@ def main() -> None:
     work_root = tempfile.mkdtemp(prefix="pgcdc-scale-streaming-")
     try:
         feeds = {}
-        for tag, sf_dir in (("small", small), ("big", big)):
-            w = os.path.join(work_root, f"events_{tag}")
-            os.makedirs(w, exist_ok=True)
-            feeds[tag] = _events_feed(spark, sf_dir, w, BATCH_LINES)
+        if run & {"bucketed_upsert", "agg_view", "rocksdb_latest_state"}:
+            for tag, sf_dir in (("small", small), ("big", big)):
+                w = os.path.join(work_root, f"events_{tag}")
+                os.makedirs(w, exist_ok=True)
+                feeds[tag] = _events_feed(spark, sf_dir, w, BATCH_LINES)
 
         for comp, with_view in (("bucketed_upsert", False),
                                 ("agg_view", True)):
+            if comp not in run:
+                continue
             results[comp] = {}
             for tag in ("small", "big"):
                 w = os.path.join(work_root, f"{comp}_{tag}")
@@ -400,8 +463,9 @@ def main() -> None:
                       f"{st['growth_ratio']}", flush=True)
                 gc.collect()
 
-        results["rocksdb_latest_state"] = {}
-        for tag in ("small", "big"):
+        if "rocksdb_latest_state" in run:
+            results["rocksdb_latest_state"] = {}
+        for tag in (("small", "big") if "rocksdb_latest_state" in run else ()):
             w = os.path.join(work_root, f"rocks_{tag}")
             os.makedirs(w, exist_ok=True)
             print(f"== rocksdb_latest_state {tag} ==", flush=True)
@@ -413,8 +477,10 @@ def main() -> None:
                   f"{st['growth_ratio']}", flush=True)
             gc.collect()
 
-        results["ingest"] = {}
-        for tag, sf_dir in (("small", small), ("big", big)):
+        if "ingest" in run:
+            results["ingest"] = {}
+        for tag, sf_dir in ((("small", small), ("big", big))
+                            if "ingest" in run else ()):
             w = os.path.join(work_root, f"ingest_{tag}")
             os.makedirs(w, exist_ok=True)
             print(f"== ingest {tag} ==", flush=True)
@@ -427,7 +493,24 @@ def main() -> None:
                   f"{st['growth_ratio']}", flush=True)
             gc.collect()
 
-        if huge:
+        if "line_dedup" in run:
+            results["line_dedup"] = {}
+        for tag, sf_dir in ((("small", small), ("big", big))
+                            if "line_dedup" in run else ()):
+            w = os.path.join(work_root, f"linededup_{tag}")
+            os.makedirs(w, exist_ok=True)
+            print(f"== line_dedup {tag} ==", flush=True)
+            src, n_docs = _docs_parquet_feed(spark, sf_dir, w)
+            st = _stats(_run_line_dedup(spark, src, w))
+            st["n_docs"] = n_docs
+            results["line_dedup"][tag] = st
+            print(f"  {st['n_batches']} batches, median "
+                  f"{st['median_batch_sec']:.2f}s, growth "
+                  f"{st['growth_ratio']}", flush=True)
+            gc.collect()
+
+        if huge and run & {"bucketed_upsert", "agg_view",
+                           "rocksdb_latest_state"}:
             w = os.path.join(work_root, "events_huge")
             os.makedirs(w, exist_ok=True)
             print("== staging 100x feed ==", flush=True)
@@ -435,6 +518,8 @@ def main() -> None:
                 spark, huge, w, BULK_LINES, BATCH_LINES, TAIL_BATCHES)
             for comp, with_view in (("bucketed_upsert", False),
                                     ("agg_view", True)):
+                if comp not in run:
+                    continue
                 w = os.path.join(work_root, f"{comp}_huge")
                 os.makedirs(w, exist_ok=True)
                 print(f"== {comp} huge (100x) ==", flush=True)
@@ -447,27 +532,28 @@ def main() -> None:
                       f"{st['median_batch_sec']:.2f}s, growth "
                       f"{st['growth_ratio']}", flush=True)
                 gc.collect()
-            w = os.path.join(work_root, "rocks_huge")
-            os.makedirs(w, exist_ok=True)
-            print("== rocksdb_latest_state huge (100x) ==", flush=True)
-            st = _tail_stats(
-                _run_rocksdb(spark, huge_feed, w, row_schema,
-                             "rocks_scale_huge"), BATCH_LINES, TAIL_BATCHES)
-            results["rocksdb_latest_state"]["huge"] = st
-            print(f"  {st['n_batches']} tail batches, median "
-                  f"{st['median_batch_sec']:.2f}s, growth "
-                  f"{st['growth_ratio']}", flush=True)
-            gc.collect()
+            if "rocksdb_latest_state" in run:
+                w = os.path.join(work_root, "rocks_huge")
+                os.makedirs(w, exist_ok=True)
+                print("== rocksdb_latest_state huge (100x) ==", flush=True)
+                st = _tail_stats(
+                    _run_rocksdb(spark, huge_feed, w, row_schema,
+                                 "rocks_scale_huge"),
+                    BATCH_LINES, TAIL_BATCHES)
+                results["rocksdb_latest_state"]["huge"] = st
+                print(f"  {st['n_batches']} tail batches, median "
+                      f"{st['median_batch_sec']:.2f}s, growth "
+                      f"{st['growth_ratio']}", flush=True)
+                gc.collect()
     finally:
         shutil.rmtree(work_root, ignore_errors=True)
 
-    flagged = []
     for comp, r in results.items():
         exp = round(math.log10(
             r["big"]["median_batch_sec"] / r["small"]["median_batch_sec"]), 3)
         r["exponent"] = exp
-        r["design_exponent"] = 0.0
-        r["flagged"] = (exp > 0.0 + FLAG_SLACK
+        r["design_exponent"] = DESIGN_EXPONENT.get(comp, 0.0)
+        r["flagged"] = (exp > r["design_exponent"] + FLAG_SLACK
                         or r["big"]["growth_ratio"] > GROWTH_FLAG)
         if "huge" in r:
             # two decades: per-decade exponent at equal batch size
@@ -476,23 +562,35 @@ def main() -> None:
                 / r["small"]["median_batch_sec"]) / 2, 3)
             r["exponent_per_decade_100x"] = exp2
             r["flagged"] = r["flagged"] or (
-                exp2 > 0.0 + FLAG_SLACK
+                exp2 > r["design_exponent"] + FLAG_SLACK
                 or r["huge"]["growth_ratio"] > GROWTH_FLAG)
-        if r["flagged"]:
-            flagged.append(comp)
+        # provenance: every entry records the dirs it was measured
+        # against (the scale_curve.py --only discipline, ADVICE r12) —
+        # a merged artifact never leaves an entry's scales ambiguous
+        r["scales"] = {"small": small, "big": big,
+                       "huge": huge if "huge" in r else None}
 
+    if only is not None and os.path.exists(out_path):
+        # partial re-measure: carry forward unmeasured components from
+        # the prior artifact verbatim (each carries its own stamp)
+        with open(out_path) as f:
+            prior = json.load(f).get("components", {})
+        for comp, r in prior.items():
+            results.setdefault(comp, r)
+
+    flagged = sorted(c for c, r in results.items() if r["flagged"])
     artifact = {
         "small": small, "big": big, "huge": huge,
         "batch_lines": BATCH_LINES, "doc_batch": DOC_BATCH,
         "bulk_lines": BULK_LINES, "tail_batches": TAIL_BATCHES,
         "flag_slack": FLAG_SLACK, "growth_flag": GROWTH_FLAG,
-        "flagged": sorted(flagged),
+        "flagged": flagged,
         "components": results,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({
-        "flagged": sorted(flagged),
+        "flagged": flagged,
         "exponents": {c: r["exponent"] for c, r in results.items()},
         "growth_ratios": {c: r["big"]["growth_ratio"]
                           for c, r in results.items()},

@@ -429,12 +429,22 @@ FROM rk GROUP BY doc_id
 """
 
 
+def tokenize_docs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, w)`` word-array base from a ``(doc_id, text, ...)``
+    frame — the word-split half of the unit tokenizer. ONE home shared
+    by the batch query and the streaming maintainer
+    (streaming/linededup.py): if the production tokenizer moves to
+    newline/sentence units, this split and line_occurrences' windowing
+    change here, in lockstep for every caller."""
+    return docs.select("doc_id", F.split("text", " ").alias("w"))
+
+
 def line_occurrences(base: DataFrame) -> DataFrame:
     """Narrow line-occurrence stream ``(doc_id, line_idx, lh)`` from a
-    ``(doc_id, w)`` frame (``w`` = split words). ONE home for the unit
-    tokenizer so the batch query and the streaming maintainer
-    (streaming/linededup.py) can never disagree on what a "line" is —
-    line text itself never leaves this projection."""
+    ``tokenize_docs`` base. ONE home for the unit windowing so the
+    batch query and the streaming maintainer (streaming/linededup.py)
+    can never disagree on what a "line" is — line text itself never
+    leaves this projection."""
     return (
         base.select(
             "doc_id",
@@ -485,7 +495,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep-list join is shuffle-hash-pinned: one row per document,
     corpus-scaled, must never broadcast."""
     (docs,) = load(spark, sf_dir, "documents")
-    base = fan_out(docs).select("doc_id", F.split("text", " ").alias("w"))
+    base = tokenize_docs(fan_out(docs))
     occ = line_occurrences(base)
     wnd = Window.partitionBy("lh").orderBy("doc_id", "line_idx")
     perdoc = (

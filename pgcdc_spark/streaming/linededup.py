@@ -64,7 +64,11 @@ from pyspark.sql.types import (
 )
 
 from ..fs import get_fs
-from ..queries.llm_text import line_occurrences, reassemble_clean_text
+from ..queries.llm_text import (
+    line_occurrences,
+    reassemble_clean_text,
+    tokenize_docs,
+)
 from .dedup import _compact_state_table, _read_prior
 
 LINES_SCHEMA = StructType(
@@ -87,7 +91,10 @@ def start_line_dedup_stream(
 
     Emits one verdict row per arriving doc under ``state_dir/verdicts``:
     ``(doc_id, n_lines, n_removed, text_clean, batch)`` — the document
-    rewritten against the corpus seen so far."""
+    rewritten against the corpus seen so far. A NULL-text doc still
+    emits its row (0 lines, NULL text_clean); duplicate doc_ids within
+    one trigger are collapsed deterministically first (see
+    merge_line_dedup_batch)."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_line_dedup_batch(
@@ -114,11 +121,23 @@ def merge_line_dedup_batch(
     several maintainers sharing its batch ids) can drive the same state
     fold without a second readStream over the source."""
     spark = batch_df.sparkSession
-    batch = batch_df.persist()
+    # Duplicate doc_ids inside one trigger (a replayed re-insert) would
+    # tie the ownership window and double-count the per-doc aggregates:
+    # collapse to ONE deterministic row per doc first (max text — there
+    # is no version column on a raw documents feed, so a lexicographic
+    # total order is the only deterministic latest-proxy available; a
+    # CDC-versioned feed should be materialized through the upsert sink
+    # BEFORE this maintainer, which then sees unique docs per batch).
+    batch = (
+        batch_df.groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
+        .persist()
+    )
+    pinned = [batch]
     try:
         if not batch.head(1):
             return
-        base = batch.select("doc_id", F.split("text", " ").alias("w"))
+        base = tokenize_docs(batch)
         occ = line_occurrences(base)
         prior = _read_prior(
             spark, f"{state_dir}/lines", LINES_SCHEMA, batch_id
@@ -126,14 +145,19 @@ def merge_line_dedup_batch(
         wnd = Window.partitionBy("lh").orderBy("doc_id", "line_idx")
         # survivors: within-batch first AND never seen in a prior batch.
         # The state side is corpus-scaled — shuffle-hash, never broadcast
-        # (the r12 audit rule).
+        # (the r12 audit rule). flagged feeds BOTH writes below — persist
+        # it so the prior-state scan + window run once per batch, and so
+        # the second write never re-reads {state_dir}/lines while writing
+        # into it.
         flagged = (
             occ.withColumn("rn", F.row_number().over(wnd))
             .join(prior.hint("shuffle_hash"), "lh", "left")
             .withColumn(
                 "keep", (F.col("rn") == 1) & F.col("_seen").isNull()
             )
+            .persist()
         )
+        pinned.append(flagged)
         perdoc = flagged.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
@@ -141,11 +165,17 @@ def merge_line_dedup_batch(
                 F.collect_list(F.when(F.col("keep"), F.col("line_idx")))
             ).alias("kept"),
         )
-        verdicts = base.join(perdoc.hint("shuffle_hash"), "doc_id").select(
+        # LEFT join + coalesce: a doc whose text is NULL produces no
+        # occurrences, but the contract is one verdict row per arriving
+        # doc — it surfaces as (0 lines, 0 removed, NULL text_clean)
+        # instead of silently vanishing.
+        verdicts = base.join(perdoc.hint("shuffle_hash"), "doc_id", "left").select(
             "doc_id",
-            "n_lines",
-            "n_removed",
-            reassemble_clean_text().alias("text_clean"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.when(
+                F.col("kept").isNotNull(), reassemble_clean_text()
+            ).alias("text_clean"),
         )
         # deterministic per-batch partitions; replay overwrites in place
         verdicts.write.mode("overwrite").parquet(
@@ -165,7 +195,8 @@ def merge_line_dedup_batch(
         if n_parts > compact_after:
             _compact_state_table(spark, f"{state_dir}/lines", batch_id)
     finally:
-        batch.unpersist()
+        for df in pinned:
+            df.unpersist()
 
 
 def read_line_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -74,9 +74,12 @@ GROWTH_FLAG = 1.5
 # probe per batch (the accepted streaming/dedup.py shape, bucketed-store
 # upgrade path documented) — registered at 0.0 because the probe is a
 # narrow columnar scan that stays sub-noise until state far exceeds
-# these scales; a flag here means the probe term has become visible and
-# the bucketed upgrade is due.
-DESIGN_EXPONENT: dict[str, float] = {}
+# these scales; a flag on either is the signal that the probe term has
+# become visible and the bucketed upgrade is due.
+DESIGN_EXPONENT: dict[str, float] = {
+    "line_dedup": 0.0,
+    "ingest": 0.0,
+}
 
 
 def _progress_durations(q) -> list[dict]:
@@ -572,11 +575,20 @@ def main() -> None:
 
     if only is not None and os.path.exists(out_path):
         # partial re-measure: carry forward unmeasured components from
-        # the prior artifact verbatim (each carries its own stamp)
+        # the prior artifact. An entry carried from a pre-stamp artifact
+        # gets its stamp BACKFILLED from that artifact's top-level dirs
+        # — the merged file must never leave an entry's scales ambiguous
         with open(out_path) as f:
-            prior = json.load(f).get("components", {})
-        for comp, r in prior.items():
-            results.setdefault(comp, r)
+            prior_doc = json.load(f)
+        for comp, r in prior_doc.get("components", {}).items():
+            if comp in results:
+                continue
+            r.setdefault("scales", {
+                "small": prior_doc.get("small"),
+                "big": prior_doc.get("big"),
+                "huge": prior_doc.get("huge") if "huge" in r else None,
+            })
+            results[comp] = r
 
     flagged = sorted(c for c, r in results.items() if r["flagged"])
     artifact = {

@@ -126,3 +126,57 @@ def test_out_of_order_arrival_is_arrival_canonical(spark, tmp_path):
     }
     assert got[10] == (0, shared)
     assert got[1] == (1, uniq)
+
+
+def test_null_text_doc_still_emits_verdict(spark, tmp_path):
+    """A NULL-text doc produces no occurrences, but the one-verdict-per-
+    arriving-doc contract holds: (0 lines, 0 removed, NULL text_clean)."""
+    schema = "doc_id long, text string"
+    line = " ".join(f"w{i}" for i in range(8))
+    batch = spark.createDataFrame([(1, line), (2, None)], schema)
+    d = spark.createDataFrame([(1, line)], schema)  # schema donor
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(f"{src}/part_0")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part_*")
+    )
+    start_line_dedup_stream(stream, state, ckpt).awaitTermination(240)
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in read_line_verdicts(spark, state).collect()
+    }
+    assert got[1] == (1, 0, line)
+    assert got[2] == (0, 0, None)
+
+
+def test_duplicate_doc_id_in_batch_collapses_deterministically(spark, tmp_path):
+    """Two versions of one doc inside a single trigger collapse to ONE
+    verdict row computed from the deterministic winner (max text), not
+    two rows with a merged keep-list."""
+    la = " ".join(f"a{i}" for i in range(8))
+    lb = " ".join(f"b{i}" for i in range(8))
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame([(1, la), (1, lb)], schema)
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(f"{src}/part_0")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part_*")
+    )
+    start_line_dedup_stream(stream, state, ckpt).awaitTermination(240)
+    rows = read_line_verdicts(spark, state).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    winner = max(la, lb)
+    assert (r["doc_id"], r["n_lines"], r["n_removed"], r["text_clean"]) == (
+        1, 1, 0, winner
+    )
+    lines = spark.read.parquet(f"{state}/lines")
+    assert lines.count() == 1  # only the winner's line owned

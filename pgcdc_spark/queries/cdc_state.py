@@ -19,9 +19,35 @@ import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..cdc.upsert import latest_state
 from . import query
+
+
+def pin_capture(msgs: DataFrame, parts: int | None = None) -> DataFrame:
+    """Materialize a synthetic capture (bytes-in-storage model) BALANCED.
+
+    Every capture here is built as ``control-frames ∪ encode(events)``:
+    the union carries ~33 partitions, but the whole 100k-row payload
+    sits in the ONE partition of the events scan, so each downstream
+    decode pass pays a serial Python parse PLUS ~32 empty Python tasks
+    (each Python task costs ~40 ms of serialized worker acquisition on
+    this box — measured r13, OPTIMIZATION_r13.md "CDC family").
+    One round-robin shuffle of the already-encoded bytes before the
+    localCheckpoint rebalances the stored blocks, so every decode pass
+    over the capture parses in parallel with few, full tasks.
+
+    Width: ``defaultParallelism // 4`` (8 on the 32-core bench box,
+    scaling down with the driver's lower-core runs) — the measured
+    sweet spot for ~100k-frame captures where per-task Python
+    acquisition (~40 ms) must stay well under per-task parse work; at
+    a real 100 TB capture the bytes arrive from storage with ample
+    splits and the pre-checkpoint shuffle is one balanced pass over
+    the batch, not a scale hazard (it is the same width the encode's
+    own shuffle would need anyway)."""
+    spark = msgs.sparkSession
+    n = parts or max(2, spark.sparkContext.defaultParallelism // 4)
+    return msgs.repartition(n).localCheckpoint()
 
 # DuckDB sees the ns parquet timestamps truncated to us, so ordering uses
 # us precision on both sides (ties then broken identically by event_id).
@@ -630,6 +656,14 @@ def cdc_pgoutput_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             enc("event_id", "user_id", "value", "event_type").alias("payload"),
         )
     )
+    # localCheckpoint (r13): decode_pgoutput's relation auto-discovery is
+    # a SEPARATE job over msgs, so the unpinned plan runs the Arrow
+    # encode once for discovery and again for the decode pass (guide §4 —
+    # the filter on payload's first byte cannot prune the UDF that
+    # produces payload). Checkpointing runs the encode exactly once and
+    # serves both passes from stored blocks — the same bytes-in-storage
+    # model every capture fixture (toast/stream/2PC/origin) already uses.
+    msgs = pin_capture(msgs)
     row_schema = StructType(
         [StructField("user_id", LongType()), StructField("value", DoubleType())]
     )
@@ -698,7 +732,13 @@ def cdc_wal2json_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oldkeys"),
     )
     docs = (
-        events.select(
+        # fan_out (r13): the single test-scale parquet split would run
+        # the whole map side (struct build + partial collect_list) on
+        # one core; this path is pure JVM codegen, where spreading the
+        # scan has none of the Python-worker task tax that made fan_out
+        # a REGRESSION on the Arrow-encode fixtures (OPTIMIZATION_r13
+        # "CDC family"). No-op at scale (enough input splits already).
+        fan_out(events).select(
             (F.col("event_id") / 2).cast("long").alias("txn"),
             F.struct(F.col("event_id").alias("o"), change.alias("c")).alias("oc"),
         )
@@ -1004,7 +1044,7 @@ def toast_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
             enc("event_id", "user_id", "value", "event_type").alias("payload"),
         )
     )
-    return msgs.localCheckpoint()
+    return pin_capture(msgs)
 
 
 @query("cdc_toast_upsert_state", oracle=_TOAST_ORACLE,
@@ -1244,7 +1284,7 @@ def pgoutput_stream_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (relation discovery, segment pairing, membership join, verdicts);
     # without materialization each pass would re-run the fixture's Arrow
     # ENCODER, timing the fixture 4x instead of the decode path.
-    return msgs.localCheckpoint()
+    return pin_capture(msgs)
 
 
 @query("cdc_pgoutput_stream_state", oracle=_PGOUT_V2_ORACLE,
@@ -1361,7 +1401,7 @@ def cdc_multitable_route_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     relations = {1: ["user_id", "value"], 2: ["o_orderkey", "o_totalprice"]}
     # bronze lands once; both silver tables route from the SAME pass
-    bronze = decode_pgoutput_generic(msgs, relations).localCheckpoint()
+    bronze = pin_capture(decode_pgoutput_generic(msgs, relations))
 
     ev_schema = StructType([StructField("user_id", LongType()),
                             StructField("value", DoubleType())])
@@ -1583,7 +1623,7 @@ def e2e_revenue_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") + 1).alias("lsn"),
         enc("event_id", "user_id", "value", "event_type").alias("payload"),
     )
-    return msgs.localCheckpoint()
+    return pin_capture(msgs)
 
 
 @query("cdc_e2e_revenue_rollup", oracle=_E2E_ORACLE,
@@ -1804,7 +1844,7 @@ def two_phase_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes-in-storage model: three passes (span pairing, membership
     # join, verdicts) read the capture — materialize once or each pass
     # re-runs the fixture's Arrow ENCODER (same rationale as the v2 twin)
-    return msgs.localCheckpoint()
+    return pin_capture(msgs)
 
 
 @query("cdc_two_phase_state", oracle=_PGOUT_2PC_ORACLE,
@@ -2020,7 +2060,7 @@ def cdc_origin_filter_state(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionByName(commits)
     # bytes-in-storage model: span pairing + origin join + the decode
     # pass all read the capture — materialize the fixture once
-    msgs = msgs.localCheckpoint()
+    msgs = pin_capture(msgs)
 
     kept = filter_foreign_origins(msgs, bin_width=64)
     row_schema = StructType(
@@ -2132,7 +2172,7 @@ def xlog_infer_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).unionByName(rel)
 
-    return unwrap_xlogdata(frames).localCheckpoint()
+    return pin_capture(unwrap_xlogdata(frames))
 
 
 @query("cdc_xlog_infer_state", oracle=_XLOG_ORACLE,
@@ -2271,7 +2311,7 @@ def publication_filter_capture(spark: SparkSession,
             .alias("payload"),
         ).filter(F.col("payload").isNotNull())  # suppressed rows
     )
-    return msgs.localCheckpoint()
+    return pin_capture(msgs)
 
 
 @query("cdc_publication_filter_state", oracle=_PUB_FILTER_ORACLE,

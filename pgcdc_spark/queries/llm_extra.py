@@ -1605,6 +1605,13 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so the driver verifies the composition end-to-end."""
     from .llm_text import docs_bm25_topk
 
+    # NOT shared()/persisted (r13 measurement): although the fused plan
+    # references the ANN ranking three times and the lexical ranking
+    # twice, the duplicated subtrees plan into identical exchanges that
+    # AQE reuses (ReusedExchange) — persisting them measured SLOWER
+    # (3.85 -> 4.85 s median at sf0.1: materialization + cache IO without
+    # removing real work), unlike emb_semantic_dedup where the duplicate
+    # subplans do not share exchanges.
     ann = emb_ivf_pq_topk(spark, sf_dir).select(
         "qid", F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("a_rank"),

@@ -842,15 +842,25 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
         norm_fold_expr("embedding", cast=True).alias("n"),
     )
+    from ..cache import shared
+
     cent = ivf_centroids(base)
-    asg = nearest_cells(base, cent, "vec_id", 1).select("vec_id", "e", "n", "cid")
+    # shared(): asg feeds BOTH sides of the cell self-join and pairs
+    # feeds both the best-neighbor window and the drop rule — unshared,
+    # the physical plan inlines the assignment (centroid crossJoin +
+    # argmin window) twice and the O(sum cell^2) pair scoring twice
+    # (14 shuffle exchanges, plans/r13/emb_semantic_dedup_before.txt).
+    # Persisting computes each once; pairs is the same O(sum cell^2)
+    # object the shuffle already materializes, MEMORY_AND_DISK spills.
+    asg = shared(
+        nearest_cells(base, cent, "vec_id", 1).select("vec_id", "e", "n", "cid"))
     other = asg.select(
         F.col("vec_id").alias("other_id"),
         F.col("e").alias("oe"),
         F.col("n").alias("on_"),
         "cid",
     )
-    pairs = (
+    pairs = shared(
         asg.join(other, "cid")
         .filter(F.col("other_id") != F.col("vec_id"))
         .select(

@@ -141,12 +141,18 @@ def test_no_collect_in_query_surface(spark):
         # collect (type-OID inference IS that query's claim).
         # (cdc_publication_filter_state joined in r11: its factored
         # capture localCheckpoints a fixture whose transition routing
-        # needs lag(value) — a window shuffle, hence multi-stage; the
-        # toast/e2e captures stay OUT because their fixture plans are
-        # narrow and their checkpoint jobs single-stage.)
+        # needs lag(value) — a window shuffle, hence multi-stage.
+        # cdc_e2e_revenue_rollup and cdc_multitable_route_state joined
+        # in r13: every capture now pins BALANCED blocks — pin_capture
+        # repartitions the encoded bytes before the localCheckpoint so
+        # downstream decode passes parse in parallel instead of one
+        # skewed task — which makes even the narrow fixture plans'
+        # checkpoint jobs multi-stage. Same O(batch) shipped to storage,
+        # zero rows to the driver; the argument is unchanged.)
         "fixture-capture": (
             "cdc_two_phase_state", "cdc_origin_filter_state",
             "cdc_xlog_infer_state", "cdc_publication_filter_state",
+            "cdc_e2e_revenue_rollup", "cdc_multitable_route_state",
         ),
     }
     iterative = {

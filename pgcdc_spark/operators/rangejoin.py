@@ -47,8 +47,9 @@ def binned_range_join(
     longs), via an equi join on ``floor(x / bin_width)`` bins.
 
     Column names of the two frames must be disjoint. ``how`` supports
-    "inner" and "left_outer" (outer = inner plus anti-join remainder,
-    keeping the no-dedup property).
+    "inner" and "left_outer" (both are the same single equi join on the
+    bin id; the exactly-one-bin-per-point property makes the outer mode
+    dedup-free too).
     """
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
@@ -74,21 +75,12 @@ def binned_range_join(
         & (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col))
     )
-    inner = p.join(i, cond, "inner").drop(_PBIN, _IBIN)
-    if how == "inner":
-        return inner
-    # left_outer: unmatched points padded with NULL interval columns. The
-    # anti-join must use NULL-SAFE equality (<=>): plain column-equality is
-    # null-unsafe, so a matched point row carrying a NULL payload column
-    # would never equal itself in the matched set and be re-emitted as a
-    # spurious NULL-padded "unmatched" row, breaking the no-dup property.
-    matched = inner.select(*points.columns).alias("__m")
-    p_alias = points.alias("__p")
-    anti_cond = None
-    for c in points.columns:
-        eq = F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
-        anti_cond = eq if anti_cond is None else (anti_cond & eq)
-    unmatched = p_alias.join(matched, anti_cond, "left_anti")
-    for c in intervals.columns:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
-    return inner.unionByName(unmatched)
+    # Both shapes are ONE equi hash join on the bin id. left_outer is the
+    # join's own outer mode — correct without any dedup/remainder pass
+    # because a point lives in EXACTLY one bin: each matching interval
+    # meets it once (the replica in that bin), and a point with no match
+    # in its bin emits one NULL-padded row, which is the outer contract.
+    # (r13: this replaced an inner ∪ [points ANTI matched] construction
+    # that recomputed the POINTS subtree twice more — fatal when points
+    # is an Arrow decode pass — and paid a full-row SortMergeJoin anti.)
+    return p.join(i, cond, how).drop(_PBIN, _IBIN)

@@ -1685,7 +1685,17 @@ def _bpe_train_stages(spark: SparkSession, sf_dir: str):
     ``bests[i]`` is step i+1's 1-row merge rule and ``stages[i]`` is the
     vocabulary symbol table (cnt, syms) AFTER i merges (stages[0] = the
     character-level start). Shared by the merge-rule query above and
-    the encode-stats composition below."""
+    the encode-stats composition below.
+
+    Each stage's symbol table is persisted via ``cache.shared`` (r13):
+    step i consumes stage i-1 TWICE (the pair count feeding the argmax,
+    and the merge fold), so the unrolled plan otherwise doubles the
+    whole prefix per step — the word-count shuffle replayed 2^(k-1)
+    times by step k. The shared tables are the weighted VOCABULARY
+    (Heaps-law — tiny relative to the corpus at any scale), the
+    canonical persist-an-iterative-frontier shape (guide §5)."""
+    from ..cache import shared
+
     (docs,) = load(spark, sf_dir, "documents")
     wc = (
         fan_out(docs)
@@ -1694,10 +1704,11 @@ def _bpe_train_stages(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    syms = wc.select("cnt", F.split("w", "").alias("syms"))
+    syms = shared(wc.select("cnt", F.split("w", "").alias("syms")))
     bests, stages = [], [syms]
     for step in range(1, _BPE_MERGE_STEPS + 1):
-        pairs = (
+        # shared: feeds both the max-freq aggregate and the argmax filter
+        pairs = shared(
             syms.select("cnt", F.explode(F.expr(
                 "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),"
                 " slice(syms, 2, greatest(size(syms) - 1, 0)),"
@@ -1723,8 +1734,8 @@ def _bpe_train_stages(spark: SparkSession, sf_dir: str):
         bests.append(best)
         pair = best.select(F.col("lhs").alias("pl"), F.col("rhs").alias("pr"))
         # bounded: 1-row winning merge pair
-        syms = syms.crossJoin(F.broadcast(pair)).select(
-            "cnt", F.expr(_BPE_MERGE_FOLD).alias("syms"))
+        syms = shared(syms.crossJoin(F.broadcast(pair)).select(
+            "cnt", F.expr(_BPE_MERGE_FOLD).alias("syms")))
         stages.append(syms)
     return bests, stages
 

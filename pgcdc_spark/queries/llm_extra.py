@@ -1198,25 +1198,35 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest doc (tie -> smallest id), map every member to its keeper.
 
     Composes the iterative CC operator with one join to doc metadata and
-    a per-cluster argmax window — the window partitions on cluster_id
-    whose population is LSH-bounded, and the final mapping join's build
-    side is one row per cluster (AQE broadcasts it)."""
+    a per-cluster argmax — an AGGREGATE (max_by over (n_chars, -doc_id)),
+    not a window (r13): the aggregate gets map-side partial combine (a
+    hot cluster collapses to one candidate per input partition before
+    the shuffle — the same skew argument as cdc/upsert.latest_state),
+    where row_number physically needs every member of a cluster in one
+    task. The member->metadata join is shared (persist) because both the
+    keeper aggregate and the final mapping consume it; the keeper map is
+    one row per cluster (AQE broadcasts it). The keep flag is
+    doc_id = kept_doc_id — identical to the old rn = 1 (the argmax is
+    unique per cluster). Uses cc_components, not the cluster REPORT
+    query, so the member-count aggregate+join the report adds (and this
+    query immediately projected away) is gone from the plan."""
+    from ..cache import shared
+    from .llm_dedup import cc_components
+
     (docs,) = load(spark, sf_dir, "documents")
-    comp = dedup_cc_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    ranked = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
-    )
-    ranked = ranked.withColumn("rn", F.row_number().over(w))
-    keepers = ranked.filter(F.col("rn") == 1).select(
-        "cluster_id", F.col("doc_id").alias("kept_doc_id")
+    comp = cc_components(spark, sf_dir)
+    base = shared(comp.join(docs.select("doc_id", "n_chars"), "doc_id"))
+    keepers = base.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+        ).alias("kept_doc_id")
     )
     return (
-        ranked.join(keepers, "cluster_id")
+        base.join(keepers, "cluster_id")
         .select(
             "doc_id",
             "cluster_id",
-            (F.col("rn") == 1).alias("keep"),
+            (F.col("doc_id") == F.col("kept_doc_id")).alias("keep"),
             "kept_doc_id",
         )
     )

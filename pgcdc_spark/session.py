@@ -33,6 +33,7 @@ BUILD_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 10 MB default is conservative for dims like region/nation/status.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(64 * 1024 * 1024),
 }
 
 # Subset that is runtime-settable on an existing session.

@@ -823,6 +823,15 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-token decimal sum becomes the exactly-equal tf-weighted sum
     # (tf x one decimal term == tf identical decimal addends, so the
     # oracle's per-token SUM is reproduced bit-for-bit).
+    # NOT shared()/persisted (r13 measurement): tf and cnt each feed two
+    # consumers, but every duplicated subtree sits directly above an
+    # identical Exchange (tf's and cnt's own groupBy shuffles), which
+    # runtime ReuseExchange already deduplicates — persisting both
+    # measured consistently SLOWER at sf0.1 (ABAB medians 1.91/2.82 vs
+    # 1.58/2.13: cache materialization + IO without removing real work),
+    # the same adjudication as hybrid_rrf_retrieval. Sharing pays only
+    # where the duplicate work has NO common exchange boundary (the BPE
+    # fold stages, emb_semantic_dedup, the old rangejoin remainder).
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     cnt = tf.groupBy("w").agg(F.sum("tf").alias("n"))
     total = cnt.agg(F.sum("n").cast("double").alias("t"))

@@ -714,14 +714,22 @@ def emb_ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are bit-identical to the oracle's list_dot_product."""
     from ..functions.vectors import norm_fold_expr
 
-    adc = _ivfpq_adc(spark, sf_dir)
-    ws = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= _RERANK_C)
-        .select("qid", "vec_id")
-    )
+    # Shortlist from the PERSISTED index artifact (same construction as
+    # emb_mmr_rerank_ann): probe(nprobe=2, k=C) is bit-identical to the
+    # inline ADC plan's top-C cut — identical ranking expression
+    # (approx_dist2, vec_id), same oracle family, driver-hash-checked —
+    # and the serving shape: a refine stage re-ranks an index probe, it
+    # does not re-derive IVF-PQ from the raw corpus (r13; the inline
+    # plan embedded the whole corpus->assignment->codes pipeline here).
+    idx = _ann_index_for(spark, sf_dir)
     (emb,) = load(spark, sf_dir, "embeddings")
+    probe_q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    shortlist = idx.probe(spark, probe_q, nprobe=2, k=_RERANK_C).select(
+        "qid", F.col("neighbor_id").alias("vec_id")
+    )
     vec = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
@@ -1622,7 +1630,16 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3.85 -> 4.85 s median at sf0.1: materialization + cache IO without
     # removing real work), unlike emb_semantic_dedup where the duplicate
     # subplans do not share exchanges.
-    ann = emb_ivf_pq_topk(spark, sf_dir).select(
+    # The vector ranking comes from the PERSISTED index artifact
+    # (emb_ann_index_probe — bit-identical to emb_ivf_pq_topk by
+    # construction, same oracle, driver-hash-checked), not the inline
+    # ADC pipeline: this is the serving shape (production hybrid
+    # retrieval probes an index, it does not re-derive IVF-PQ from the
+    # raw corpus per query), and it keeps each of the three ANN
+    # references a few pruned parquet scans deep instead of embedding
+    # the whole corpus->assignment->codes pipeline (plan 2223 -> ~600
+    # lines; the same adjudication as emb_mmr_rerank_ann's shortlist).
+    ann = emb_ann_index_probe(spark, sf_dir).select(
         "qid", F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("a_rank"),
     )

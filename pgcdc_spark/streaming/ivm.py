@@ -120,9 +120,10 @@ def apply_agg_view_batch(
     """Merge one change batch and maintain the view's delta log — the
     per-batch unit shared by the streaming sink (foreachBatch below) and
     batch replays (queries/ivm_views.py drives it through the driver
-    oracle). Replay-exactly-once via the store's label gate."""
-    if batch_df.isEmpty():
-        return
+    oracle). Replay-exactly-once via the store's label gate. No
+    isEmpty() pre-check (r13): an extra action re-executing the batch
+    plan; the store's touched-bucket probe already no-ops empty
+    batches before the label is recorded."""
 
     def on_transition(current, new_state, touched) -> None:
         d = view.delta(current, new_state)
@@ -418,9 +419,8 @@ def apply_distinct_view_batch(
     order_by: list[str] = ("lsn",),
 ) -> None:
     """Merge one change batch and maintain the refcount delta log —
-    same replay-exactly-once unit as apply_agg_view_batch."""
-    if batch_df.isEmpty():
-        return
+    same replay-exactly-once unit as apply_agg_view_batch (and the same
+    no-isEmpty rationale)."""
 
     def on_transition(current, new_state, touched) -> None:
         view.delta(current, new_state).write.mode("overwrite").parquet(

@@ -129,8 +129,10 @@ def start_upsert_stream(
     store = BucketedStateStore(state_dir, n_buckets=n_buckets)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # No isEmpty() pre-check (r13): it is an EXTRA action per batch
+        # that re-executes the source parse before store.merge persists
+        # the batch; merge already no-ops on empty batches (its
+        # touched-bucket probe collects [] from the persisted frame).
         # keep_deletes inside store.merge: tombstones stay in the stored
         # state so merge order cannot resurrect a deleted key (file-stream
         # batches are NOT guaranteed to arrive in filename order);

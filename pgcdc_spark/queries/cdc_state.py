@@ -841,6 +841,14 @@ def cdc_wal2json_v2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle). numPartitions is EXPLICIT: a column-only repartition of
     # a test-scale input is coalesced back to one partition by AQE,
     # which re-serializes the parse.
+    # explode_outer, NOT explode (r13): explode makes Catalyst infer a
+    # `size(objs) > 0` filter and push it below the repartition, where
+    # it re-evaluates the ENTIRE encode expression per row on the single
+    # input split just to discard the result (the encode then runs a
+    # second time above the exchange) — the plan showed the fat
+    # format_string tree twice, once in a serial Filter. The arrays here
+    # are never empty (every branch yields >= 1 element), so
+    # explode_outer is row-for-row identical and infers no filter.
     lines = events.repartition(32, F.col("event_id")).select(
         F.when(
             F.col("event_id") % 7 == 3,
@@ -852,7 +860,7 @@ def cdc_wal2json_v2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.array(data_obj))
         .alias("objs")
-    ).select(F.explode("objs").alias("value"))
+    ).select(F.explode_outer("objs").alias("value"))
     row_schema = StructType(
         [StructField("user_id", LongType()), StructField("value", DoubleType())]
     )

@@ -950,9 +950,13 @@ def _km_update(pts: DataFrame, asg: DataFrame) -> DataFrame:
     """(cid, cv, cc): per-cluster coordinate-mean centers rebuilt as
     arrays — integer-exact scaled sums, double division, sorted-dim
     collect."""
-    dims = pts.select(
-        "vec_id", F.posexplode("e").alias("d", "x")
-    ).join(asg.select("vec_id", "cid"), "vec_id")
+    # Join FIRST, posexplode AFTER (guide §3.3): exploding 64 dims per
+    # vector before the vec_id join shuffled dims x vectors narrow rows;
+    # joining the un-exploded vectors moves 1/64th the rows through the
+    # exchange and the explode then runs map-side above it.
+    dims = pts.select("vec_id", "e").join(
+        asg.select("vec_id", "cid"), "vec_id"
+    ).select("vec_id", "cid", F.posexplode("e").alias("d", "x"))
     means = dims.groupBy("cid", "d").agg(
         (
             F.sum((F.col("x") * _KM_SCALE).cast("decimal(38,0)"))

@@ -122,6 +122,10 @@ def test_no_collect_in_query_surface(spark):
             "emb_ann_index_compacted", "emb_ann_index_filtered_probe",
             "emb_ann_index_filtered_incremental", "emb_ann_index_asof_probe",
             "emb_mmr_rerank_ann",  # shortlist via the same idx.probe
+            # r13 optimization: these two now take their ANN stage from
+            # the SAME idx.probe (serving shape) instead of the inline
+            # ADC pipeline — same single bounded collect, same argument.
+            "emb_ann_rerank_exact", "hybrid_rrf_retrieval",
         ),
         # metadata: O(#tables) 'R' relation-message discovery — the
         # relations dict must exist driver-side before the Arrow decode

@@ -293,6 +293,13 @@ def main() -> None:
     # series) — disable the maintained-state cache so every run replays
     # the 3-batch fixture through the real maintainer
     os.environ["PGCDC_IVM_CACHE"] = "0"
+    # the ANN twin (r13 verdict item 1): scope the index artifact to THIS
+    # session — the warm-up run builds it in a per-process scratch dir
+    # (removed at exit) and the measured runs probe that build, so no
+    # bench number can ride an index a PREVIOUS run left on disk. The
+    # probe-family entries still time the serving path (probe, not
+    # build), which is their declared semantics since r6.
+    os.environ["PGCDC_ANN_CACHE"] = "0"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

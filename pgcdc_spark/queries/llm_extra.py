@@ -892,14 +892,43 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+_ANN_SESSION_ROOT: str | None = None
+
+
+def _ann_session_root() -> str:
+    """One scratch root per PROCESS, removed at exit — the
+    ``PGCDC_ANN_CACHE=0`` home: within a session the index still builds
+    once and every probe reuses it (the serving semantics the probe
+    family declares), but nothing survives the process, so a bench run
+    can never inherit an index built by an earlier run (r13 verdict
+    item 1 — the ANN twin of bench.py's PGCDC_IVM_CACHE=0)."""
+    global _ANN_SESSION_ROOT
+    if _ANN_SESSION_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _ANN_SESSION_ROOT = tempfile.mkdtemp(prefix="pgcdc-ann-session-")
+        atexit.register(shutil.rmtree, _ANN_SESSION_ROOT, True)
+    return _ANN_SESSION_ROOT
+
+
 def _ann_root(sf_dir: str, kind: str) -> str:
     """Per-user cache root, mode 0700, ownership-verified — the shared
     system temp dir is world-writable, so an unscoped path would let
     another local user pre-create a fingerprint dir and poison cached
     index artifacts (the same hardening as the IVM maintained-state
-    cache, queries/ivm_views._maintained_dir)."""
+    cache, queries/ivm_views._maintained_dir).
+
+    ``PGCDC_ANN_CACHE=0`` scopes the artifact to the SESSION instead
+    (fresh per-process scratch root, removed at exit): bench.py sets it
+    so the measured probes are served by an index the same session
+    built in warm-up, never by a cross-run disk cache."""
     import tempfile
 
+    if os.environ.get("PGCDC_ANN_CACHE", "1") == "0":
+        return os.path.join(
+            _ann_session_root(), f"{kind}-{_corpus_fingerprint(sf_dir)}")
     uid = os.getuid() if hasattr(os, "getuid") else 0
     parent = os.path.join(
         tempfile.gettempdir(), f"pgcdc_spark_ann_{_ANN_FORMAT}_u{uid}")

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     os.environ["PGCDC_IVM_CACHE"] = "0"
+    # mirror bench.py (r14): index-family spots must never ride a
+    # cross-run artifact; set PGCDC_ANN_CACHE=1 explicitly to opt out
+    os.environ.setdefault("PGCDC_ANN_CACHE", "0")
     names = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_warm = int(os.environ.get("N_WARM", "1"))

@@ -13,6 +13,8 @@ Run at sf0.001 (600 docs / 200 vectors) for speed.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from pgcdc_spark.queries import all_queries
@@ -880,3 +882,36 @@ def test_triplet_mining_singleton_label_keeps_anchor(spark, tmp_path):
     assert all(r["pos_id"] is None and r["margin"] is None for r in a0)
     others = [r for r in out if r["qid"] != 0]
     assert others and all(r["pos_id"] is not None for r in others)
+
+
+def test_ann_root_session_scope_knob(tmp_path, monkeypatch):
+    """PGCDC_ANN_CACHE=0 (the bench's integrity mode, r13 verdict item 1)
+    scopes the ANN index artifact to the PROCESS: the root moves under a
+    per-session scratch dir (so no run can inherit an index a previous
+    run left in the shared temp root), while repeated calls within the
+    session still agree (the warm-up build serves the measured probes).
+    Without the knob the persistent per-user root is unchanged."""
+    import pgcdc_spark.queries.llm_extra as lx
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    with open(os.path.join(sf_dir, "embeddings.parquet"), "w") as f:
+        f.write("x")
+
+    monkeypatch.delenv("PGCDC_ANN_CACHE", raising=False)
+    persistent = lx._ann_root(sf_dir, "full")
+
+    monkeypatch.setenv("PGCDC_ANN_CACHE", "0")
+    monkeypatch.setattr(lx, "_ANN_SESSION_ROOT", None)
+    a = lx._ann_root(sf_dir, "full")
+    b = lx._ann_root(sf_dir, "full")
+    assert a == b, "same session must reuse the same build"
+    assert a != persistent
+    assert os.path.dirname(a) == lx._ANN_SESSION_ROOT
+    assert os.path.isdir(lx._ANN_SESSION_ROOT)
+    # distinct kinds/corpora stay distinct inside the session root
+    assert lx._ann_root(sf_dir, "incr") != a
+
+    # a "new process" (fresh module state) gets a DIFFERENT scratch root
+    monkeypatch.setattr(lx, "_ANN_SESSION_ROOT", None)
+    assert lx._ann_root(sf_dir, "full") != a
